@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fads.Fads
+import graft.ops.FadsBatch
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Reference-parameter FADS config (TransactionGeneralizationJob.java:66-71):
+    * k=10, buffer=30 tuples, cluster TTL=60 s; QIDs for the `events` table are
+    * {user_id, value}, PID=user_id (FIXTURES.md §C).
+    */
+  val eventsFadsConfig: Fads.Config =
+    Fads.Config(k = 10, bufferConstraint = 30, reuseTtlMs = 60000L, nQid = 2)
+
+  def fadsReplay(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    FadsBatch.anonymize(
+      events,
+      qidCols = Seq("user_id", "value"),
+      pidCol = "user_id",
+      orderCols = Seq("ts", "event_id"),
+      clockCol = Tables.tsNanosToMillis(col("ts")),
+      cfg = eventsFadsConfig)
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's core capability — streaming k-anonymization — replayed
+    * deterministically over the `events` table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    fadsReplay(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q9_fads_replay" -> ((s, dir) => fadsReplay(s, dir))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops (the driver
+    * then records a rows-only check).
+    */
   def oracleSql: Map[String, String] = Map()
 }

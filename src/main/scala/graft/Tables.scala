@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Testdata loaders (TESTDATA.md): one parquet file per table under
+  * `/root/testdata/sf{0.001,0.01,0.1}/`.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+      // unless told to surface it as a raw nanos-since-epoch LONG. Set at
+      // read time so callers need no special session config; `tsNanos`
+      // converts where timestamp semantics are needed.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** events.ts (nanos-since-epoch LONG, see [[load]]) → epoch milliseconds. */
+  def tsNanosToMillis(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c / 1000000L).cast("long")
+
+  /** Register every table as a temp view so `spark.sql` mirrors the DuckDB
+    * oracle's naming.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
