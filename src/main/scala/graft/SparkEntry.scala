@@ -22,7 +22,7 @@ object SparkEntry {
       qidCols = Seq("user_id", "value"),
       pidCol = "user_id",
       orderCols = Seq("ts", "event_id"),
-      clockCol = Tables.tsNanosToMillis(col("ts")),
+      clockCol = Tables.tsNanosToMillis("ts"),
       cfg = eventsFadsConfig)
   }
 
@@ -34,13 +34,15 @@ object SparkEntry {
     fadsReplay(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q9_fads_replay" -> ((s, dir) => fadsReplay(s, dir))
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.RelationalQueries.all ++ Map(
+      "q9_fads_replay" -> ((s: SparkSession, dir: String) => fadsReplay(s, dir))
+    )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (the driver
-    * then records a rows-only check).
+    * then records a rows-only check). q9_fads_replay is stateful-sequential
+    * (SURVEY §2.3 Q9) — not SQL-expressible, rows-only.
     */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = ops.RelationalQueries.oracles
 }

@@ -20,9 +20,16 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events.ts (nanos-since-epoch LONG, see [[load]]) → epoch milliseconds. */
-  def tsNanosToMillis(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (c / 1000000L).cast("long")
+  /** events.ts (nanos-since-epoch LONG, see [[load]]) → epoch milliseconds.
+    * Integral `div` — `Column./` round-trips through DOUBLE, which cannot
+    * represent nanos-since-epoch (~1.7e18 > 2^53) exactly.
+    */
+  def tsNanosToMillis(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(s"$colName div 1000000L")
+
+  /** events.ts LONG nanos → epoch microseconds, exact integral arithmetic. */
+  def tsNanosToMicros(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(s"$colName div 1000L")
 
   /** Register every table as a temp view so `spark.sql` mirrors the DuckDB
     * oracle's naming.
