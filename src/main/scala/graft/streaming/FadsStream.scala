@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming._
+import graft.fads.Fads
+
+/** Typed event record for the streaming surface (the `events` table with ts
+  * already surfaced as epoch-nanos LONG, see graft.Tables.load).
+  * `event_id < 0` is a drain sentinel: it is not processed as data but forces
+  * the end-of-stream flush (the reference drains in `Generalizer.close()`,
+  * /root/reference/src/main/java/fads/Generalizer.java:59-74 — Structured
+  * Streaming has no operator-close emit, so the drain is triggered by a
+  * sentinel or a processing-time timer, SURVEY.md §7.3).
+  */
+case class Event(
+    event_id: Long, ts: Long, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Generalized output: QIDs (user_id, value) replaced by [lo, hi] intervals
+  * (reference output schema, Generalizer.java:259-269 — flattened rather than
+  * nested structs for friction-free downstream SQL).
+  */
+case class GenEvent(
+    event_id: Long, ts: Long,
+    user_id_lo: Double, user_id_hi: Double,
+    event_type: String,
+    value_lo: Double, value_hi: Double,
+    props: String, suppressed: Boolean)
+
+/** Serializable FADS state snapshot (the streaming state-store image of
+  * [[Fads.State]]; the reference hand-rolls Java serialization for the same
+  * purpose, Generalizer.java:272-333 — here it's just a product encoder).
+  */
+case class BufferedEvent(qid0: Double, qid1: Double, pid: Long,
+    ev: Event, arrivalMs: Long, seq: Long)
+case class ClusterSnap(lo: Array[Double], hi: Array[Double],
+    createdAtMs: Long, seq: Long)
+case class FadsSnap(
+    buffer: List[BufferedEvent],
+    gLo: Array[Double], gHi: Array[Double],
+    clusters: List[ClusterSnap],
+    clusterSeq: Long, seqNo: Long, sawAny: Boolean)
+
+/** FADS streaming k-anonymization as a Spark 4 `transformWithState`
+  * StatefulProcessor — the one genuinely custom streaming operator of this
+  * engine (SURVEY.md §4.2). The algorithm lives in [[graft.fads.Fads]]; this
+  * class only adapts rows ↔ engine and snapshots state.
+  *
+  * The clock is EVENT time (`ts`), not the wall clock, making replays
+  * deterministic and testable (SURVEY.md §7.3 hard part 3); cluster TTL
+  * expiry therefore follows the data's own timeline, like a watermark.
+  *
+  * Scale: the reference's state is one global stream context (correct only at
+  * parallelism 1, SURVEY.md §3.3), so callers key by a constant for parity —
+  * or by a real shard key (tenant/region) for scale-out, giving an
+  * independent, parallel FADS stream per shard with per-shard k-anonymity.
+  */
+class FadsProcessor(cfg: Fads.Config)
+    extends StatefulProcessor[Long, Event, GenEvent] {
+
+  @transient private var snapState: ValueState[FadsSnap] = _
+  @transient private var engine: Fads.Engine = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    snapState = getHandle.getValueState[FadsSnap](
+      "fads", Encoders.product[FadsSnap], TTLConfig.NONE)
+    engine = new Fads.Engine(cfg)
+  }
+
+  private def restore(): (Fads.State, FadsSnap) = {
+    val snap = Option(snapState.get()).getOrElse(
+      FadsSnap(Nil, Array.fill(cfg.nQid)(Double.PositiveInfinity),
+        Array.fill(cfg.nQid)(Double.NegativeInfinity), Nil, 0L, 0L, sawAny = false))
+    val st = new Fads.State(cfg.nQid)
+    snap.buffer.foreach { b =>
+      st.buffer += Fads.In(Array(b.qid0, b.qid1), b.pid, b.ev, b.arrivalMs, b.seq)
+    }
+    Array.copy(snap.gLo, 0, st.gLo, 0, cfg.nQid)
+    Array.copy(snap.gHi, 0, st.gHi, 0, cfg.nQid)
+    snap.clusters.foreach(c =>
+      st.clusters.append(Fads.Cluster(c.lo, c.hi, c.createdAtMs, c.seq)))
+    st.clusterSeq = snap.clusterSeq
+    st.sawAny = snap.sawAny
+    (st, snap)
+  }
+
+  private def persist(st: Fads.State, seqNo: Long): Unit =
+    snapState.update(FadsSnap(
+      st.buffer.iterator.map(t => BufferedEvent(
+        t.qids(0), t.qids(1), t.pid, t.payload.asInstanceOf[Event],
+        t.arrivalMs, t.seq)).toList,
+      st.gLo.clone(), st.gHi.clone(),
+      st.clusters.iterator.map(c =>
+        ClusterSnap(c.lo, c.hi, c.createdAtMs, c.seq)).toList,
+      st.clusterSeq, seqNo, st.sawAny))
+
+  private def toGen(o: Fads.Out): GenEvent = {
+    val e = o.payload.asInstanceOf[Event]
+    GenEvent(e.event_id, e.ts, o.lo(0), o.hi(0), e.event_type,
+      o.lo(1), o.hi(1), e.props, o.suppressed)
+  }
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[Event], timerValues: TimerValues): Iterator[GenEvent] = {
+    val (st, snap) = restore()
+    var seqNo = snap.seqNo
+    var lastNow = st.buffer.lastOption.map(_.arrivalMs).getOrElse(0L)
+    var drainRequested = false
+    val out = List.newBuilder[GenEvent]
+    // rows within a micro-batch arrive unordered; impose the deterministic
+    // replay order (ts, event_id) the batch surface uses
+    rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      if (e.event_id < 0) drainRequested = true
+      else {
+        val nowMs = e.ts / 1000000L // event-time clock, epoch ms
+        lastNow = nowMs
+        val in = Fads.In(Array(e.user_id.toDouble, e.value), e.user_id, e, nowMs, seqNo)
+        seqNo += 1
+        out ++= engine.step(st, in, nowMs).map(toGen)
+      }
+    }
+    if (drainRequested) out ++= engine.drain(st, lastNow).map(toGen)
+    persist(st, seqNo)
+    out.result().iterator
+  }
+}
+
+object FadsStream {
+
+  /** Wire a streaming Dataset[Event] through the FADS processor with a single
+    * constant key (reference parity: one global stream context).
+    */
+  def anonymize(events: Dataset[Event], cfg: Fads.Config): Dataset[GenEvent] = {
+    implicit val genEnc = Encoders.product[GenEvent]
+    events
+      .groupByKey(_ => 0L)(Encoders.scalaLong)
+      .transformWithState(
+        new FadsProcessor(cfg), TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Scale-out: shard the stream by key; one independent FADS instance per
+    * shard, k-anonymity guaranteed within each shard.
+    */
+  def anonymizeSharded(events: Dataset[Event], cfg: Fads.Config,
+      shardOf: Event => Long): Dataset[GenEvent] = {
+    implicit val genEnc = Encoders.product[GenEvent]
+    events
+      .groupByKey(shardOf)(Encoders.scalaLong)
+      .transformWithState(
+        new FadsProcessor(cfg), TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Session config required by transformWithState (RocksDB state store). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}

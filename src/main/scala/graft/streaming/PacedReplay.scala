@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Rate-limited file replay — the Spark-idiomatic equivalent of the
+  * reference's throttled source (NYCTaxiRideSource,
+  * /root/reference/src/main/java/datasources/NYCTaxiRideSource.java:123-158):
+  * the reference busy-waits to emit ≤`throughput` tuples per wall-second;
+  * Spark instead paces micro-batches declaratively — stage the bounded input
+  * as N ordered chunk files, then `readStream` with `maxFilesPerTrigger` and a
+  * processing-time trigger. rows/sec ≈ rowsPerFile × filesPerTrigger /
+  * triggerSec, with no CPU burned on throttling (SURVEY.md §4.1).
+  */
+object PacedReplay {
+
+  /** Stage `df` (ordered by `orderCols`) into chunk files of `rowsPerFile`
+    * rows each under `stageDir`. One sequential pass; chunk i holds rows
+    * [i*rowsPerFile, (i+1)*rowsPerFile).
+    */
+  def stage(df: DataFrame, orderCols: Seq[String], rowsPerFile: Int,
+      stageDir: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__chunk", expr(s"(__rn - 1) div $rowsPerFile"))
+      .repartition(col("__chunk"))
+      .drop("__rn")
+      .write.mode("overwrite").partitionBy("__chunk").parquet(stageDir)
+  }
+
+  /** Open the staged directory as a paced stream.
+    *
+    * @param filesPerTrigger chunk files admitted per micro-batch
+    * @param triggerMs       processing-time trigger interval (0 = as fast as
+    *                        possible — the reference's `runtime=-1` mode)
+    */
+  def stream(spark: SparkSession, stageDir: String, schema: StructType,
+      filesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema.add("__chunk", "int"))
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(stageDir)
+      .drop("__chunk")
+
+  def trigger(triggerMs: Long): Trigger =
+    if (triggerMs <= 0) Trigger.ProcessingTime(0) else Trigger.ProcessingTime(triggerMs)
+}

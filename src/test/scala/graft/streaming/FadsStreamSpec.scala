@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, Tables}
+
+/** Streaming e2e (SURVEY.md §5.2): replay `events` sf0.001 through the
+  * transformWithState operator in several micro-batches (exercising state
+  * snapshot/restore across batches) and assert exact equality with the batch
+  * replay — including the final drain.
+  */
+class FadsStreamSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = FadsStream.configure(
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming FADS equals batch replay, multi-batch, with drain") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val input = Tables.load(spark, sfDir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].collect().sortBy(e => (e.ts, e.event_id))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val ckpt = Files.createTempDirectory("fads-ckpt").toString
+    val query = FadsStream.anonymize(stream.toDS(), SparkEntry.eventsFadsConfig)
+      .writeStream.format("memory").queryName("gen").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.grouped(250).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      // drain sentinel = reference Generalizer.close() flush
+      stream.addData(Event(-1L, Long.MaxValue, 0L, "", 0.0, ""))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("gen").as[GenEvent].collect()
+      .map(g => (g.event_id, g.user_id_lo, g.user_id_hi, g.value_lo, g.value_hi, g.suppressed))
+      .sortBy(_._1)
+
+    val want = SparkEntry.fadsReplay(spark, sfDir).collect().map { r =>
+      val u = r.getStruct(r.fieldIndex("user_id"))
+      val v = r.getStruct(r.fieldIndex("value"))
+      (r.getLong(r.fieldIndex("event_id")),
+        u.getDouble(0), u.getDouble(1), v.getDouble(0), v.getDouble(1),
+        r.getBoolean(r.fieldIndex("suppressed")))
+    }.sortBy(_._1)
+
+    assert(got.length == input.length, "cardinality: one output per input after drain")
+    assert(got.toSeq == want.toSeq, "streaming output must equal the batch oracle exactly")
+  }
+}
