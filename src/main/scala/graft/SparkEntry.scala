@@ -35,7 +35,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.RelationalQueries.all ++ Map(
+    ops.RelationalQueries.all ++
+      pipeline.TextAnalysis.all ++
+      pipeline.Dedup.all ++
+      pipeline.Similarity.all ++
+      pipeline.Multimodal.all ++ Map(
       "q9_fads_replay" -> ((s: SparkSession, dir: String) => fadsReplay(s, dir))
     )
 
@@ -44,5 +48,10 @@ object SparkEntry {
     * then records a rows-only check). q9_fads_replay is stateful-sequential
     * (SURVEY §2.3 Q9) — not SQL-expressible, rows-only.
     */
-  def oracleSql: Map[String, String] = ops.RelationalQueries.oracles
+  def oracleSql: Map[String, String] =
+    ops.RelationalQueries.oracles ++
+      pipeline.TextAnalysis.oracles ++
+      pipeline.Dedup.oracles ++
+      pipeline.Similarity.oracles ++
+      pipeline.Multimodal.oracles
 }

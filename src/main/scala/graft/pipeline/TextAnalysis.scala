@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis for large-scale training-data pipelines over `documents`:
+  * token counting, language ID, quality scoring, document fingerprinting.
+  *
+  * All ops are single-pass, shuffle-free per-row expressions (Catalyst
+  * codegen / higher-order array functions — no UDFs), so they scale linearly
+  * with input splits at 100 TB: a scan-project with pushdown-able column
+  * pruning and zero exchanges.
+  *
+  * Each op is written against a dual-dialect contract: the Spark expression
+  * and the DuckDB oracle compute bit-identical results (integer arithmetic,
+  * identical regexes, identical fold order).
+  */
+object TextAnalysis {
+
+  /** Deterministic polynomial rolling hash of a string (mod 1e9+7), the
+    * fingerprint primitive — exact integer arithmetic, portable across
+    * engines. h = fold(codepoints, 0, (a,c) => (a*31 + c) mod p).
+    */
+  val FpMod = 1000000007L
+  def polyHashExpr(colName: String): String =
+    s"aggregate(transform(split($colName, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+      s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % $FpMod)"
+  def polyHashSql(colName: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(string_split($colName, ''), c -> ord(c)::BIGINT)), " +
+      s"(a, b) -> (a * 31 + b) % $FpMod)"
+
+  /** BPE-ish token regex: letter runs, digit runs, single punctuation. */
+  val BpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Tiny per-language marker dictionaries for the n-gram/stopword heuristic
+    * language ID (word-boundary matches).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans"))
+
+  private def markerRegex(words: Seq[String]): String =
+    words.map(w => s"\\b$w\\b").mkString("|")
+
+  /** Q — token counting: whitespace tokens + BPE-ish regex tokens + chars. */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").selectExpr(
+      "doc_id",
+      "CAST(length(text) AS BIGINT) AS n_chars_m",
+      "CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens",
+      s"CAST(size(regexp_extract_all(text, '${BpeRegex.replace("\\", "\\\\")}', 0)) AS BIGINT) AS bpe_tokens"
+    ).orderBy("doc_id")
+
+  val tokensSql: String =
+    s"""SELECT doc_id, length(text)::BIGINT AS n_chars_m,
+       |       len(string_split(text, ' '))::BIGINT AS ws_tokens,
+       |       len(regexp_extract_all(text, '$BpeRegex'))::BIGINT AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Q — language ID: marker-word votes per language, deterministic argmax
+    * (ties resolved in dictionary order en > de > es > fr).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val counts = LangMarkers.map { case (lang, words) =>
+      s"CAST(size(regexp_extract_all(lower(text), '${markerRegex(words).replace("\\", "\\\\")}', 0)) AS BIGINT) AS c_$lang"
+    }
+    val pred =
+      """CASE WHEN c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
+        |     WHEN c_de >= greatest(c_es, c_fr) THEN 'de'
+        |     WHEN c_es >= c_fr THEN 'es'
+        |     ELSE 'fr' END AS lang_pred""".stripMargin
+    Tables.load(spark, dir, "documents")
+      .selectExpr(Seq("doc_id", "lang") ++ counts: _*)
+      .selectExpr("doc_id", "lang", "c_en", "c_de", "c_es", "c_fr", pred)
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val counts = LangMarkers.map { case (lang, words) =>
+      s"len(regexp_extract_all(lower(text), '${markerRegex(words)}'))::BIGINT AS c_$lang"
+    }.mkString(",\n       ")
+    s"""SELECT doc_id, lang, c_en, c_de, c_es, c_fr,
+       |       CASE WHEN c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
+       |            WHEN c_de >= greatest(c_es, c_fr) THEN 'de'
+       |            WHEN c_es >= c_fr THEN 'es'
+       |            ELSE 'fr' END AS lang_pred
+       |FROM (SELECT doc_id, lang, $counts FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Q — quality scoring: length / punctuation / stopword ratios and a
+    * combined score (identical FP expression tree on both engines).
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").selectExpr(
+      "doc_id",
+      "CAST(length(text) AS BIGINT) AS n_chars_m",
+      "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+      "CAST(size(regexp_extract_all(text, '[.,;:!?]', 0)) AS BIGINT) AS n_punct",
+      s"CAST(size(regexp_extract_all(lower(text), '${markerRegex(LangMarkers.head._2).replace("\\", "\\\\")}', 0)) AS BIGINT) AS n_stop")
+    .selectExpr(
+      "doc_id", "n_chars_m", "n_tokens", "n_punct", "n_stop",
+      "CAST(n_punct AS DOUBLE) / n_chars_m AS punct_ratio",
+      "CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio",
+      // quality: long docs with few punct bursts and some stopwords
+      "(CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 + " +
+        "(1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3 + " +
+        "least(CAST(n_chars_m AS DOUBLE) / 500.0, 1.0) * 0.2 AS quality")
+    .orderBy("doc_id")
+
+  val qualitySql: String =
+    s"""SELECT doc_id, n_chars_m, n_tokens, n_punct, n_stop,
+       |       n_punct::DOUBLE / n_chars_m AS punct_ratio,
+       |       n_stop::DOUBLE / n_tokens AS stop_ratio,
+       |       (n_stop::DOUBLE / n_tokens) * 0.5 +
+       |       (1.0 - n_punct::DOUBLE / n_chars_m) * 0.3 +
+       |       least(n_chars_m::DOUBLE / 500.0, 1.0) * 0.2 AS quality
+       |FROM (SELECT doc_id,
+       |             length(text)::BIGINT AS n_chars_m,
+       |             len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |             len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
+       |             len(regexp_extract_all(lower(text), '${markerRegex(LangMarkers.head._2)}'))::BIGINT AS n_stop
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Q — document fingerprinting: exact rolling hash over the whole text and
+    * over the first 64 chars (prefix fingerprint).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").selectExpr(
+      "doc_id",
+      s"${polyHashExpr("text")} AS fp_full",
+      s"${polyHashExpr("substring(text, 1, 64)")} AS fp_prefix"
+    ).orderBy("doc_id")
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+       |       ${polyHashSql("text")} AS fp_full,
+       |       ${polyHashSql("substring(text, 1, 64)")} AS fp_prefix
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> tokens,
+    "text_langid" -> langId,
+    "text_quality" -> quality,
+    "text_fingerprint" -> fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> tokensSql,
+    "text_langid" -> langIdSql,
+    "text_quality" -> qualitySql,
+    "text_fingerprint" -> fingerprintSql)
+}

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sanity/shape tests for the training-data pipeline operators (oracle
+  * equality is covered by the driver gate + tools/check_oracle.py).
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("text analysis: counts are consistent") {
+    val t = TextAnalysis.tokens(spark, dir).collect()
+    assert(t.nonEmpty)
+    t.foreach { r =>
+      val chars = r.getAs[Long]("n_chars_m")
+      val ws = r.getAs[Long]("ws_tokens")
+      val bpe = r.getAs[Long]("bpe_tokens")
+      assert(ws >= 1 && chars >= ws - 1) // n-1 separators minimum
+      assert(bpe >= ws - 1) // BPE-ish splits at least as fine as whitespace
+    }
+  }
+
+  test("langid: prediction is one of the dictionary languages") {
+    val langs = TextAnalysis.LangMarkers.map(_._1).toSet
+    TextAnalysis.langId(spark, dir).collect()
+      .foreach(r => assert(langs.contains(r.getAs[String]("lang_pred"))))
+  }
+
+  test("fingerprint: deterministic and within modulus") {
+    val a = TextAnalysis.fingerprint(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = TextAnalysis.fingerprint(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+    a.foreach { case (_, fp) => assert(fp >= 0 && fp < TextAnalysis.FpMod) }
+  }
+
+  test("exact dedup groups cover all documents") {
+    val total = graft.Tables.load(spark, dir, "documents").count()
+    val groups = Dedup.exact(spark, dir).collect()
+    assert(groups.map(_.getAs[Long]("n_copies")).sum == total)
+  }
+
+  test("minhash LSH candidates are a superset of high-jaccard pairs") {
+    // with B=4/R=4, pairs over the jaccard threshold should be recalled
+    val jac = Dedup.jaccard(spark, dir).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.5)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val cand = Dedup.minhashCandidates(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(jac.subsetOf(cand), s"missed: ${jac.diff(cand)}")
+  }
+
+  test("simhash values fit in 32 bits") {
+    Dedup.simhash(spark, dir).collect()
+      .foreach(r => assert(r.getAs[Long]("simhash") >= 0 && r.getAs[Long]("simhash") < (1L << 32)))
+  }
+
+  test("brute-force topk returns k ordered neighbors per query") {
+    val rows = Similarity.bruteForceTopK(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == Similarity.QuerySetSize)
+    byQ.values.foreach { g =>
+      assert(g.length == Similarity.TopK)
+      val sims = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("lsh topk results appear in brute-force ranking order") {
+    val bf = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val lsh = Similarity.lshTopK(spark, dir).collect()
+    assert(lsh.nonEmpty) // every query shares a bucket with someone
+    // LSH is approximate: no strict subset guarantee, but sims must be valid
+    lsh.foreach(r => assert(math.abs(r.getAs[Double]("sim")) <= 1.000001))
+    assert(bf.nonEmpty)
+  }
+
+  test("frame features reassemble the payload byte counts") {
+    val bytesPerDoc = Multimodal.binaryColumns(spark, dir)
+      .selectExpr("doc_id", "meta.n_bytes AS n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frames = Multimodal.frameFeatures(spark, dir).collect()
+    val sums = frames.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Int]("n_bytes").toLong).sum).toMap
+    assert(sums == bytesPerDoc)
+    frames.foreach { r =>
+      assert(r.getAs[Int]("n_bytes") <= Multimodal.StubCodec.FrameBytes)
+      val mean = r.getAs[Double]("mean_byte")
+      assert(mean >= 0 && mean <= 255)
+      assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    }
+  }
+}
