@@ -36,6 +36,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalQueries.all ++
+      ops.ExtendedQueries.all ++
       pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
@@ -50,6 +51,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.RelationalQueries.oracles ++
+      ops.ExtendedQueries.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++

@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The relational surface beyond the reference's own operators (SURVEY.md
+  * §2.2: joins, aggregation flavors, window functions, set ops, sorts/limits,
+  * scalar functions — all absent in the reference, built-in in Spark). These
+  * queries prove the full surface a reference user would gain, each oracle-
+  * checked against DuckDB.
+  *
+  * FP-determinism strategy for sums: cast the SOURCE columns (which carry
+  * exact 2-decimal values) to DECIMAL, do all arithmetic in exact decimal,
+  * and cast to DOUBLE only at the end — immune to accumulation order and to
+  * cross-engine `round()` tie-breaking differences (Spark rounds via exact
+  * BigDecimal HALF_UP; DuckDB scales in double first), so hash-stable.
+  */
+object ExtendedQueries {
+
+  /** Multi-way join + grouped aggregation: revenue per nation (TPC-H Q5
+    * shape). Plan: lineitem⋈orders shuffle join on orderkey; customer⋈nation
+    * broadcast (small dims); partial aggregation before the final group
+    * shuffle. At 100 TB: dims broadcast, fact tables co-partition on the
+    * join key, AQE handles skew.
+    */
+  def joinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("nation")
+  }
+
+  val joinAggSql: String =
+    """SELECT n_name AS nation,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |       count(*)::BIGINT AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY nation""".stripMargin
+
+  /** Window functions: rank + running aggregate per partition (top-3 orders
+    * per customer). One shuffle on the partition key; rank filter pushed
+    * into the window via WindowGroupLimit in Spark 4.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .selectExpr("o_custkey", "o_orderkey", "o_totalprice",
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk",
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend")
+      .where("rk <= 3")
+      .selectExpr("o_custkey", "o_orderkey", "o_totalprice", "CAST(rk AS BIGINT) AS rk", "running_spend")
+      .orderBy("o_custkey", "rk")
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk::BIGINT AS rk, running_spend
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |  FROM orders)
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  /** Set operations: large parts (size > 30) that never shipped. EXCEPT =
+    * left-anti + distinct under the hood; both engines use set semantics.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .where("p_size > 30").select(col("p_partkey").as("k"))
+    val shipped = Tables.load(spark, dir, "lineitem").select(col("l_partkey").as("k"))
+    p.except(shipped).orderBy("k")
+  }
+
+  val setOpsSql: String =
+    """SELECT p_partkey AS k FROM part WHERE p_size > 30
+      |EXCEPT
+      |SELECT l_partkey AS k FROM lineitem
+      |ORDER BY k""".stripMargin
+
+  /** Semi/anti joins: customers with orders but no high-value order. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    val big = o.where("o_totalprice > 100000")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val semiAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_totalprice > 100000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Rollup (grouping-set aggregation) with null-safe group labels. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("min_qty"), col("max_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  val rollupAggSql: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+      |       coalesce(l_linestatus, '(all)') AS ls,
+      |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |       count(*)::BIGINT AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** Sort + limit (global top-k → TakeOrderedAndProject, no full sort). */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  val sortLimitSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+
+  /** Scalar function library (reference §2.2: split/timestamp-parse/abs/
+    * min-max compares — plus the standard string/date kit).
+    */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders").selectExpr(
+      "o_orderkey",
+      "upper(o_orderpriority) AS prio_u",
+      "substring(o_orderpriority, 1, 1) AS prio_code",
+      "CAST(split(o_orderpriority, '-')[0] AS BIGINT) AS prio_num",
+      "CAST(abs(CAST(o_totalprice AS DECIMAL(18,2)) - 100000.00) AS DOUBLE) AS dist_100k",
+      "least(o_totalprice, 100000.0) AS capped",
+      "greatest(year(o_orderdate), 1995) AS yr_floor",
+      "CAST(month(o_orderdate) AS BIGINT) AS mth",
+      "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS odate_ms"
+    ).orderBy("o_orderkey")
+
+  val scalarFuncsSql: String =
+    """SELECT o_orderkey,
+      |       upper(o_orderpriority) AS prio_u,
+      |       substring(o_orderpriority, 1, 1) AS prio_code,
+      |       CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS prio_num,
+      |       CAST(abs(CAST(o_totalprice AS DECIMAL(18,2)) - 100000.00) AS DOUBLE) AS dist_100k,
+      |       least(o_totalprice, 100000.0) AS capped,
+      |       greatest(year(o_orderdate), 1995)::BIGINT AS yr_floor,
+      |       month(o_orderdate)::BIGINT AS mth,
+      |       epoch_ms(o_orderdate) AS odate_ms
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Aggregation flavors: distinct counts, conditional aggregation,
+    * exact-decimal average re-derived as double.
+    */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_linestatus").as("ls"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("n_sp"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_discounted"),
+        sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).cast("double").as("sum_qty"))
+      .withColumn("avg_qty", expr("CAST(sum_qty / n AS DOUBLE)"))
+      .orderBy("ls")
+
+  val aggStatsSql: String =
+    """SELECT ls, n, n_parts, n_sp, n_discounted, sum_qty, sum_qty / n AS avg_qty
+      |FROM (
+      |  SELECT l_linestatus AS ls, count(*)::BIGINT AS n,
+      |         count(DISTINCT l_partkey)::BIGINT AS n_parts,
+      |         count(DISTINCT (l_suppkey, l_partkey))::BIGINT AS n_sp,
+      |         SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_discounted,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY 1)
+      |ORDER BY ls""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_join_agg" -> joinAgg,
+    "x_window_rank" -> windowRank,
+    "x_setops" -> setOps,
+    "x_semi_anti" -> semiAnti,
+    "x_rollup" -> rollupAgg,
+    "x_sort_limit" -> sortLimit,
+    "x_scalar_funcs" -> scalarFuncs,
+    "x_agg_stats" -> aggStats)
+
+  val oracles: Map[String, String] = Map(
+    "x_join_agg" -> joinAggSql,
+    "x_window_rank" -> windowRankSql,
+    "x_setops" -> setOpsSql,
+    "x_semi_anti" -> semiAntiSql,
+    "x_rollup" -> rollupAggSql,
+    "x_sort_limit" -> sortLimitSql,
+    "x_scalar_funcs" -> scalarFuncsSql,
+    "x_agg_stats" -> aggStatsSql)
+}
