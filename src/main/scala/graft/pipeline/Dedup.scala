@@ -100,12 +100,35 @@ object Dedup {
   val As: Seq[Long] = Seq.tabulate(H)(i => ((i + 1) * 2654435761L) % FpMod)
   val Bs: Seq[Long] = Seq.tabulate(H)(i => ((i + 7) * 1099511628211L) % FpMod)
 
+  /** Numeric shingle hash: hash each TOKEN once (polynomial over chars),
+    * then combine each 3-token window arithmetically — ~3× less char work
+    * than re-hashing every overlapping shingle string, same collision
+    * behavior in both engines.
+    */
+  private def hashedShinglesDF(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id",
+        s"transform(split(text, ' '), w -> ${polyHashExpr("w")}) AS th")
+      .selectExpr("doc_id",
+        s"""explode(array_distinct(CASE WHEN size(th) >= 3
+           |  THEN transform(sequence(1, size(th) - 2),
+           |       i -> ((((element_at(th, i) * 31 + element_at(th, i + 1)) % $FpMod) * 31)
+           |             + element_at(th, i + 2)) % $FpMod)
+           |  ELSE CAST(array() AS ARRAY<BIGINT>) END)) AS h""".stripMargin)
+
+  private val hashedShinglesCte: String =
+    s"""toks AS (SELECT doc_id, list_transform(string_split(text, ' '),
+       |                w -> ${polyHashSql("w")}) AS th FROM documents),
+       |hs AS (SELECT DISTINCT doc_id,
+       |              ((((th[i] * 31 + th[i+1]) % $FpMod) * 31) + th[i+2]) % $FpMod AS h
+       |       FROM (SELECT doc_id, th, unnest(range(1, greatest(len(th) - 1, 1))) AS i
+       |             FROM toks))""".stripMargin
+
   /** MinHash signatures: one explode + one groupBy(doc) with H min
     * aggregates — fully map-side combinable, single shuffle, linear scale.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val hs = shinglesDF(spark, dir)
-      .selectExpr("doc_id", s"${polyHashExpr("shingle")} AS h")
+    val hs = hashedShinglesDF(spark, dir)
     val mins = (0 until H).map(i =>
       min(expr(s"(${As(i)} * h + ${Bs(i)}) % $FpMod")).as(s"m$i"))
     hs.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
@@ -114,8 +137,7 @@ object Dedup {
   val minhashSignaturesSql: String = {
     val mins = (0 until H).map(i =>
       s"min((${As(i)} * h + ${Bs(i)}) % $FpMod) AS m$i").mkString(",\n       ")
-    s"""WITH $shinglesCte,
-       |hs AS (SELECT doc_id, ${polyHashSql("shingle")} AS h FROM sh)
+    s"""WITH $hashedShinglesCte
        |SELECT doc_id, $mins
        |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
@@ -150,8 +172,7 @@ object Dedup {
       val ms = (0 until R).map(r => s"m${b * R + r}")
       s"SELECT doc_id, $b AS band, ${bandFold(ms)} AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $shinglesCte,
-       |hs AS (SELECT doc_id, ${polyHashSql("shingle")} AS h FROM sh),
+    s"""WITH $hashedShinglesCte,
        |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
        |bands AS (
        |  $bandSelects
@@ -165,19 +186,26 @@ object Dedup {
   // ---- SimHash ----
 
   /** 32-bit SimHash per doc from distinct-token polynomial hashes: bit j set
-    * iff sum over tokens of ±1 (by token-hash bit j) is positive. Pure
-    * per-row array expression — shuffle-free, codegen-adjacent, linear scale.
+    * iff sum over tokens of ±1 (by token-hash bit j) is positive.
+    *
+    * Plan shape: explode distinct tokens (hash each token ONCE), then one
+    * codegen'd hash aggregate with 32 partial-combinable ±1 sums — ~30×
+    * faster than a nested per-row lambda that rescans the token array per
+    * bit, and it scales out as an ordinary map-side-combined groupBy.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .selectExpr("doc_id",
-        s"transform(array_distinct(split(text, ' ')), w -> ${polyHashExpr("w")}) AS hs")
-      .selectExpr("doc_id",
-        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc +
-          |  CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (s, h) ->
-          |    s + CASE WHEN (h div CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) > 0
-          |  THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS simhash""".stripMargin)
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS w")
+      .selectExpr("doc_id", s"${polyHashExpr("w")} AS h")
+    val bitSums = (0 until 32).map(j =>
+      sum(expr(s"CASE WHEN (h div ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
+    val assemble = (0 until 32)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END")
+      .mkString(" + ")
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .selectExpr("doc_id", s"CAST($assemble AS BIGINT) AS simhash")
       .orderBy("doc_id")
+  }
 
   val simhashSql: String =
     s"""SELECT doc_id,

@@ -37,24 +37,32 @@ object Similarity {
   val QuerySetSize = 5
   val TopK = 5
 
-  /** Cosine similarity between two double arrays, left-to-right fold —
-    * Spark side. `a`, `b` are array<double> column names.
+  /** Cosine similarity from precomputed per-vector norms: dot left-to-right
+    * fold / (nrm_a * nrm_b). Norms are computed ONCE per vector in
+    * [[embDouble]], not per pair — 3× less work in pairwise scoring.
+    * `a`,`b` are array<double> column names; `na`,`nb` the norm columns.
     */
-  private def cosineExpr(a: String, b: String): String =
+  private def cosineExpr(a: String, b: String, na: String, nb: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)
-       | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v))
-       |    * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v)))""".stripMargin
+       | / ($na * $nb)""".stripMargin
 
-  /** DuckDB cosine with the same fold order. */
-  private def cosineSql(a: String, b: String): String =
+  /** DuckDB cosine with the same fold order and precomputed norms. */
+  private def cosineSql(a: String, b: String, na: String, nb: String): String =
     s"""list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))
-       | / (sqrt(list_sum(list_transform($a, v -> v * v)))
-       |    * sqrt(list_sum(list_transform($b, v -> v * v))))""".stripMargin
+       | / ($na * $nb)""".stripMargin
 
   private def embDouble(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .selectExpr("vec_id", "label",
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      .selectExpr("vec_id", "label", "emb",
+        "sqrt(aggregate(emb, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v)) AS nrm")
+
+  /** DuckDB emb CTE matching [[embDouble]]. */
+  private val embCte: String =
+    """emb AS (SELECT vec_id, label, emb,
+      |        sqrt(list_sum(list_transform(emb, v -> v * v))) AS nrm
+      |        FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings))""".stripMargin
 
   /** Exact brute-force cosine top-k: broadcast the query rows, score every
     * corpus vector, keep k best per query (rank window over a key with ~N/Q
@@ -63,10 +71,10 @@ object Similarity {
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embDouble(spark, dir)
     val queries = corpus.where(s"vec_id < $QuerySetSize")
-      .selectExpr("vec_id AS q_id", "emb AS q_emb")
+      .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm")
     corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .selectExpr("q_id", "vec_id",
-        s"round(${cosineExpr("q_emb", "emb")}, 6) AS sim")
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
       .withColumn("rk", expr(
         "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
       .where(s"rk <= $TopK")
@@ -75,11 +83,12 @@ object Similarity {
   }
 
   val bruteForceTopKSql: String =
-    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM emb WHERE vec_id < $QuerySetSize),
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
+       |      WHERE vec_id < $QuerySetSize),
        |scored AS (
        |  SELECT q.q_id, e.vec_id,
-       |         round(${cosineSql("q.q_emb", "e.emb")}, 6) AS sim
+       |         round(${cosineSql("q.q_emb", "e.emb", "q.q_nrm", "e.nrm")}, 6) AS sim
        |  FROM emb e, q WHERE e.vec_id <> q.q_id),
        |ranked AS (
        |  SELECT q_id, vec_id, sim,
@@ -118,11 +127,11 @@ object Similarity {
     val bucketed = embDouble(spark, dir)
       .withColumn("bucket", expr(bucketExprSpark("emb")))
     val queries = bucketed.where(s"vec_id < $QuerySetSize")
-      .selectExpr("vec_id AS q_id", "emb AS q_emb", "bucket")
+      .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm", "bucket")
     bucketed.join(broadcast(queries), Seq("bucket"))
       .where(col("vec_id") =!= col("q_id"))
       .selectExpr("q_id", "vec_id",
-        s"round(${cosineExpr("q_emb", "emb")}, 6) AS sim")
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
       .withColumn("rk", expr(
         "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
       .where(s"rk <= $TopK")
@@ -131,13 +140,13 @@ object Similarity {
   }
 
   val lshTopKSql: String =
-    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |bucketed AS (SELECT vec_id, emb, ${bucketSqlDuck("emb")} AS bucket FROM emb),
-       |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM bucketed
+    s"""WITH $embCte,
+       |bucketed AS (SELECT vec_id, emb, nrm, ${bucketSqlDuck("emb")} AS bucket FROM emb),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, bucket FROM bucketed
        |      WHERE vec_id < $QuerySetSize),
        |scored AS (
        |  SELECT q.q_id, e.vec_id,
-       |         round(${cosineSql("q.q_emb", "e.emb")}, 6) AS sim
+       |         round(${cosineSql("q.q_emb", "e.emb", "q.q_nrm", "e.nrm")}, 6) AS sim
        |  FROM bucketed e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
        |ranked AS (
        |  SELECT q_id, vec_id, sim,
@@ -159,17 +168,17 @@ object Similarity {
     val a = e.as("a"); val b = e.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b", "a.label AS label",
-        s"round(${cosineExpr("a.emb", "b.emb")}, 6) AS sim")
+        s"round(${cosineExpr("a.emb", "b.emb", "a.nrm", "b.nrm")}, 6) AS sim")
       .where(s"sim >= $NearDupThreshold")
       .orderBy("vec_a", "vec_b")
   }
 
   val embeddingNearDupSql: String =
-    s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+    s"""WITH $embCte
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       |       round(${cosineSql("a.emb", "b.emb")}, 6) AS sim
+       |       round(${cosineSql("a.emb", "b.emb", "a.nrm", "b.nrm")}, 6) AS sim
        |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE round(${cosineSql("a.emb", "b.emb")}, 6) >= $NearDupThreshold
+       |WHERE round(${cosineSql("a.emb", "b.emb", "a.nrm", "b.nrm")}, 6) >= $NearDupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
