@@ -41,7 +41,9 @@ object SparkEntry {
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
       pipeline.Multimodal.all ++ Map(
-      "q9_fads_replay" -> ((s: SparkSession, dir: String) => fadsReplay(s, dir))
+      "q9_fads_replay" -> ((s: SparkSession, dir: String) => fadsReplay(s, dir)),
+      "stream_window_counts" -> ((s: SparkSession, dir: String) =>
+        streaming.Windows.windowCountsQuery(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +57,6 @@ object SparkEntry {
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
-      pipeline.Multimodal.oracles
+      pipeline.Multimodal.oracles ++
+      Map("stream_window_counts" -> streaming.Windows.windowCountsSql)
 }

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Watermarked event-time windowed aggregation: windows emit once the
+  * watermark passes; too-late events are dropped (bounded state).
+  */
+class WindowsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ev(id: Long, hour: Long, minute: Long, typ: String, v: Double): Event =
+    Event(id, (hour * 3600L + minute * 60L) * 1000000000L, id % 7, typ, v, "{}")
+
+  test("tumbling windows with watermark drop too-late events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val ckpt = Files.createTempDirectory("win-ckpt").toString
+    val q = Windows.tumblingCounts(stream.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // hour 0: three events; hour 1: one event
+      stream.addData(ev(1, 0, 5, "a", 1.0), ev(2, 0, 20, "a", 2.0), ev(3, 0, 40, "b", 3.0))
+      q.processAllAvailable()
+      // advance watermark beyond hour 0 + 30min lateness: hour-0 window closes
+      stream.addData(ev(4, 2, 0, "a", 4.0))
+      q.processAllAvailable()
+      // too-late event for hour 0 — must be dropped, not re-opened
+      stream.addData(ev(5, 0, 50, "a", 99.0))
+      q.processAllAvailable()
+      stream.addData(ev(6, 3, 30, "a", 5.0)) // push watermark further
+      q.processAllAvailable()
+
+      val out = spark.table("win_out").collect()
+        .map(r => (r.getAs[Long]("win_start_ms") / 3600000L,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Double]("total_value"))).toSet
+      assert(out.contains((0L, "a", 2L, 3.0)), s"hour-0 'a' window wrong: $out")
+      assert(out.contains((0L, "b", 1L, 3.0)))
+      assert(!out.exists { case (h, t, _, v) => h == 0 && t == "a" && v > 3.0 },
+        "late event must not reopen the closed window")
+    } finally q.stop()
+  }
+}
