@@ -26,6 +26,22 @@ object SparkEntry {
       cfg = eventsFadsConfig)
   }
 
+  /** Scale-out FADS: 8 independent shards keyed on user_id — the 100 TB
+    * shape (one shuffle, per-shard sequential state, parallel shards).
+    */
+  def fadsReplaySharded(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .withColumn("shard", pmod(col("user_id"), lit(8)))
+    FadsBatch.anonymizeByKey(
+      events,
+      shardCol = "shard",
+      qidCols = Seq("user_id", "value"),
+      pidCol = "user_id",
+      orderCols = Seq("ts", "event_id"),
+      clockCol = Tables.tsNanosToMillis("ts"),
+      cfg = eventsFadsConfig)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's core capability — streaming k-anonymization — replayed
     * deterministically over the `events` table.
@@ -42,6 +58,7 @@ object SparkEntry {
       pipeline.Similarity.all ++
       pipeline.Multimodal.all ++ Map(
       "q9_fads_replay" -> ((s: SparkSession, dir: String) => fadsReplay(s, dir)),
+      "q9_fads_sharded" -> ((s: SparkSession, dir: String) => fadsReplaySharded(s, dir)),
       "stream_window_counts" -> ((s: SparkSession, dir: String) =>
         streaming.Windows.windowCountsQuery(s, dir))
     )

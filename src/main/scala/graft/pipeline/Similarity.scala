@@ -43,20 +43,20 @@ object Similarity {
     * `a`,`b` are array<double> column names; `na`,`nb` the norm columns.
     */
   private def cosineExpr(a: String, b: String, na: String, nb: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)
-       | / ($na * $nb)""".stripMargin
+    s"graft_dot($a, $b) / ($na * $nb)"
 
   /** DuckDB cosine with the same fold order and precomputed norms. */
   private def cosineSql(a: String, b: String, na: String, nb: String): String =
     s"""list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))
        | / ($na * $nb)""".stripMargin
 
-  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+  private def embDouble(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables.load(spark, dir, "embeddings")
       .selectExpr("vec_id", "label",
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
-      .selectExpr("vec_id", "label", "emb",
-        "sqrt(aggregate(emb, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v)) AS nrm")
+      .selectExpr("vec_id", "label", "emb", "sqrt(graft_dot(emb, emb)) AS nrm")
+  }
 
   /** DuckDB emb CTE matching [[embDouble]]. */
   private val embCte: String =
@@ -102,9 +102,9 @@ object Similarity {
 
   private def bucketExprSpark(emb: String): String = {
     val bits = (0 until NBits).map { j =>
-      s"""CASE WHEN aggregate(zip_with($emb, sequence(0, ${Dim - 1}),
-         | (x, i) -> x * ${hpExpr(j.toString, "i")}), CAST(0.0 AS DOUBLE), (s, v) -> s + v) > 0
-         | THEN ${1L << j} ELSE 0 END""".stripMargin
+      // hyperplane as an array literal: graft_dot runs one codegen'd loop
+      val hp = (0 until Dim).map(i => hpExpr(j.toString, i.toString)).mkString("array(", ", ", ")")
+      s"CASE WHEN graft_dot($emb, $hp) > 0 THEN ${1L << j} ELSE 0 END"
     }
     bits.mkString("(", " + ", ")")
   }

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft_dot must equal the higher-order-function fold bit-for-bit (same
+  * left-to-right IEEE summation) in both interpreted and codegen paths.
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("graft_dot == aggregate(zip_with(...)) bit-for-bit on real embeddings") {
+    VectorExpressions.register(spark)
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+    val a = emb.as("a"); val b = emb.as("b")
+    val pairs = a.join(b, org.apache.spark.sql.functions.expr("a.vec_id % 17 = b.vec_id % 17 AND a.vec_id < b.vec_id"))
+      .selectExpr(
+        "graft_dot(a.e, b.e) AS fast",
+        "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v) AS slow")
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot handles length mismatch, empty arrays, null input") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(2.0d, 3.0d)) AS d1, " +
+      "graft_dot(CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>)) AS d2, " +
+      "graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d3").collect()(0)
+    assert(r.getDouble(0) == 8.0) // min-length semantics
+    assert(r.getDouble(1) == 0.0)
+    assert(r.isNullAt(2))
+  }
+}
