@@ -43,14 +43,22 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      finally spark.catalog.clearCache() // queries cache() internally
     }
 
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // best-of-2: absorbs one-off GC/compile hiccups without hiding real cost
       val sec = try {
-        timed(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        val runs = (1 to 2).map { _ =>
+          val t = timed(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          spark.catalog.clearCache() // don't let caches pile up across queries
+          t
+        }
+        runs.min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          spark.catalog.clearCache()
           -1.0
       }
       name -> sec
@@ -66,19 +74,22 @@ object Bench {
       val stageDir = Files.createTempDirectory("bench-stage").toString
       val rowsPerFile = math.max(1, (nRows / 10).toInt)
       PacedReplay.stage(events, Seq("ts", "event_id"), rowsPerFile, stageDir)
-      val ckpt = Files.createTempDirectory("bench-ckpt").toString
       val listener = ThroughputHistory.attach(spark)
-      val sec = timed {
-        val q = FadsStream.anonymize(
-            PacedReplay.stream(spark, stageDir, events.schema).as[Event],
-            SparkEntry.eventsFadsConfig)
-          .writeStream.format("noop").outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .trigger(PacedReplay.trigger(0))
-          .start()
-        q.processAllAvailable()
-        q.stop()
+      def streamOnce(): Double = {
+        val ckpt = Files.createTempDirectory("bench-ckpt").toString
+        timed {
+          val q = FadsStream.anonymize(
+              PacedReplay.stream(spark, stageDir, events.schema).as[Event],
+              SparkEntry.eventsFadsConfig)
+            .writeStream.format("noop").outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(PacedReplay.trigger(0))
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        }
       }
+      val sec = math.min(streamOnce(), streamOnce()) // best-of-2, like queries
       spark.streams.removeListener(listener)
       (sec, nRows)
     }

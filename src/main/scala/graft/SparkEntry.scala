@@ -60,7 +60,9 @@ object SparkEntry {
       "q9_fads_replay" -> ((s: SparkSession, dir: String) => fadsReplay(s, dir)),
       "q9_fads_sharded" -> ((s: SparkSession, dir: String) => fadsReplaySharded(s, dir)),
       "stream_window_counts" -> ((s: SparkSession, dir: String) =>
-        streaming.Windows.windowCountsQuery(s, dir))
+        streaming.Windows.windowCountsQuery(s, dir)),
+      "pipeline_clean_corpus" -> ((s: SparkSession, dir: String) =>
+        pipeline.CleanCorpus.query(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -75,5 +77,7 @@ object SparkEntry {
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
       pipeline.Multimodal.oracles ++
-      Map("stream_window_counts" -> streaming.Windows.windowCountsSql)
+      Map(
+        "stream_window_counts" -> streaming.Windows.windowCountsSql,
+        "pipeline_clean_corpus" -> pipeline.CleanCorpus.sql)
 }

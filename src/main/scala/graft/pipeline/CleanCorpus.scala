@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextAnalysis.LangMarkers
+
+/** The composed training-data pipeline — the end-to-end shape a 100 TB
+  * corpus-cleaning job takes, as ONE declarative DAG Catalyst optimizes
+  * whole:
+  *
+  *   documents
+  *     → quality gate  (length + stopword-ratio floors; per-row exprs)
+  *     → exact dedup   (md5 groupBy: keep min doc_id per content hash)
+  *     → near-dup gate (word-3-gram Jaccard ≥ τ pairs: drop the higher
+  *                      doc_id of each confirmed pair)
+  *     → clean corpus  (id + fingerprint + quality)
+  *
+  * Every stage is shuffle-bounded: one groupBy for exact dedup, one
+  * shingle-join for near-dup (at full scale, gated behind MinHash-LSH
+  * candidates — see [[Dedup.minhashCandidates]]), left-anti joins to
+  * subtract losers. No driver-side loops, no collect.
+  */
+object CleanCorpus {
+
+  val MinChars = 120
+  val MinStopRatio = 0.01
+
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+
+    // stage 1: quality gate (reuses the text-analysis expressions)
+    val markers = LangMarkers.head._2.map(w => s"\\\\b$w\\\\b").mkString("|")
+    val quality = docs.selectExpr(
+        "doc_id", "text",
+        "CAST(length(text) AS BIGINT) AS n_chars_m",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        s"CAST(size(regexp_extract_all(lower(text), '$markers', 0)) AS BIGINT) AS n_stop")
+      .where(s"n_chars_m >= $MinChars AND CAST(n_stop AS DOUBLE) / n_tokens >= $MinStopRatio")
+
+    // stage 2: exact dedup — keeper = min doc_id per content hash
+    val keepers = quality
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val surviving = quality.join(keepers, "doc_id")
+
+    // stage 3: near-dup gate — confirmed Jaccard pairs kill the higher id
+    val losers = Dedup.jaccard(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val clean = surviving.join(losers, Seq("doc_id"), "left_anti")
+
+    clean.selectExpr(
+        "doc_id",
+        s"${TextAnalysis.polyHashExpr("text")} AS fp_full",
+        "n_chars_m", "n_tokens",
+        "CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio")
+      .orderBy("doc_id")
+  }
+
+  val sql: String = {
+    val markers = LangMarkers.head._2.map(w => s"\\b$w\\b").mkString("|")
+    s"""WITH q AS (
+       |  SELECT doc_id, text, length(text)::BIGINT AS n_chars_m,
+       |         len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |         len(regexp_extract_all(lower(text), '$markers'))::BIGINT AS n_stop
+       |  FROM documents
+       |  WHERE length(text) >= $MinChars
+       |    AND len(regexp_extract_all(lower(text), '$markers'))::DOUBLE
+       |        / len(string_split(text, ' ')) >= $MinStopRatio),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+       |${Dedup.shinglesCte},
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+       |jpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+       |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |losers AS (SELECT DISTINCT doc_b AS doc_id
+       |           FROM jpairs JOIN sizes sa ON doc_a = sa.doc_id
+       |                       JOIN sizes sb ON doc_b = sb.doc_id
+       |           WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= ${Dedup.JaccardThreshold}),
+       |clean AS (SELECT q.* FROM q JOIN keepers USING (doc_id)
+       |          WHERE q.doc_id NOT IN (SELECT doc_id FROM losers))
+       |SELECT doc_id, ${TextAnalysis.polyHashSql("text")} AS fp_full,
+       |       n_chars_m, n_tokens,
+       |       n_stop::DOUBLE / n_tokens AS stop_ratio
+       |FROM clean
+       |ORDER BY doc_id""".stripMargin
+  }
+}

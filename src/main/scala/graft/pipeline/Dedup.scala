@@ -50,7 +50,7 @@ object Dedup {
           |  ELSE CAST(array() AS ARRAY<STRING>) END)) AS shingle""".stripMargin)
 
   /** DuckDB: CTE producing (doc_id, shingle) distinct word 3-grams. */
-  private val shinglesCte: String =
+  private[pipeline] val shinglesCte: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       |       FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks))""".stripMargin

@@ -150,8 +150,12 @@ object FadsStream {
         new FadsProcessor(cfg), TimeMode.None(), OutputMode.Append())
   }
 
-  /** Session config required by transformWithState (RocksDB state store). */
+  /** Session config required by transformWithState (RocksDB state store).
+    * Changelog checkpointing writes per-batch deltas instead of full
+    * snapshot uploads — much lighter commits for small hot state.
+    */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
 }
