@@ -151,11 +151,14 @@ object Dedup {
     * shuffle. Candidates would then be Jaccard-confirmed (see [[jaccard]]).
     */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir).cache()
-    val bands = (0 until B).map { b =>
-      val ms = (0 until R).map(r => s"m${b * R + r}")
-      sig.selectExpr("doc_id", s"$b AS band", s"${bandFold(ms)} AS bh")
-    }.reduce(_ unionAll _)
+    val sig = minhashSignatures(spark, dir)
+    // all B band hashes in ONE pass + posexplode — no B-way union re-scan
+    val bandArr = (0 until B).map { b =>
+      bandFold((0 until R).map(r => s"m${b * R + r}"))
+    }.mkString("array(", ", ", ")")
+    val bands = sig
+      .selectExpr("doc_id", s"posexplode($bandArr) AS (band, bh)")
+      .cache()
     val a = bands.as("a"); val bb = bands.as("b")
     a.join(bb,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
