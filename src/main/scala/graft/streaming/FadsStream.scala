@@ -55,7 +55,7 @@ case class FadsSnap(
   * or by a real shard key (tenant/region) for scale-out, giving an
   * independent, parallel FADS stream per shard with per-shard k-anonymity.
   */
-class FadsProcessor(cfg: Fads.Config)
+class FadsProcessor(cfg: Fads.Config, drainIdleMs: Long = 0L)
     extends StatefulProcessor[Long, Event, GenEvent] {
 
   @transient private var snapState: ValueState[FadsSnap] = _
@@ -121,7 +121,24 @@ class FadsProcessor(cfg: Fads.Config)
     }
     if (drainRequested) out ++= engine.drain(st, lastNow).map(toGen)
     persist(st, seqNo)
+    if (drainIdleMs > 0) {
+      // production drain path: (re)arm an idle timer; if no data arrives for
+      // drainIdleMs, handleExpiredTimer flushes the buffer — the streaming
+      // analogue of the reference's close() drain, no sentinel required
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + drainIdleMs)
+    }
     out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[GenEvent] = {
+    val (st, snap) = restore()
+    val lastNow = st.buffer.lastOption.map(_.arrivalMs).getOrElse(0L)
+    val drained = engine.drain(st, lastNow).map(toGen)
+    persist(st, snap.seqNo)
+    drained.iterator
   }
 }
 
@@ -130,12 +147,15 @@ object FadsStream {
   /** Wire a streaming Dataset[Event] through the FADS processor with a single
     * constant key (reference parity: one global stream context).
     */
-  def anonymize(events: Dataset[Event], cfg: Fads.Config): Dataset[GenEvent] = {
+  def anonymize(events: Dataset[Event], cfg: Fads.Config,
+      drainIdleMs: Long = 0L): Dataset[GenEvent] = {
     implicit val genEnc = Encoders.product[GenEvent]
+    val timeMode =
+      if (drainIdleMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
     events
       .groupByKey(_ => 0L)(Encoders.scalaLong)
       .transformWithState(
-        new FadsProcessor(cfg), TimeMode.None(), OutputMode.Append())
+        new FadsProcessor(cfg, drainIdleMs), timeMode, OutputMode.Append())
   }
 
   /** Scale-out: shard the stream by key; one independent FADS instance per

@@ -65,4 +65,35 @@ class FadsStreamSpec extends AnyFunSuite {
     assert(got.length == input.length, "cardinality: one output per input after drain")
     assert(got.toSeq == want.toSeq, "streaming output must equal the batch oracle exactly")
   }
+
+  test("idle-timer drain flushes the buffer without a sentinel") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = Tables.load(spark, sfDir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].collect().sortBy(e => (e.ts, e.event_id)).take(100)
+
+    val stream = MemoryStream[Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("fads-timer-ckpt").toString
+    val query = FadsStream.anonymize(stream.toDS(), SparkEntry.eventsFadsConfig,
+        drainIdleMs = 500L)
+      .writeStream.format("memory").queryName("gen_timer").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .start()
+    try {
+      stream.addData(input.toIndexedSeq)
+      // NOTE: processAllAvailable() never returns in TimeMode.ProcessingTime
+      // (every trigger counts as pending timer work) — poll the sink instead.
+      // Flow: rows process, then after drainIdleMs of idleness the timer
+      // expires and handleExpiredTimer flushes the buffered tail.
+      val deadline = System.currentTimeMillis() + 60000
+      var n = spark.table("gen_timer").count()
+      while (n < input.length && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        n = spark.table("gen_timer").count()
+      }
+      assert(n == input.length, s"timer drain incomplete: $n of ${input.length}")
+    } finally query.stop()
+  }
 }
