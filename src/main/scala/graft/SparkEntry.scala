@@ -61,6 +61,21 @@ object SparkEntry {
       "q9_fads_sharded" -> ((s: SparkSession, dir: String) => fadsReplaySharded(s, dir)),
       "stream_window_counts" -> ((s: SparkSession, dir: String) =>
         streaming.Windows.windowCountsQuery(s, dir)),
+      "stream_sliding_counts" -> ((s: SparkSession, dir: String) =>
+        streaming.Windows.slidingCountsQuery(s, dir)),
+      "stream_session_counts" -> ((s: SparkSession, dir: String) =>
+        streaming.Windows.sessionCountsQuery(s, dir)),
+      // reference-parity replay: quirks Q2/Q3 (distance bugs) + Q4 (PID
+      // filter disabled) enabled, for bug-for-bug comparison runs
+      "q9_fads_replay_refmode" -> ((s: SparkSession, dir: String) => {
+        val refCfg = eventsFadsConfig.copy(quirks =
+          graft.fads.Fads.Quirks(referenceDistance = true, uniquePid = false))
+        ops.FadsBatch.anonymize(
+          Tables.load(s, dir, "events"),
+          qidCols = Seq("user_id", "value"), pidCol = "user_id",
+          orderCols = Seq("ts", "event_id"),
+          clockCol = Tables.tsNanosToMillis("ts"), cfg = refCfg)
+      }),
       "pipeline_clean_corpus" -> ((s: SparkSession, dir: String) =>
         pipeline.CleanCorpus.query(s, dir))
     )
@@ -79,5 +94,7 @@ object SparkEntry {
       pipeline.Multimodal.oracles ++
       Map(
         "stream_window_counts" -> streaming.Windows.windowCountsSql,
+        "stream_sliding_counts" -> streaming.Windows.slidingCountsSql,
+        "stream_session_counts" -> streaming.Windows.sessionCountsSql,
         "pipeline_clean_corpus" -> pipeline.CleanCorpus.sql)
 }

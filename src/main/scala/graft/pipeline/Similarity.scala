@@ -155,6 +155,74 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
+  /** IVF-style ANN — the second scale path besides hyperplane LSH: a
+    * deterministic codebook (the first NCentroids corpus vectors — a seeded
+    * sample, like one k-means init step), every vector assigned to its
+    * nearest centroid's inverted list (argmax cosine, deterministic ties),
+    * queries probe the NProbe nearest lists and score only those members.
+    * At 100 TB: assignment is a broadcast of the tiny codebook + one
+    * shuffle on list id; probing reads NProbe/NCentroids of the corpus.
+    */
+  val NCentroids = 16
+  val NProbe = 4
+
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val cent = emb.where(s"vec_id < $NCentroids")
+      .selectExpr("vec_id AS c_id", "emb AS c_emb", "nrm AS c_nrm")
+    def nearestCentroids(src: DataFrame, idAs: String, keep: Int): DataFrame =
+      src.crossJoin(broadcast(cent))
+        .selectExpr(s"vec_id AS $idAs", "emb", "nrm", "c_id",
+          s"round(${cosineExpr("emb", "c_emb", "nrm", "c_nrm")}, 6) AS csim")
+        .withColumn("crk", expr(
+          s"row_number() OVER (PARTITION BY $idAs ORDER BY csim DESC, c_id)"))
+        .where(s"crk <= $keep")
+    val assigned = nearestCentroids(emb, "vec_id", 1)
+      .select("vec_id", "emb", "nrm", "c_id")
+    val probes = nearestCentroids(emb.where(s"vec_id < $QuerySetSize"), "q_id", NProbe)
+      .selectExpr("q_id", "emb AS q_emb", "nrm AS q_nrm", "c_id")
+    probes.join(assigned, "c_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  val ivfTopKSql: String =
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
+       |         WHERE vec_id < $NCentroids),
+       |assigned AS (
+       |  SELECT vec_id, emb, nrm, c_id FROM (
+       |    SELECT e.vec_id, e.emb, e.nrm, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(${cosineSql("e.emb", "c.c_emb", "e.nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM emb e, cent c)
+       |  WHERE crk = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, q_nrm, c_id FROM (
+       |    SELECT e.vec_id AS q_id, e.emb AS q_emb, e.nrm AS q_nrm, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(${cosineSql("e.emb", "c.c_emb", "e.nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM emb e, cent c WHERE e.vec_id < $QuerySetSize)
+       |  WHERE crk <= $NProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |         round(${cosineSql("p.q_emb", "a.emb", "p.q_nrm", "a.nrm")}, 6) AS sim
+       |  FROM probes p JOIN assigned a USING (c_id) WHERE a.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs within each label partition
     * (label = the natural blocking key): sim above threshold ⇒ candidate
     * duplicate. Blocked join — each label bucket joins locally.
@@ -184,10 +252,12 @@ object Similarity {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> bruteForceTopK,
     "sim_lsh_topk" -> lshTopK,
+    "sim_ivf_topk" -> ivfTopK,
     "dedup_embedding_cosine" -> embeddingNearDup)
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     "sim_lsh_topk" -> lshTopKSql,
+    "sim_ivf_topk" -> ivfTopKSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql)
 }

@@ -23,7 +23,6 @@ class BucketedJoinSpec extends AnyFunSuite {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -31,6 +30,9 @@ class BucketedJoinSpec extends AnyFunSuite {
 
   test("bucketed fact-fact join plans without a shuffle") {
     val dir = "/root/testdata/sf0.001"
+    // suites share one JVM: getOrCreate may return an earlier suite's session
+    // and silently drop builder configs — set the runtime-settable ones here
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     Tables.load(spark, dir, "lineitem").write
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_bucketed")
@@ -45,15 +47,21 @@ class BucketedJoinSpec extends AnyFunSuite {
 
     joined.collect() // execute so AQE finalizes the plan
 
-    def shufflesIn(plan: org.apache.spark.sql.execution.SparkPlan): Int = plan match {
-      case a: AdaptiveSparkPlanExec => shufflesIn(a.executedPlan)
-      case p => p.collect { case _: ShuffleExchangeExec => 1 }.sum
-    }
-    val exec = joined.queryExecution.executedPlan
+    // AQE wraps stages in QueryStageExec whose `children` is empty, so
+    // SparkPlan.collect cannot see inside them — assert on the final plan's
+    // rendering instead (cut off the "Initial Plan" echo AQE appends)
+    val planStr = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     // exactly one shuffle is allowed: the final groupBy on o_orderstatus.
     // The JOIN itself must be bucket-local (zero join-side shuffles).
-    val n = shufflesIn(exec)
-    assert(n <= 1, s"expected bucket-local join (<=1 shuffle for the agg), got $n:\n$exec")
+    val nShuffles = "\\bExchange\\b".r.findAllIn(planStr).size
+    assert(nShuffles <= 1,
+      s"expected bucket-local join (<=1 shuffle for the agg), got $nShuffles:\n$planStr")
+    // a real sort-merge join over bucketed scans, not a broadcast that would
+    // trivially avoid shuffles
+    assert("SortMergeJoin".r.findAllIn(planStr).size == 1,
+      s"expected a bucket-local SortMergeJoin:\n$planStr")
+    assert(planStr.contains("Bucketed: true"), "scans must be bucketed")
 
     // and the result is right
     val total = joined.collect().map(_.getLong(1)).sum
