@@ -33,6 +33,17 @@ class BucketedJoinSpec extends AnyFunSuite {
     // suites share one JVM: getOrCreate may return an earlier suite's session
     // and silently drop builder configs — set the runtime-settable ones here
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // a fresh JVM gets a fresh in-memory metastore, but the physical
+    // warehouse dir can survive from a previous run — clear both
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Tables.load(spark, dir, "lineitem").write
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_bucketed")
