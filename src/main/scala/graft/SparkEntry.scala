@@ -53,6 +53,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalQueries.all ++
       ops.ExtendedQueries.all ++
+      ops.SharedSql.all ++
       pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
@@ -88,6 +89,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.RelationalQueries.oracles ++
       ops.ExtendedQueries.oracles ++
+      ops.SharedSql.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++

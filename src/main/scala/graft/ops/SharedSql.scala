@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Dialect-neutral SQL: the SAME string runs through `spark.sql` (over
+  * `Tables.registerAll` temp views) and through the DuckDB oracle — the
+  * strongest possible SQL-layer parity proof (no per-engine translation at
+  * all). Constraints: ANSI subset both engines share — CAST (no `::`),
+  * year()/BETWEEN/GROUP BY/ORDER BY, exact decimal arithmetic from source
+  * columns.
+  */
+object SharedSql {
+
+  /** TPC-H Q6-shaped discount revenue, grouped by ship year. */
+  val discountRevenue: String =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS discount_revenue
+      |FROM lineitem
+      |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      |GROUP BY year(l_shipdate)
+      |ORDER BY yr""".stripMargin
+
+  /** Join + having-style filter, dialect-neutral. */
+  val bigSpenders: String =
+    """SELECT c.c_custkey, c.c_name,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_custkey, c.c_name
+      |HAVING count(*) >= 12
+      |ORDER BY c.c_custkey""".stripMargin
+
+  private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(sql)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_shared_discount_revenue" -> run(discountRevenue) _,
+    "sql_shared_big_spenders" -> run(bigSpenders) _)
+
+  /** The oracle IS the query — identical bytes. */
+  val oracles: Map[String, String] = Map(
+    "sql_shared_discount_revenue" -> discountRevenue,
+    "sql_shared_big_spenders" -> bigSpenders)
+}
