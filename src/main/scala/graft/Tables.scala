@@ -11,6 +11,9 @@ object Tables {
     "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // every query path goes through here: make graft's native expressions
+    // (graft_dot, graft_polyhash) available to selectExpr/spark.sql
+    graft.functions.VectorExpressions.register(spark)
     if (name == "events")
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
       // unless told to surface it as a raw nanos-since-epoch LONG. Set at

@@ -58,12 +58,57 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** Native Catalyst expression for the polynomial string hash — the kernel of
+  * every text fingerprint / shingle / MinHash / SimHash operator
+  * (graft.pipeline.TextAnalysis.polyHashExpr's HOF form runs one interpreted
+  * lambda step per character). Computes h = fold(chars, 0, (a,c) =>
+  * (a*31 + c) mod 1e9+7) over UTF-16 code units — identical to the
+  * `aggregate(transform(split(s,''), ascii), ...)` form and to DuckDB's
+  * `list_reduce(list_prepend(0, list_transform(string_split(s,''), ord)))`
+  * for ASCII/BMP text (the corpus here), as one codegen'd loop.
+  */
+case class PolyHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PolyHash.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_polyhash"
+}
+
+object PolyHash {
+  /** Called from generated code. */
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+    h
+  }
+}
+
 object VectorExpressions {
 
   /** Idempotently register graft's native expressions on a session, making
     * them available to `selectExpr`/`spark.sql` as ordinary functions.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_polyhash", exprs => PolyHash(exprs.head), "scala_udf")
+  }
 }

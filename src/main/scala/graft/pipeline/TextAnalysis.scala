@@ -23,7 +23,14 @@ object TextAnalysis {
     * engines. h = fold(codepoints, 0, (a,c) => (a*31 + c) mod p).
     */
   val FpMod = 1000000007L
-  def polyHashExpr(colName: String): String =
+  /** Native codegen'd expression (graft.functions.PolyHash) — bit-identical
+    * to the HOF form `aggregate(transform(split(s,''), ascii), ...)` for
+    * ASCII/BMP text; registered by Tables.load.
+    */
+  def polyHashExpr(colName: String): String = s"graft_polyhash($colName)"
+
+  /** The composition-of-built-ins form (kept as the equivalence reference). */
+  def polyHashHofExpr(colName: String): String =
     s"aggregate(transform(split($colName, ''), c -> CAST(ascii(c) AS BIGINT)), " +
       s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % $FpMod)"
   def polyHashSql(colName: String): String =

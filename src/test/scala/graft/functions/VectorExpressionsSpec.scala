@@ -31,6 +31,27 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_polyhash == HOF fold on real documents") {
+    VectorExpressions.register(spark)
+    val rows = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr(
+        "graft_polyhash(text) AS fast",
+        s"${graft.pipeline.TextAnalysis.polyHashHofExpr("text")} AS slow")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("graft_polyhash edge cases: empty string, null") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_polyhash('') AS a, graft_polyhash(CAST(NULL AS STRING)) AS b, " +
+      "graft_polyhash('abc') AS c").collect()(0)
+    assert(r.getLong(0) == 0L)
+    assert(r.isNullAt(1))
+    assert(r.getLong(2) == 96354L) // matches DuckDB probe value
+  }
+
   test("graft_dot handles length mismatch, empty arrays, null input") {
     VectorExpressions.register(spark)
     val r = spark.sql(
