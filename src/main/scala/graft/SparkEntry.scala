@@ -26,6 +26,26 @@ object SparkEntry {
       cfg = eventsFadsConfig)
   }
 
+  /** Scale-out FADS variant 2: shard by QID-SPACE REGION (value range
+    * buckets) instead of an identity hash — clusters then form among
+    * numerically close tuples, so per-shard information loss approaches the
+    * single-stream result while shards run in parallel (SURVEY §7.3 hard
+    * part 1's proposed scale-out design).
+    */
+  def fadsReplayRegionSharded(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      // value ∈ [0, ~500): 8 fixed-width regions of the QID space
+      .withColumn("shard", least(floor(col("value") / 64.0), lit(7L)))
+    FadsBatch.anonymizeByKey(
+      events,
+      shardCol = "shard",
+      qidCols = Seq("user_id", "value"),
+      pidCol = "user_id",
+      orderCols = Seq("ts", "event_id"),
+      clockCol = Tables.tsNanosToMillis("ts"),
+      cfg = eventsFadsConfig)
+  }
+
   /** Scale-out FADS: 8 independent shards keyed on user_id — the 100 TB
     * shape (one shuffle, per-shard sequential state, parallel shards).
     */
@@ -60,6 +80,7 @@ object SparkEntry {
       pipeline.Multimodal.all ++ Map(
       "q9_fads_replay" -> ((s: SparkSession, dir: String) => fadsReplay(s, dir)),
       "q9_fads_sharded" -> ((s: SparkSession, dir: String) => fadsReplaySharded(s, dir)),
+      "q9_fads_region_sharded" -> ((s: SparkSession, dir: String) => fadsReplayRegionSharded(s, dir)),
       "stream_window_counts" -> ((s: SparkSession, dir: String) =>
         streaming.Windows.windowCountsQuery(s, dir)),
       "stream_sliding_counts" -> ((s: SparkSession, dir: String) =>
