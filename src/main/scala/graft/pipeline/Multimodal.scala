@@ -48,6 +48,32 @@ object Multimodal {
     }
   }
 
+  /** Resized payload record (the resize output schema). */
+  case class Resized(
+      doc_id: Long, content: Array[Byte], format: String,
+      orig_bytes: Long, new_bytes: Long, scale: Double)
+
+  /** "Resize" a media payload to a byte budget — STUB: a real codec would
+    * decode, scale pixels/samples, re-encode; this deterministic stand-in
+    * truncates proportionally (head bytes) so schema, batch shape and
+    * downstream size accounting are end-to-end real.
+    */
+  def resize(bin: DataFrame, maxBytes: Int): DataFrame = {
+    val out = bin.select("doc_id", "content")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val resized =
+            if (bytes.length <= maxBytes) bytes else bytes.take(maxBytes)
+          Resized(docId, resized, "application/octet-stream",
+            bytes.length.toLong, resized.length.toLong,
+            if (bytes.isEmpty) 1.0 else resized.length.toDouble / bytes.length)
+        }
+      }(Encoders.product[Resized])
+    out.toDF()
+  }
+
   /** One extracted media frame's features (the decode output schema). */
   case class FrameFeature(
       doc_id: Long, frame_idx: Int, n_bytes: Int,

@@ -84,6 +84,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(bf.nonEmpty)
   }
 
+  test("resize stub honors the byte budget and keeps accounting consistent") {
+    val bin = Multimodal.binaryColumns(spark, dir)
+    val out = Multimodal.resize(bin, maxBytes = 200).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val orig = r.getAs[Long]("orig_bytes")
+      val nw = r.getAs[Long]("new_bytes")
+      assert(nw <= 200 && nw <= orig)
+      assert(nw == r.getAs[Array[Byte]]("content").length)
+      assert(math.abs(r.getAs[Double]("scale") - nw.toDouble / orig) < 1e-12)
+    }
+  }
+
   test("frame features reassemble the payload byte counts") {
     val bytesPerDoc = Multimodal.binaryColumns(spark, dir)
       .selectExpr("doc_id", "meta.n_bytes AS n").collect()
