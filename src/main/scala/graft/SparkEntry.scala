@@ -74,6 +74,7 @@ object SparkEntry {
     ops.RelationalQueries.all ++
       ops.ExtendedQueries.all ++
       ops.SharedSql.all ++
+      ops.Sketches.all ++
       pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
