@@ -22,11 +22,18 @@ object PacedReplay {
     */
   def stage(df: DataFrame, orderCols: Seq[String], rowsPerFile: Int,
       stageDir: String): Unit = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__chunk", expr(s"(__rn - 1) div $rowsPerFile"))
+    // distributed global sort (range partitioned) + narrow zipWithIndex —
+    // NOT a row_number() window over an empty frame, which would drag the
+    // whole input onto one partition
+    val sorted = df.orderBy(orderCols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("__chunk", org.apache.spark.sql.types.IntegerType))
+    val withChunk = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i / rowsPerFile).toInt)
+    }
+    df.sparkSession.createDataFrame(withChunk, schema)
       .repartition(col("__chunk"))
-      .drop("__rn")
       .write.mode("overwrite").partitionBy("__chunk").parquet(stageDir)
   }
 
