@@ -33,6 +33,26 @@ object SharedSql {
       |HAVING count(*) >= 12
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into a join;
+    * DuckDB runs it natively. Orders whose price exceeds 1000× their own
+    * line-quantity total (exact decimal arithmetic).
+    */
+  val correlatedSubquery: String =
+    """SELECT o.o_orderkey, o.o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice >
+      |      (SELECT COALESCE(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+      |                            AS DOUBLE), 0.0) * 1000.0
+      |       FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** INTERSECT set op: large parts that actually shipped. */
+  val intersectParts: String =
+    """SELECT p_partkey AS k FROM part WHERE p_size > 30
+      |INTERSECT
+      |SELECT l_partkey AS k FROM lineitem
+      |ORDER BY k""".stripMargin
+
   private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(sql)
@@ -40,10 +60,14 @@ object SharedSql {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_shared_discount_revenue" -> run(discountRevenue) _,
-    "sql_shared_big_spenders" -> run(bigSpenders) _)
+    "sql_shared_big_spenders" -> run(bigSpenders) _,
+    "sql_shared_correlated_subquery" -> run(correlatedSubquery) _,
+    "sql_shared_intersect" -> run(intersectParts) _)
 
   /** The oracle IS the query — identical bytes. */
   val oracles: Map[String, String] = Map(
     "sql_shared_discount_revenue" -> discountRevenue,
-    "sql_shared_big_spenders" -> bigSpenders)
+    "sql_shared_big_spenders" -> bigSpenders,
+    "sql_shared_correlated_subquery" -> correlatedSubquery,
+    "sql_shared_intersect" -> intersectParts)
 }
