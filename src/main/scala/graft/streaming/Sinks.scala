@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Output sinks (reference O7: the only observable output was println of
+  * each released tuple — SURVEY.md §2.1). Spark-native equivalents:
+  * console (println parity), memory (tests), exactly-once parquet (real
+  * output), and a foreachBatch writer for partitioned/bucketed layouts the
+  * plain file sink can't produce.
+  */
+object Sinks {
+
+  /** println-parity sink (reference Generalizer.java:129). */
+  def console[T](ds: Dataset[T]): DataStreamWriter[T] =
+    ds.writeStream.format("console").option("truncate", "false")
+
+  /** Exactly-once parquet file sink (commit log in _spark_metadata). */
+  def parquet[T](ds: Dataset[T], path: String, checkpoint: String): DataStreamWriter[T] =
+    ds.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+
+  /** foreachBatch writer: per-micro-batch control for layouts the file sink
+    * cannot express (partitionBy columns, dynamic overwrite, merges).
+    * At-least-once per batch — pair with a deterministic batch id column or
+    * idempotent overwrite of the batch's partitions.
+    */
+  def partitionedParquet(df: DataFrame, path: String, checkpoint: String,
+      partitionCols: Seq[String]): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("__batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append")
+          .partitionBy(partitionCols :+ "__batch_id": _*)
+          .parquet(path)
+      }
+}
