@@ -186,6 +186,72 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The production-scale dedup flow: exact Jaccard is computed ONLY for
+    * MinHash-LSH candidate pairs — the shingle self-join is gated by the
+    * (tiny) candidate set, turning the all-pairs confirmation into
+    * O(candidates), which is the difference at 100 TB.
+    */
+  def jaccardLshGated(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashCandidates(spark, dir)
+      .withColumnRenamed("doc_a", "c_a").withColumnRenamed("doc_b", "c_b")
+    val sh = shinglesDF(spark, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .join(broadcast(cand),
+        col("a.doc_id") === col("c_a") && col("b.doc_id") === col("c_b"), "left_semi")
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "inter", "n_a", "n_b",
+        "CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard")
+      .where(s"jaccard >= $JaccardThreshold")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val jaccardLshGatedSql: String = {
+    val mins = (0 until H).map(i =>
+      s"min((${As(i)} * h + ${Bs(i)}) % $FpMod) AS m$i").mkString(", ")
+    val bandSelects = (0 until B).map { b =>
+      val ms = (0 until R).map(r => s"m${b * R + r}")
+      s"SELECT doc_id, $b AS band, ${bandFold(ms)} AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    // the two shingle families (string shingles for exact Jaccard, hashed
+    // shingles for MinHash) share one token CTE with distinct names
+    s"""WITH tokstr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |       FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+       |             FROM tokstr)),
+       |thash AS (SELECT doc_id, list_transform(t, w -> ${polyHashSql("w")}) AS th
+       |          FROM tokstr),
+       |hs AS (SELECT DISTINCT doc_id,
+       |              ((((th[i] * 31 + th[i+1]) % $FpMod) * 31) + th[i+2]) % $FpMod AS h
+       |       FROM (SELECT doc_id, th, unnest(range(1, greatest(len(th) - 1, 1))) AS i
+       |             FROM thash)),
+       |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (SELECT DISTINCT a.doc_id AS c_a, b.doc_id AS c_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          WHERE EXISTS (SELECT 1 FROM cand c
+       |                        WHERE c.c_a = a.doc_id AND c.c_b = b.doc_id)
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+       |       inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+       |           JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- SimHash ----
 
   /** 32-bit SimHash per doc from distinct-token polynomial hashes: bit j set
@@ -225,6 +291,7 @@ object Dedup {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,
     "dedup_jaccard" -> jaccard,
+    "dedup_jaccard_lsh_gated" -> jaccardLshGated,
     "dedup_minhash_sig" -> minhashSignatures,
     "dedup_minhash_lsh" -> minhashCandidates,
     "dedup_simhash" -> simhash)
@@ -232,6 +299,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_jaccard" -> jaccardSql,
+    "dedup_jaccard_lsh_gated" -> jaccardLshGatedSql,
     "dedup_minhash_sig" -> minhashSignaturesSql,
     "dedup_minhash_lsh" -> minhashCandidatesSql,
     "dedup_simhash" -> simhashSql)
