@@ -98,14 +98,18 @@ object Bench {
       (sec, nRows)
     }
 
+    // Locale.ROOT: the f-interpolator uses the JVM default locale — a
+    // decimal-comma locale would print invalid JSON
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     val validTimes = queryTimes.filter(_._2 >= 0)
     val total = validTimes.map(_._2).sum + streamSec
     val qs = (queryTimes :+ ("streaming_fads_replay" -> streamSec))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val streamRps = if (streamSec > 0) streamRows / streamSec else 0.0
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${f"$streamRps%.1f"},"n_queries":${queryTimes.size}}""")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"n_queries":${queryTimes.size}}""")
     spark.stop()
   }
 }

@@ -79,28 +79,41 @@ object SparkEntry {
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
       pipeline.Multimodal.all ++ Map(
-      "q9_fads_replay" -> ((s: SparkSession, dir: String) => fadsReplay(s, dir)),
-      "q9_fads_sharded" -> ((s: SparkSession, dir: String) => fadsReplaySharded(s, dir)),
-      "q9_fads_region_sharded" -> ((s: SparkSession, dir: String) => fadsReplayRegionSharded(s, dir)),
+      // reporting surface: flat `q_lo`/`q_hi` doubles (GenEvent shape) — the
+      // struct API stays for library callers, but driver-facing output must
+      // be hashable by flat-column tooling (pandas cannot hash structs)
+      "q9_fads_replay" -> ((s: SparkSession, dir: String) =>
+        FadsBatch.flattenIntervals(fadsReplay(s, dir), Seq("user_id", "value"))),
+      "q9_fads_sharded" -> ((s: SparkSession, dir: String) =>
+        FadsBatch.flattenIntervals(fadsReplaySharded(s, dir), Seq("user_id", "value"))),
+      "q9_fads_region_sharded" -> ((s: SparkSession, dir: String) =>
+        FadsBatch.flattenIntervals(fadsReplayRegionSharded(s, dir), Seq("user_id", "value"))),
       "stream_window_counts" -> ((s: SparkSession, dir: String) =>
         streaming.Windows.windowCountsQuery(s, dir)),
       "stream_sliding_counts" -> ((s: SparkSession, dir: String) =>
         streaming.Windows.slidingCountsQuery(s, dir)),
       "stream_session_counts" -> ((s: SparkSession, dir: String) =>
         streaming.Windows.sessionCountsQuery(s, dir)),
-      // reference-parity replay: quirks Q2/Q3 (distance bugs) + Q4 (PID
-      // filter disabled) enabled, for bug-for-bug comparison runs
+      // reference-parity replay: quirk Q2 (distance precedence bug) + Q4
+      // (PID filter disabled) enabled. NOTE: Q3 (the :355 raw-field index
+      // bug) is not replayable — the engine sees extracted QID values only
+      // (see Fads.Quirks scaladoc) — so this is partial, not full, parity
       "q9_fads_replay_refmode" -> ((s: SparkSession, dir: String) => {
         val refCfg = eventsFadsConfig.copy(quirks =
           graft.fads.Fads.Quirks(referenceDistance = true, uniquePid = false))
-        ops.FadsBatch.anonymize(
-          Tables.load(s, dir, "events"),
-          qidCols = Seq("user_id", "value"), pidCol = "user_id",
-          orderCols = Seq("ts", "event_id"),
-          clockCol = Tables.tsNanosToMillis("ts"), cfg = refCfg)
+        FadsBatch.flattenIntervals(
+          ops.FadsBatch.anonymize(
+            Tables.load(s, dir, "events"),
+            qidCols = Seq("user_id", "value"), pidCol = "user_id",
+            orderCols = Seq("ts", "event_id"),
+            clockCol = Tables.tsNanosToMillis("ts"), cfg = refCfg),
+          Seq("user_id", "value"))
       }),
       "pipeline_clean_corpus" -> ((s: SparkSession, dir: String) =>
-        pipeline.CleanCorpus.query(s, dir))
+        pipeline.CleanCorpus.query(s, dir)),
+      // O1/O2 end-to-end: reference-format taxi CSV lines → typed rides
+      "taxi_parse" -> ((s: SparkSession, dir: String) =>
+        sources.TaxiRideSource.parseQuery(s, dir))
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,6 +125,7 @@ object SparkEntry {
     ops.RelationalQueries.oracles ++
       ops.ExtendedQueries.oracles ++
       ops.SharedSql.oracles ++
+      ops.Sketches.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
@@ -120,5 +134,6 @@ object SparkEntry {
         "stream_window_counts" -> streaming.Windows.windowCountsSql,
         "stream_sliding_counts" -> streaming.Windows.slidingCountsSql,
         "stream_session_counts" -> streaming.Windows.sessionCountsSql,
-        "pipeline_clean_corpus" -> pipeline.CleanCorpus.sql)
+        "pipeline_clean_corpus" -> pipeline.CleanCorpus.sql,
+        "taxi_parse" -> sources.TaxiRideSource.parseQuerySql)
 }

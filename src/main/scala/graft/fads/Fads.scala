@@ -22,10 +22,13 @@ object Fads {
   /** Quirk switches; defaults are paper-correct (SURVEY.md §2.4).
     *
     * @param referenceDistance reproduce Generalizer.java:356's precedence bug
-    *        (`abs(d)/gmax - gmin`) and Generalizer.java:355's index bug (reads
-    *        fields 0..nQid-1 instead of the configured QID indices). Off by
-    *        default — the correct formula is avg_i |d_i| / (gmax_i - gmin_i)
-    *        over the configured QIDs.
+    *        (`abs(d)/gmax - gmin`). PARTIAL parity only: the :355 index bug
+    *        (reading raw tuple fields 0..nQid-1 instead of the configured QID
+    *        indices) is NOT reproducible here — the engine only ever sees the
+    *        extracted QID values, never the raw row — and a 0-width global
+    *        range yields contribution 0 where the reference produces
+    *        Inf/NaN (Q8). Off by default — the correct formula is
+    *        avg_i |d_i| / (gmax_i - gmin_i) over the configured QIDs.
     * @param uniquePid enforce the paper's distinct-PID constraint in kNN
     *        search (the reference comments it out, Generalizer.java:212-216).
     *        On by default.

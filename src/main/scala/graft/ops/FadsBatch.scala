@@ -39,6 +39,22 @@ object FadsBatch {
     } :+ StructField("suppressed", BooleanType, nullable = false))
   }
 
+  /** Flatten the interval structs for reporting surfaces: each QID column
+    * `q: struct(lo, hi)` becomes two DOUBLE columns `q_lo`, `q_hi` (the same
+    * flat shape the streaming surface's [[graft.streaming.GenEvent]] uses).
+    * Library callers keep the struct API; flat output is for sinks whose
+    * downstream consumers can't hash nested types.
+    */
+  def flattenIntervals(df: DataFrame, qidCols: Seq[String]): DataFrame = {
+    val cols = df.schema.fields.flatMap { f =>
+      if (qidCols.contains(f.name))
+        Seq(col(s"${f.name}.lo").as(s"${f.name}_lo"),
+            col(s"${f.name}.hi").as(s"${f.name}_hi"))
+      else Seq(col(f.name))
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   /** Faithful single-stream replay: order by `orderCols`, run the FADS core
     * once over the whole input (single partition), drain at EOF.
     *

@@ -8,24 +8,47 @@ import graft.Tables
 /** Sketch/approximate aggregates — the cardinality/quantile estimators a
   * 100 TB pipeline leans on when exact distinct/sort is too expensive
   * (HyperLogLog++ `approx_count_distinct`, t-digest-ish `percentile_approx`).
-  * Sketches are engine-specific, so there is no cross-engine oracle; the
-  * spec checks relative error against the exact answers instead
-  * (rows-only driver check).
+  * Sketch values are engine-specific, so the cross-engine contract is a
+  * TOLERANCE: Spark computes both the sketch and the exact aggregate and
+  * emits per-group booleans `|approx - exact| <= tol`; the DuckDB oracle
+  * emits the same exact aggregates with literal `true`s — the driver's
+  * hash-compare then asserts the sketches actually landed within tolerance
+  * (hard gate, not just a spec-side check).
   */
 object Sketches {
+
+  /** HLL++ at rsd=0.02 is deterministic per dataset; 5% covers its bias with
+    * headroom. percentile_approx at accuracy 10000 has rank error n/10000 —
+    * 1% relative value tolerance is generous at every sf.
+    */
+  val DistinctTol = 0.05
+  val MedianTol = 0.01
 
   def approxStats(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag").as("rf"))
       .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"))
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        // exact percentile buffers + sorts every group's values — exactly the
+        // cost the sketch exists to avoid; here it is the tolerance yardstick
+        expr("percentile(l_extendedprice, 0.5)").as("em"))
+      .selectExpr("rf", "exact_parts",
+        s"abs(CAST(ap AS DOUBLE) - exact_parts) <= $DistinctTol * exact_parts AS parts_ok",
+        s"abs(CAST(am AS DOUBLE) - em) <= $MedianTol * abs(em) AS median_ok")
       .orderBy("rf")
-      // exact counterparts live in the SPEC: exact percentile() buffers and
-      // sorts every group's values — exactly the cost sketches exist to avoid
+
+  val approxStatsSql: String =
+    """SELECT l_returnflag AS rf, count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+      |       true AS parts_ok, true AS median_ok
+      |FROM lineitem GROUP BY 1 ORDER BY rf""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sketch_stats" -> approxStats)
+
+  val oracles: Map[String, String] = Map(
+    "x_sketch_stats" -> approxStatsSql)
 }
 
 /** Typed `Aggregator` for a per-QID (min, max) interval — SURVEY §4.2's

@@ -16,10 +16,11 @@ import TextAnalysis.LangMarkers
   *                      doc_id of each confirmed pair)
   *     → clean corpus  (id + fingerprint + quality)
   *
-  * Every stage is shuffle-bounded: one groupBy for exact dedup, one
-  * shingle-join for near-dup (at full scale, gated behind MinHash-LSH
-  * candidates — see [[Dedup.minhashCandidates]]), left-anti joins to
-  * subtract losers. No driver-side loops, no collect.
+  * Every stage is shuffle-bounded: one groupBy for exact dedup, the
+  * LSH-GATED near-dup confirmation ([[Dedup.jaccardLshGated]] — candidate
+  * pairs from MinHash-LSH, exact Jaccard only on candidates), left-anti
+  * joins to subtract losers. No driver-side loops, no collect, nothing
+  * quadratic in the corpus.
   */
 object CleanCorpus {
 
@@ -45,8 +46,10 @@ object CleanCorpus {
       .select("doc_id")
     val surviving = quality.join(keepers, "doc_id")
 
-    // stage 3: near-dup gate — confirmed Jaccard pairs kill the higher id
-    val losers = Dedup.jaccard(spark, dir)
+    // stage 3: near-dup gate — LSH-gated confirmed Jaccard pairs kill the
+    // higher id (the full-scale flow: candidate pairs from MinHash-LSH,
+    // exact Jaccard only on candidates — never the all-pairs shingle join)
+    val losers = Dedup.jaccardLshGated(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
     val clean = surviving.join(losers, Seq("doc_id"), "left_anti")
 
@@ -69,15 +72,8 @@ object CleanCorpus {
        |    AND len(regexp_extract_all(lower(text), '$markers'))::DOUBLE
        |        / len(string_split(text, ' ')) >= $MinStopRatio),
        |keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-       |${Dedup.shinglesCte},
-       |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
-       |jpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
-       |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |           GROUP BY 1, 2),
-       |losers AS (SELECT DISTINCT doc_b AS doc_id
-       |           FROM jpairs JOIN sizes sa ON doc_a = sa.doc_id
-       |                       JOIN sizes sb ON doc_b = sb.doc_id
-       |           WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= ${Dedup.JaccardThreshold}),
+       |${Dedup.lshGatedCtes},
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM gated),
        |clean AS (SELECT q.* FROM q JOIN keepers USING (doc_id)
        |          WHERE q.doc_id NOT IN (SELECT doc_id FROM losers))
        |SELECT doc_id, ${TextAnalysis.polyHashSql("text")} AS fp_full,

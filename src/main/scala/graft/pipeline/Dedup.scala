@@ -187,21 +187,23 @@ object Dedup {
   }
 
   /** The production-scale dedup flow: exact Jaccard is computed ONLY for
-    * MinHash-LSH candidate pairs — the shingle self-join is gated by the
-    * (tiny) candidate set, turning the all-pairs confirmation into
-    * O(candidates), which is the difference at 100 TB.
+    * MinHash-LSH candidate pairs. The join is DRIVEN FROM the candidate
+    * pairs — candidates pick up side A's shingles by doc id, then probe side
+    * B on (doc id, shingle) — so the cost is O(candidates × shingles/doc).
+    * The all-pairs shingle self-join never executes (a semi-join on top of
+    * it could not be pushed below the join because its condition references
+    * both sides — the candidate-driven shape is how the gate becomes real).
     */
   def jaccardLshGated(spark: SparkSession, dir: String): DataFrame = {
     val cand = minhashCandidates(spark, dir)
       .withColumnRenamed("doc_a", "c_a").withColumnRenamed("doc_b", "c_b")
     val sh = shinglesDF(spark, dir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .join(broadcast(cand),
-        col("a.doc_id") === col("c_a") && col("b.doc_id") === col("c_b"), "left_semi")
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = cand
+      .join(sh.as("sa"), col("c_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("c_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("c_a").as("doc_a"), col("c_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
@@ -212,16 +214,20 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val jaccardLshGatedSql: String = {
+  /** Shared CTE block for the gated flow (also reused by CleanCorpus's
+    * oracle): string shingles + hashed shingles off one token CTE, minhash
+    * signatures, band buckets, candidate pairs, sizes, and the
+    * candidate-DRIVEN intersection counts (mirror of [[jaccardLshGated]]'s
+    * join shape — no all-pairs shingle join here either).
+    */
+  private[pipeline] val lshGatedCtes: String = {
     val mins = (0 until H).map(i =>
       s"min((${As(i)} * h + ${Bs(i)}) % $FpMod) AS m$i").mkString(", ")
     val bandSelects = (0 until B).map { b =>
       val ms = (0 until R).map(r => s"m${b * R + r}")
       s"SELECT doc_id, $b AS band, ${bandFold(ms)} AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
-    // the two shingle families (string shingles for exact Jaccard, hashed
-    // shingles for MinHash) share one token CTE with distinct names
-    s"""WITH tokstr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""tokstr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
        |       FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
        |             FROM tokstr)),
@@ -239,18 +245,22 @@ object Dedup {
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
-       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
-       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |          WHERE EXISTS (SELECT 1 FROM cand c
-       |                        WHERE c.c_a = a.doc_id AND c.c_b = b.doc_id)
-       |          GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
-       |       inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
-       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
-       |           JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= $JaccardThreshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |pairs AS (SELECT c.c_a AS doc_a, c.c_b AS doc_b, count(*)::BIGINT AS inter
+       |          FROM cand c JOIN sh sa ON sa.doc_id = c.c_a
+       |                      JOIN sh sb ON sb.doc_id = c.c_b
+       |                                AND sb.shingle = sa.shingle
+       |          GROUP BY 1, 2),
+       |gated AS (SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+       |                 inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+       |          FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+       |                     JOIN sizes sb ON doc_b = sb.doc_id
+       |          WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= $JaccardThreshold)""".stripMargin
   }
+
+  val jaccardLshGatedSql: String =
+    s"""WITH $lshGatedCtes
+       |SELECT doc_a, doc_b, inter, n_a, n_b, jaccard
+       |FROM gated ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- SimHash ----
 

@@ -70,6 +70,60 @@ object TaxiRideSource {
   def readStream(spark: SparkSession, dir: String): DataFrame =
     parse(spark.readStream.text(dir))
 
+  /** End-to-end parse check (driver row for O1/O2): synthesize taxi CSV
+    * lines in the reference's wire format from the `events` table — every
+    * field derived from integer arithmetic + string concat so DuckDB can
+    * regenerate the exact expected values — then run them through [[parse]].
+    * Covers all fromString semantics: START/END token with time1/time2 SWAP
+    * for END rows (NYCTaxiRideSource.java:226-231), UTC `yyyy-MM-dd HH:mm:ss`
+    * → epoch-ms, empty lon/lat → 0.0 (:232-239).
+    */
+  def parseQuery(spark: SparkSession, dir: String): DataFrame = {
+    val lines = graft.Tables.load(spark, dir, "events")
+      .selectExpr(
+        "event_id", "user_id",
+        "from_unixtime(ts div 1000000000) AS t_start",
+        "from_unixtime(ts div 1000000000 + event_id % 3600) AS t_end")
+      .selectExpr(
+        """concat_ws(',',
+          |  CAST(event_id AS STRING),
+          |  CASE WHEN event_id % 2 = 0 THEN 'START' ELSE 'END' END,
+          |  CASE WHEN event_id % 2 = 0 THEN t_start ELSE t_end END,
+          |  CASE WHEN event_id % 2 = 0 THEN t_end ELSE t_start END,
+          |  CASE WHEN event_id % 7 = 0 THEN ''
+          |       ELSE concat(CAST(user_id % 90 AS STRING), '.', lpad(CAST(event_id % 1000 AS STRING), 3, '0')) END,
+          |  CASE WHEN event_id % 11 = 0 THEN ''
+          |       ELSE concat(CAST(user_id % 60 AS STRING), '.', lpad(CAST(user_id % 1000 AS STRING), 3, '0')) END,
+          |  concat(CAST(event_id % 90 AS STRING), '.', lpad(CAST(user_id % 500 AS STRING), 3, '0')),
+          |  CASE WHEN event_id % 13 = 0 THEN ''
+          |       ELSE concat(CAST(event_id % 60 AS STRING), '.', lpad(CAST(event_id % 500 AS STRING), 3, '0')) END,
+          |  CAST(1 + event_id % 6 AS STRING),
+          |  CAST(1000 + user_id AS STRING),
+          |  CAST(2000 + user_id AS STRING)) AS value""".stripMargin)
+    parse(lines).orderBy("rideId")
+  }
+
+  /** DuckDB oracle: the expected parse output computed straight from the
+    * source columns (same swap CASE logic, same integer-built coordinate
+    * strings parsed to DOUBLE — IEEE nearest in both engines).
+    */
+  val parseQuerySql: String =
+    """SELECT event_id AS rideId,
+      |       1000 + user_id AS taxiId,
+      |       2000 + user_id AS driverId,
+      |       (event_id % 2 = 0) AS isStart,
+      |       (epoch_ms(ts) // 1000) * 1000 AS startTime,
+      |       (epoch_ms(ts) // 1000 + event_id % 3600) * 1000 AS endTime,
+      |       CASE WHEN event_id % 7 = 0 THEN 0.0
+      |            ELSE ((user_id % 90)::VARCHAR || '.' || lpad((event_id % 1000)::VARCHAR, 3, '0'))::DOUBLE END AS startLon,
+      |       CASE WHEN event_id % 11 = 0 THEN 0.0
+      |            ELSE ((user_id % 60)::VARCHAR || '.' || lpad((user_id % 1000)::VARCHAR, 3, '0'))::DOUBLE END AS startLat,
+      |       ((event_id % 90)::VARCHAR || '.' || lpad((user_id % 500)::VARCHAR, 3, '0'))::DOUBLE AS endLon,
+      |       CASE WHEN event_id % 13 = 0 THEN 0.0
+      |            ELSE ((event_id % 60)::VARCHAR || '.' || lpad((event_id % 500)::VARCHAR, 3, '0'))::DOUBLE END AS endLat,
+      |       (1 + event_id % 6)::SMALLINT AS passengerCnt
+      |FROM events ORDER BY rideId""".stripMargin
+
   /** Contiguous synthetic PID column (the reference CSVParser's `addPID`,
     * /root/reference/src/main/java/fads/CSVParser.java:62-64, prepends an
     * auto-increment int). `zipWithIndex` is a narrow op — no shuffle — and

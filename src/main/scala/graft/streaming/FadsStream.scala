@@ -159,15 +159,21 @@ object FadsStream {
   }
 
   /** Scale-out: shard the stream by key; one independent FADS instance per
-    * shard, k-anonymity guaranteed within each shard.
+    * shard, k-anonymity guaranteed within each shard. `drainIdleMs > 0`
+    * arms a per-shard idle timer that flushes each shard's buffer when no
+    * data arrives for that long (mirroring [[anonymize]]) — without it up to
+    * `bufferConstraint` tuples per shard are withheld until a sentinel, and
+    * the output==input cardinality contract needs one sentinel PER SHARD.
     */
   def anonymizeSharded(events: Dataset[Event], cfg: Fads.Config,
-      shardOf: Event => Long): Dataset[GenEvent] = {
+      shardOf: Event => Long, drainIdleMs: Long = 0L): Dataset[GenEvent] = {
     implicit val genEnc = Encoders.product[GenEvent]
+    val timeMode =
+      if (drainIdleMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
     events
       .groupByKey(shardOf)(Encoders.scalaLong)
       .transformWithState(
-        new FadsProcessor(cfg), TimeMode.None(), OutputMode.Append())
+        new FadsProcessor(cfg, drainIdleMs), timeMode, OutputMode.Append())
   }
 
   /** Session config required by transformWithState (RocksDB state store).

@@ -26,11 +26,15 @@ object PacedReplay {
     // NOT a row_number() window over an empty frame, which would drag the
     // whole input onto one partition
     val sorted = df.orderBy(orderCols.map(col): _*)
+    // __chunk is a ZERO-PADDED string: FileStreamSource admits files by
+    // (modification time, path) and all chunks are written by one job with
+    // near-identical mtimes — the padded path is what guarantees in-order
+    // replay (chunk 10 would sort before chunk 2 unpadded)
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField("__chunk", org.apache.spark.sql.types.IntegerType))
+        org.apache.spark.sql.types.StructField("__chunk", org.apache.spark.sql.types.StringType))
     val withChunk = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i / rowsPerFile).toInt)
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ "%05d".format(i / rowsPerFile))
     }
     df.sparkSession.createDataFrame(withChunk, schema)
       .repartition(col("__chunk"))
@@ -46,7 +50,7 @@ object PacedReplay {
   def stream(spark: SparkSession, stageDir: String, schema: StructType,
       filesPerTrigger: Int = 1): DataFrame =
     spark.readStream
-      .schema(schema.add("__chunk", "int"))
+      .schema(schema.add("__chunk", "string"))
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(stageDir)
       .drop("__chunk")

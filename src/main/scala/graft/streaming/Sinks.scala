@@ -22,8 +22,10 @@ object Sinks {
 
   /** foreachBatch writer: per-micro-batch control for layouts the file sink
     * cannot express (partitionBy columns, dynamic overwrite, merges).
-    * At-least-once per batch — pair with a deterministic batch id column or
-    * idempotent overwrite of the batch's partitions.
+    * foreachBatch is at-least-once per batch, so the write is made
+    * IDEMPOTENT: keyed by a `__batch_id` partition column and written with
+    * dynamic partition overwrite — a replayed micro-batch replaces its own
+    * partitions instead of appending duplicates.
     */
   def partitionedParquet(df: DataFrame, path: String, checkpoint: String,
       partitionCols: Seq[String]): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -32,7 +34,8 @@ object Sinks {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch
           .withColumn("__batch_id", org.apache.spark.sql.functions.lit(batchId))
-          .write.mode("append")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy(partitionCols :+ "__batch_id": _*)
           .parquet(path)
       }

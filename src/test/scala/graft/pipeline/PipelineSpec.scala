@@ -103,13 +103,15 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val frames = Multimodal.frameFeatures(spark, dir).collect()
     val sums = frames.groupBy(_.getAs[Long]("doc_id"))
-      .view.mapValues(_.map(_.getAs[Int]("n_bytes").toLong).sum).toMap
+      .view.mapValues(_.map(_.getAs[Long]("n_bytes")).sum).toMap
     assert(sums == bytesPerDoc)
     frames.foreach { r =>
-      assert(r.getAs[Int]("n_bytes") <= Multimodal.StubCodec.FrameBytes)
+      assert(r.getAs[Long]("n_bytes") <= Multimodal.StubCodec.FrameBytes)
       val mean = r.getAs[Double]("mean_byte")
       assert(mean >= 0 && mean <= 255)
-      assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
+      // flat histogram projection sums to 1 (each byte lands in one bin)
+      val histSum = (0 until 8).map(k => r.getAs[Double](s"f$k")).sum
+      assert(math.abs(histSum - 1.0) < 1e-9)
     }
   }
 }

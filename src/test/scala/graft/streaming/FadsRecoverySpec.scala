@@ -113,7 +113,7 @@ class FadsRecoverySpec extends AnyFunSuite {
           System.currentTimeMillis() < deadline) Thread.sleep(200)
       // all files consumed; append a sentinel chunk file to trigger the drain
       Seq(Event(-1L, Long.MaxValue, 0L, "", 0.0, "{}")).toDS()
-        .withColumn("__chunk", org.apache.spark.sql.functions.lit(99))
+        .withColumn("__chunk", org.apache.spark.sql.functions.lit("99999"))
         .write.mode("append").partitionBy("__chunk").parquet(stageDir)
       while (sunk() < input.length && System.currentTimeMillis() < deadline)
         Thread.sleep(200)
