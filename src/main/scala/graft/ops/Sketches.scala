@@ -24,20 +24,29 @@ object Sketches {
   val DistinctTol = 0.05
   val MedianTol = 0.01
 
-  def approxStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag").as("rf"))
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    // one pass for the sketches + the exact-percentile yardstick (all
+    // partial-aggregable ObjectHashAggregate); the exact distinct count runs
+    // as its own two-phase hash agg — mixing count(DISTINCT) into the same
+    // agg would expand the input and drop the whole plan to sort-aggregate
+    // (measured 13.8 s vs 1.4 s at sf0.1)
+    val sketches = li.groupBy(col("l_returnflag").as("rf"))
       .agg(
         approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
         // exact percentile buffers + sorts every group's values — exactly the
         // cost the sketch exists to avoid; here it is the tolerance yardstick
         expr("percentile(l_extendedprice, 0.5)").as("em"))
+    val exactDistinct = li.groupBy(col("l_returnflag").as("rf"), col("l_partkey"))
+      .agg(lit(1).as("one"))
+      .groupBy("rf").agg(count(lit(1)).as("exact_parts"))
+    sketches.join(exactDistinct, "rf")
       .selectExpr("rf", "exact_parts",
         s"abs(CAST(ap AS DOUBLE) - exact_parts) <= $DistinctTol * exact_parts AS parts_ok",
         s"abs(CAST(am AS DOUBLE) - em) <= $MedianTol * abs(em) AS median_ok")
       .orderBy("rf")
+  }
 
   val approxStatsSql: String =
     """SELECT l_returnflag AS rf, count(DISTINCT l_partkey)::BIGINT AS exact_parts,

@@ -223,29 +223,81 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
-  /** Embedding-cosine near-duplicate pairs within each label partition
-    * (label = the natural blocking key): sim above threshold ⇒ candidate
-    * duplicate. Blocked join — each label bucket joins locally.
+  /** Embedding-cosine near-duplicate pairs, blocked on (label × banded
+    * hyperplane-LSH bucket): candidates must share the label AND at least
+    * one of [[NdBands]] sign-pattern band buckets; only candidates get the
+    * exact cosine confirmation. This is the same band-OR construction as
+    * MinHash-LSH banding ([[Dedup.minhashCandidates]]) — per-label blocks
+    * are no longer all-pairs, so a dominant label cannot go quadratic.
+    * (Banding trades recall for scale: a true near-dup pair colliding in no
+    * band is missed — at cosine 0.4 each band matches with p≈0.16, any-of-4
+    * p≈0.50; recall rises steeply with similarity, reaching ~0.97 at 0.8.)
     */
-  // synthetic testdata has no true near-dups: 0.40 sits at the top of the
-  // empirical within-label cosine range, so the query emits real pairs
-  val NearDupThreshold = 0.40
+  // synthetic testdata has no true near-dups: 0.35 sits near the top of the
+  // empirical within-label cosine range (26 exact pairs at sf0.01), so the
+  // banded gate still surfaces real pairs after its ~0.5 recall at this sim
+  val NearDupThreshold = 0.35
+  val NdBands = 4
+  val NdBandBits = 4
+
+  /** Spark: array of NdBands band-bucket ids (sign bits of 4 hyperplane
+    * dots each), unrolled to constant-folded hyperplane literals.
+    */
+  private def bandArrExprSpark(emb: String): String =
+    (0 until NdBands).map { b =>
+      (0 until NdBandBits).map { j =>
+        val h = b * NdBandBits + j
+        val hp = (0 until Dim).map(i => hpExpr(h.toString, i.toString))
+          .mkString("array(", ", ", ")")
+        s"CASE WHEN graft_dot($emb, $hp) > 0 THEN ${1 << j} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    }.mkString("array(", ", ", ")")
+
+  /** DuckDB: one SELECT per band (mirrors the Spark posexplode rows). */
+  private def bandedSqlDuck: String =
+    (0 until NdBands).map { b =>
+      val bh = (0 until NdBandBits).map { j =>
+        val h = b * NdBandBits + j
+        s"""CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+           | i -> emb[i] * ${hpExpr(h.toString, "(i - 1)")})) > 0
+           | THEN ${1 << j} ELSE 0 END""".stripMargin
+      }.mkString("(", " + ", ")")
+      s"SELECT vec_id, label, $b AS band, $bh AS bh FROM emb"
+    }.mkString("\n  UNION ALL ")
 
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = embDouble(spark, dir)
-    val a = e.as("a"); val b = e.as("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b", "a.label AS label",
-        s"round(${cosineExpr("a.emb", "b.emb", "a.nrm", "b.nrm")}, 6) AS sim")
+    val e = embDouble(spark, dir).cache()
+    val banded = e
+      .withColumn("bands", expr(bandArrExprSpark("emb")))
+      .selectExpr("vec_id", "label", "posexplode(bands) AS (band, bh)")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.label") === col("y.label") && col("x.band") === col("y.band") &&
+          col("x.bh") === col("y.bh") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.label").as("label"))
+      .distinct()
+    cand
+      .join(e.selectExpr("vec_id AS vec_a", "emb AS emb_a", "nrm AS nrm_a"), "vec_a")
+      .join(e.selectExpr("vec_id AS vec_b", "emb AS emb_b", "nrm AS nrm_b"), "vec_b")
+      .selectExpr("vec_a", "vec_b", "label",
+        s"round(${cosineExpr("emb_a", "emb_b", "nrm_a", "nrm_b")}, 6) AS sim")
       .where(s"sim >= $NearDupThreshold")
       .orderBy("vec_a", "vec_b")
   }
 
   val embeddingNearDupSql: String =
-    s"""WITH $embCte
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+    s"""WITH $embCte,
+       |banded AS (
+       |  $bandedSqlDuck
+       |),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label AS label
+       |         FROM banded x JOIN banded y
+       |           ON x.label = y.label AND x.band = y.band AND x.bh = y.bh
+       |          AND x.vec_id < y.vec_id)
+       |SELECT c.vec_a, c.vec_b, c.label,
        |       round(${cosineSql("a.emb", "b.emb", "a.nrm", "b.nrm")}, 6) AS sim
-       |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+       |FROM cand c JOIN emb a ON c.vec_a = a.vec_id
+       |            JOIN emb b ON c.vec_b = b.vec_id
        |WHERE round(${cosineSql("a.emb", "b.emb", "a.nrm", "b.nrm")}, 6) >= $NearDupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
