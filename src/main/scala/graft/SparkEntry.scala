@@ -28,9 +28,13 @@ object SparkEntry {
 
   /** Scale-out FADS variant 2: shard by QID-SPACE REGION (value range
     * buckets) instead of an identity hash — clusters then form among
-    * numerically close tuples, so per-shard information loss approaches the
-    * single-stream result while shards run in parallel (SURVEY §7.3 hard
-    * part 1's proposed scale-out design).
+    * numerically close tuples, so the sharded QID's intervals come out far
+    * tighter than single-stream while shards run in parallel (SURVEY §7.3
+    * hard part 1's proposed scale-out design). `globalNorm = true` fixes
+    * distance/info-loss normalization to the true domain bounds so the
+    * NON-sharded QIDs keep single-stream-grade intervals too (round-1
+    * measured 647 vs 435 avg user_id width without it — shard-local bounds
+    * over-weighted the compressed value dimension in every kNN).
     */
   def fadsReplayRegionSharded(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
@@ -43,7 +47,8 @@ object SparkEntry {
       pidCol = "user_id",
       orderCols = Seq("ts", "event_id"),
       clockCol = Tables.tsNanosToMillis("ts"),
-      cfg = eventsFadsConfig)
+      cfg = eventsFadsConfig,
+      globalNorm = true)
   }
 
   /** Scale-out FADS: 8 independent shards keyed on user_id — the 100 TB

@@ -44,13 +44,27 @@ object Fads {
     *                         COUNT, not a duration (SURVEY.md §2.4 Q1)
     * @param reuseTtlMs       cluster reuse time-to-live, processing-time ms
     * @param nQid             number of quasi-identifier columns
+    * @param fixedLo/fixedHi  optional FIXED per-QID normalization bounds for
+    *        the scale-out sharded modes. The reference normalizes kNN
+    *        distance and information loss by its RUNNING global bounds
+    *        (Generalizer.java:108-115) — correct for one stream, but a shard
+    *        that only ever sees a slice of a QID's domain (region sharding)
+    *        under-estimates that QID's range and over-weights it in every
+    *        distance, dragging the OTHER QIDs' intervals wide. Fixing the
+    *        normalization to the true domain bounds (one cheap pre-pass
+    *        aggregation, broadcast into every shard) restores single-stream
+    *        neighbor selection inside each shard. Suppression also
+    *        generalizes to these bounds (the honest "max generalization" when
+    *        the domain is known). None ⇒ reference behavior.
     */
   final case class Config(
       k: Int,
       bufferConstraint: Int,
       reuseTtlMs: Long,
       nQid: Int,
-      quirks: Quirks = Quirks())
+      quirks: Quirks = Quirks(),
+      fixedLo: Option[Array[Double]] = None,
+      fixedHi: Option[Array[Double]] = None)
 
   /** An input record as the engine sees it: extracted numeric QID values
     * (reference coerces any numeric QID to double, Generalizer.java:110-113),
@@ -155,6 +169,12 @@ object Fads {
   /** The FADS step machine. Pure w.r.t. wall-clock: callers inject `nowMs`. */
   final class Engine(cfg: Config) {
 
+    /** Normalization bounds: fixed domain bounds when configured (scale-out
+      * sharded modes), else the stream's running global bounds.
+      */
+    private def normLo(st: State): Array[Double] = cfg.fixedLo.getOrElse(st.gLo)
+    private def normHi(st: State): Array[Double] = cfg.fixedHi.getOrElse(st.gHi)
+
     /** Process one arrival; returns the released tuples (possibly empty, or up
       * to k on a new-cluster release — emission amplification, SURVEY.md §7.3).
       * Mirrors Generalizer.processElement (Generalizer.java:97-133).
@@ -212,7 +232,7 @@ object Fads {
             val best = bestFittingCluster(st, pivot)
             best match {
               case Some(old)
-                  if old.infoLoss(st.gLo, st.gHi) < fresh.infoLoss(st.gLo, st.gHi) =>
+                  if old.infoLoss(normLo(st), normHi(st)) < fresh.infoLoss(normLo(st), normHi(st)) =>
                 // reuse: release only the pivot (Generalizer.java:163-165)
                 Seq(Out(pivot.payload, old.lo.clone(), old.hi.clone(), suppressed = false))
               case _ =>
@@ -236,7 +256,7 @@ object Fads {
         case None =>
           // suppress = generalize to global bounds, copied by value
           // (Generalizer.java:246-257; SURVEY.md §2.4 Q7 fixed)
-          Seq(Out(pivot.payload, st.gLo.clone(), st.gHi.clone(), suppressed = true))
+          Seq(Out(pivot.payload, normLo(st).clone(), normHi(st).clone(), suppressed = true))
       }
 
     /** Among live clusters strictly containing the pivot, the one with minimum
@@ -248,7 +268,7 @@ object Fads {
       var bestLoss = Double.PositiveInfinity
       st.clusters.foreach { c =>
         if (c.fits(pivot.qids)) {
-          val loss = c.infoLoss(st.gLo, st.gHi)
+          val loss = c.infoLoss(normLo(st), normHi(st))
           if (best == null || loss < bestLoss ||
               (loss == bestLoss &&
                 Ordering[(Long, Long)].lt((c.createdAtMs, c.seq), (best.createdAtMs, best.seq)))) {
@@ -289,14 +309,15 @@ object Fads {
       * reproduces `|a_i - b_i| / gmax_i - gmin_i` (Q2 precedence bug).
       */
     def distance(st: State, a: In, b: In): Double = {
+      val lo = normLo(st); val hi = normHi(st)
       var s = 0.0
       var i = 0
       while (i < cfg.nQid) {
         val d = math.abs(a.qids(i) - b.qids(i))
         if (cfg.quirks.referenceDistance) {
-          if (st.gHi(i) != 0) s += d / st.gHi(i) - st.gLo(i) else s -= st.gLo(i)
+          if (hi(i) != 0) s += d / hi(i) - lo(i) else s -= lo(i)
         } else {
-          val range = st.gHi(i) - st.gLo(i)
+          val range = hi(i) - lo(i)
           if (range > 0) s += d / range
         }
         i += 1

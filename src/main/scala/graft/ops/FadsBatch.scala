@@ -78,6 +78,16 @@ object FadsBatch {
   /** Scale-out variant: an independent FADS stream per `shardCol` value.
     * One shuffle (hash on shard), in-partition sort, then per-shard
     * sequential replay — parallelism = #shards, no driver-side collection.
+    *
+    * @param globalNorm when true, one extra pre-pass aggregation computes
+    *        the TRUE per-QID domain bounds over the whole input and fixes
+    *        every shard's distance/info-loss normalization to them (see
+    *        [[Fads.Config.fixedLo]]). Essential for region sharding: a shard
+    *        seeing only a slice of a QID's domain would otherwise over-weight
+    *        that QID in kNN and drag the other QIDs' intervals wide. Cost at
+    *        100 TB: one map-side-combined min/max agg (a few doubles to the
+    *        driver, shipped back in the task closure) — noise next to the
+    *        shard shuffle.
     */
   def anonymizeByKey(
       df: DataFrame,
@@ -86,7 +96,17 @@ object FadsBatch {
       pidCol: String,
       orderCols: Seq[String],
       clockCol: org.apache.spark.sql.Column,
-      cfg: Fads.Config): DataFrame = {
+      cfg: Fads.Config,
+      globalNorm: Boolean = false): DataFrame = {
+    val effCfg = if (!globalNorm) cfg else {
+      val aggs = qidCols.flatMap(q =>
+        Seq(min(col(q).cast(DoubleType)).as(s"__lo_$q"),
+            max(col(q).cast(DoubleType)).as(s"__hi_$q")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      cfg.copy(
+        fixedLo = Some(qidCols.indices.map(i => r.getDouble(2 * i)).toArray),
+        fixedHi = Some(qidCols.indices.map(i => r.getDouble(2 * i + 1)).toArray))
+    }
     val prepared = df
       .withColumn("__clock_ms", clockCol.cast(LongType))
       .repartition(col(shardCol))
@@ -94,7 +114,7 @@ object FadsBatch {
     // a partition may hold several shards back-to-back (hash collisions);
     // runPartitions starts a fresh engine whenever the shard value changes,
     // which the sort guarantees is a contiguous run
-    runPartitions(prepared, df.schema, qidCols, pidCol, cfg, Some(shardCol))
+    runPartitions(prepared, df.schema, qidCols, pidCol, effCfg, Some(shardCol))
   }
 
   private def runPartitions(

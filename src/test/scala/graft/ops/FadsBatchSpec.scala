@@ -54,6 +54,25 @@ class FadsBatchSpec extends AnyFunSuite {
     }
   }
 
+  test("region sharding with global normalization keeps non-sharded QID quality") {
+    // the round-1 gap: shard-local normalization over-weighted the compressed
+    // value dimension, widening user_id intervals ~1.5x vs single-stream.
+    // With fixed domain-bounds normalization the region-sharded replay must
+    // stay within 1.2x of single-stream on the NON-sharded QID (it currently
+    // BEATS single-stream) while keeping the sharded QID clearly tighter.
+    val qdir = "/root/testdata/sf0.01"
+    def widths(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val r = FadsBatch.flattenIntervals(df, Seq("user_id", "value"))
+        .selectExpr("avg(value_hi - value_lo) AS vw", "avg(user_id_hi - user_id_lo) AS uw")
+        .collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (svw, suw) = widths(SparkEntry.fadsReplay(spark, qdir))
+    val (rvw, ruw) = widths(SparkEntry.fadsReplayRegionSharded(spark, qdir))
+    assert(rvw < svw, s"sharded QID not tighter: region $rvw vs single $svw")
+    assert(ruw <= 1.2 * suw, s"non-sharded QID degraded: region $ruw vs single $suw")
+  }
+
   test("golden output: sf0.001 replay matches the checked-in fingerprint") {
     // compact drift guard: row count + deterministic aggregate fingerprint of
     // the full output (any algorithm change flips it)
