@@ -57,4 +57,19 @@ object PacedReplay {
 
   def trigger(triggerMs: Long): Trigger =
     if (triggerMs <= 0) Trigger.ProcessingTime(0) else Trigger.ProcessingTime(triggerMs)
+
+  /** Wall-clock runtime bound (reference semantics: the source stops after
+    * `runtime` ms, NYCTaxiRideSource.java:130,143-150; `-1` = unbounded).
+    * Blocks until the stream ends on its own or the bound elapses, then
+    * stops the query. Returns true if the query ended before the bound.
+    */
+  def runFor(query: org.apache.spark.sql.streaming.StreamingQuery,
+      runtimeMs: Long): Boolean = {
+    if (runtimeMs < 0) { query.awaitTermination(); true }
+    else {
+      val done = query.awaitTermination(runtimeMs)
+      if (!done) query.stop()
+      done
+    }
+  }
 }

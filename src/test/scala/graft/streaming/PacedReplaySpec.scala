@@ -48,4 +48,22 @@ class PacedReplaySpec extends AnyFunSuite {
     assert(listener.history.nonEmpty, "throughput history recorded")
     spark.streams.removeListener(listener)
   }
+
+  test("runFor enforces the reference's wall-clock runtime bound") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val events = Tables.load(spark, sfDir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+    val stageDir = Files.createTempDirectory("runfor-stage").toString
+    PacedReplay.stage(events, Seq("ts", "event_id"), rowsPerFile = 100, stageDir)
+    val ckpt = Files.createTempDirectory("runfor-ckpt").toString
+    // one file per 10 s trigger: 10 files cannot finish inside the bound
+    val q = PacedReplay.stream(spark, stageDir, events.schema, filesPerTrigger = 1)
+      .writeStream.format("noop").option("checkpointLocation", ckpt)
+      .trigger(PacedReplay.trigger(10000))
+      .start()
+    val finished = PacedReplay.runFor(q, runtimeMs = 3000)
+    assert(!finished, "bound elapsed before the stream could finish")
+    assert(!q.isActive, "query stopped at the runtime bound")
+  }
 }
