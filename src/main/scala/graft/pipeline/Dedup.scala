@@ -262,6 +262,73 @@ object Dedup {
        |SELECT doc_a, doc_b, inter, n_a, n_b, jaccard
        |FROM gated ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- duplicate-cluster resolution (connected components) ----
+
+  /** Transitive keeper resolution: near-dup confirmation yields PAIRS, but a
+    * production dedup must resolve them into duplicate CLUSTERS (A~B, B~C ⇒
+    * {A,B,C} share one keeper even though A~C was never confirmed directly).
+    * Connected components over the gated-Jaccard pair graph via iterative
+    * min-label propagation: each round every node takes the min component id
+    * among itself and its neighbors — converges in O(component diameter)
+    * rounds (near-dup clusters are near-cliques, so 2-3 in practice).
+    *
+    * Scale shape: the iteration runs on the EDGE LIST (confirmed pairs — a
+    * vanishing fraction of the corpus), not the corpus; each round is one
+    * keyed join + one map-side-combinable min aggregate. The driver loop
+    * holds only a scalar convergence count per round (the standard Spark
+    * connected-components shape, cf. GraphX) — no row data ever reaches the
+    * driver.
+    */
+  def duplicateClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = jaccardLshGated(spark, dir).select("doc_a", "doc_b").cache()
+    // size the iteration to the EDGE LIST, not the corpus: confirmed pairs
+    // are a vanishing fraction of the input, and label propagation pays a
+    // full scheduling round per iteration — ~100k edges per partition keeps
+    // a 100 TB run wide while a small run iterates on a handful of tasks
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (edges.count() / 100000L).toInt + 1))
+    val bidir = edges
+      .unionByName(edges.selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
+      .toDF("src", "dst").repartition(parts, col("dst")).cache()
+    // init fuses propagation round 1: comp = min(self, neighbors)
+    var labels = bidir.groupBy(col("src").as("doc_id"))
+      .agg(least(col("src"), min("dst")).as("comp"))
+      .repartition(parts, col("doc_id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = bidir.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min("comp").as("ncomp"))
+      // carry the old comp through the join so materializing `next` (one
+      // count action per round) also yields the convergence check
+      val next = labels.as("l")
+        .join(prop, col("l.doc_id") === col("src"), "left")
+        .select(col("l.doc_id").as("doc_id"), col("comp").as("oc"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .cache()
+      changed = next.where("comp != oc").count()
+      labels = next.select("doc_id", "comp")
+      iter += 1
+    }
+    labels.selectExpr("doc_id", "comp AS keeper").orderBy("doc_id")
+  }
+
+  /** DuckDB oracle: recursive closure — every node collects the start labels
+    * of all nodes that can reach it (its whole component, undirected), min =
+    * the component keeper. UNION (not ALL) bounds the walk.
+    */
+  val duplicateClustersSql: String =
+    s"""WITH RECURSIVE $lshGatedCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM gated
+       |          UNION ALL SELECT doc_b, doc_a FROM gated),
+       |nodes AS (SELECT DISTINCT src AS d FROM edges),
+       |walk(d, comp) AS (
+       |  SELECT d, d FROM nodes
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.d = e.src)
+       |SELECT d AS doc_id, min(comp) AS keeper
+       |FROM walk GROUP BY d ORDER BY doc_id""".stripMargin
+
   // ---- SimHash ----
 
   /** 32-bit SimHash per doc from distinct-token polynomial hashes: bit j set
@@ -304,7 +371,8 @@ object Dedup {
     "dedup_jaccard_lsh_gated" -> jaccardLshGated,
     "dedup_minhash_sig" -> minhashSignatures,
     "dedup_minhash_lsh" -> minhashCandidates,
-    "dedup_simhash" -> simhash)
+    "dedup_simhash" -> simhash,
+    "dedup_components" -> duplicateClusters)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -312,5 +380,6 @@ object Dedup {
     "dedup_jaccard_lsh_gated" -> jaccardLshGatedSql,
     "dedup_minhash_sig" -> minhashSignaturesSql,
     "dedup_minhash_lsh" -> minhashCandidatesSql,
-    "dedup_simhash" -> simhashSql)
+    "dedup_simhash" -> simhashSql,
+    "dedup_components" -> duplicateClustersSql)
 }

@@ -84,6 +84,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(bf.nonEmpty)
   }
 
+  test("duplicate clusters: transitive closure matches a union-find oracle") {
+    val pairs = Dedup.jaccardLshGated(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // brute-force union-find over the (tiny) confirmed-pair list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(d => d -> find(d)).toMap
+    val got = Dedup.duplicateClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper")).toMap
+    assert(got == want, "component keepers differ from union-find")
+    // keeper is always the component minimum (so it survives pairwise kill)
+    got.groupBy(_._2).foreach { case (keeper, members) =>
+      assert(members.keys.min == keeper)
+    }
+  }
+
   test("resize stub honors the byte budget and keeps accounting consistent") {
     val bin = Multimodal.binaryColumns(spark, dir)
     val out = Multimodal.resize(bin, maxBytes = 200).collect()
