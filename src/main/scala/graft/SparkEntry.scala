@@ -99,6 +99,8 @@ object SparkEntry {
         streaming.Windows.slidingCountsQuery(s, dir)),
       "stream_session_counts" -> ((s: SparkSession, dir: String) =>
         streaming.Windows.sessionCountsQuery(s, dir)),
+      "stream_dedup_first" -> ((s: SparkSession, dir: String) =>
+        streaming.StreamingDedup.firstPerKeyQuery(s, dir)),
       // reference-parity replay: quirk Q2 (distance precedence bug) + Q4
       // (PID filter disabled) enabled. NOTE: Q3 (the :355 raw-field index
       // bug) is not replayable — the engine sees extracted QID values only
@@ -139,6 +141,7 @@ object SparkEntry {
         "stream_window_counts" -> streaming.Windows.windowCountsSql,
         "stream_sliding_counts" -> streaming.Windows.slidingCountsSql,
         "stream_session_counts" -> streaming.Windows.sessionCountsSql,
+        "stream_dedup_first" -> streaming.StreamingDedup.firstPerKeySql,
         "pipeline_clean_corpus" -> pipeline.CleanCorpus.sql,
         "taxi_parse" -> sources.TaxiRideSource.parseQuerySql)
 }

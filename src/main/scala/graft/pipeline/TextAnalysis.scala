@@ -150,15 +150,59 @@ object TextAnalysis {
        |       ${polyHashSql("substring(text, 1, 64)")} AS fp_prefix
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Q — within-document repetition (the Gopher/C4 quality family): the
+    * fraction of duplicate word 2-grams and 3-grams inside each document.
+    * High-repetition docs (boilerplate, keyword stuffing, degenerate
+    * generations) are prime removal candidates in training-data curation.
+    * Pure per-row array expressions — zero shuffle, scales as a scan.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr("doc_id",
+        "CAST(size(t) AS BIGINT) AS n_tokens",
+        """CASE WHEN size(t) >= 2
+          |  THEN transform(sequence(1, size(t) - 1),
+          |       i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END AS g2""".stripMargin,
+        """CASE WHEN size(t) >= 3
+          |  THEN transform(sequence(1, size(t) - 2),
+          |       i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END AS g3""".stripMargin)
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(size(g2) AS BIGINT) AS n_g2",
+        "CAST(size(g3) AS BIGINT) AS n_g3",
+        "CASE WHEN size(g2) > 0 THEN 1.0 - CAST(size(array_distinct(g2)) AS DOUBLE) / size(g2) ELSE 0.0 END AS rep_g2",
+        "CASE WHEN size(g3) > 0 THEN 1.0 - CAST(size(array_distinct(g3)) AS DOUBLE) / size(g3) ELSE 0.0 END AS rep_g3")
+      .orderBy("doc_id")
+
+  val repetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+      |             CASE WHEN len(t) >= 2
+      |               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      |               ELSE [] END AS g2,
+      |             CASE WHEN len(t) >= 3
+      |               THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |               ELSE [] END AS g3
+      |      FROM t)
+      |SELECT doc_id, n_tokens,
+      |       len(g2)::BIGINT AS n_g2, len(g3)::BIGINT AS n_g3,
+      |       CASE WHEN len(g2) > 0 THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) ELSE 0.0 END AS rep_g2,
+      |       CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) ELSE 0.0 END AS rep_g3
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> tokens,
     "text_langid" -> langId,
     "text_quality" -> quality,
-    "text_fingerprint" -> fingerprint)
+    "text_fingerprint" -> fingerprint,
+    "text_repetition" -> repetition)
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> tokensSql,
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,
-    "text_fingerprint" -> fingerprintSql)
+    "text_fingerprint" -> fingerprintSql,
+    "text_repetition" -> repetitionSql)
 }

@@ -53,4 +53,39 @@ class WindowsSpec extends AnyFunSuite {
         "late event must not reopen the closed window")
     } finally q.stop()
   }
+
+  test("streaming dedup keeps one row per key and evicts state past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val ckpt = Files.createTempDirectory("dedup-ckpt").toString
+    val q = StreamingDedup.dedupStream(stream.toDF(), "30 minutes",
+        Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // duplicates inside the horizon: only the first survives
+      // (ev derives user_id = id % 7, so ids 1 and 8 share (user 1, "a");
+      // times start at hour 10 — epoch-0 events would sit exactly on the
+      // initial watermark and be treated as expired)
+      stream.addData(ev(1, 10, 0, "a", 1.0))
+      q.processAllAvailable()
+      stream.addData(ev(8, 10, 10, "a", 2.0), ev(3, 10, 15, "b", 3.0))
+      q.processAllAvailable()
+      val afterBurst = spark.table("dedup_out").collect()
+        .map(_.getAs[Long]("event_id")).toSet
+      assert(afterBurst == Set(1L, 3L),
+        s"duplicate (user,type) within horizon must be dropped: $afterBurst")
+      // advance the watermark far past the horizon: key state evicted,
+      // the same key is admitted again (bounded-state contract)
+      stream.addData(ev(4, 15, 0, "c", 4.0))
+      q.processAllAvailable()
+      stream.addData(ev(15, 14, 45, "a", 5.0)) // user 1 again, fresh epoch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect()
+        .map(_.getAs[Long]("event_id")).toSet
+      assert(ids.contains(15L), s"recurrence after state eviction must re-emit: $ids")
+    } finally q.stop()
+  }
 }
