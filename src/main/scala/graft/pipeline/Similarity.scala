@@ -33,6 +33,23 @@ object Similarity {
   private def hpExpr(j: String, i: String): String =
     s"(CAST((($j * $Dim + $i + 1) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)"
 
+  /** The same value computed in Scala (exact: Long arithmetic, one IEEE
+    * division — bit-identical to [[hpExpr]] in either engine).
+    */
+  private def hpVal(j: Int, i: Int): Double =
+    (((j.toLong * Dim + i + 1) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+
+  /** Hyperplane j as ONE array literal Column. The string-expression form
+    * (64 constant sub-expressions per plane) made Catalyst parse and
+    * constant-fold thousands of nodes per plan — a single ArrayType Literal
+    * is free. Plan semantics are unchanged (same doubles, same graft_dot).
+    */
+  private def hpArray(j: Int): org.apache.spark.sql.Column =
+    typedlit((0 until Dim).map(i => hpVal(j, i)))
+
+  private def dotSign(emb: org.apache.spark.sql.Column, j: Int, weight: Long): org.apache.spark.sql.Column =
+    when(call_function("graft_dot", emb, hpArray(j)) > 0, lit(weight)).otherwise(lit(0L))
+
   /** Query vectors = vec_id < 5 (a deterministic, tiny query set). */
   val QuerySetSize = 5
   val TopK = 5
@@ -100,14 +117,8 @@ object Similarity {
   /** LSH bucket id: sign bits of `NBits` hyperplane dot products. */
   val NBits = 4
 
-  private def bucketExprSpark(emb: String): String = {
-    val bits = (0 until NBits).map { j =>
-      // hyperplane as an array literal: graft_dot runs one codegen'd loop
-      val hp = (0 until Dim).map(i => hpExpr(j.toString, i.toString)).mkString("array(", ", ", ")")
-      s"CASE WHEN graft_dot($emb, $hp) > 0 THEN ${1L << j} ELSE 0 END"
-    }
-    bits.mkString("(", " + ", ")")
-  }
+  private def bucketColSpark(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until NBits).map(j => dotSign(emb, j, 1L << j)).reduce(_ + _)
 
   private def bucketSqlDuck(emb: String): String = {
     val bits = (0 until NBits).map { j =>
@@ -125,7 +136,7 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val bucketed = embDouble(spark, dir)
-      .withColumn("bucket", expr(bucketExprSpark("emb")))
+      .withColumn("bucket", bucketColSpark(col("emb")))
     val queries = bucketed.where(s"vec_id < $QuerySetSize")
       .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm", "bucket")
     bucketed.join(broadcast(queries), Seq("bucket"))
@@ -241,17 +252,14 @@ object Similarity {
   val NdBandBits = 4
 
   /** Spark: array of NdBands band-bucket ids (sign bits of 4 hyperplane
-    * dots each), unrolled to constant-folded hyperplane literals.
+    * dots each), each plane a single array-literal Column.
     */
-  private def bandArrExprSpark(emb: String): String =
-    (0 until NdBands).map { b =>
+  private def bandArrCol(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until NdBands).map { b =>
       (0 until NdBandBits).map { j =>
-        val h = b * NdBandBits + j
-        val hp = (0 until Dim).map(i => hpExpr(h.toString, i.toString))
-          .mkString("array(", ", ", ")")
-        s"CASE WHEN graft_dot($emb, $hp) > 0 THEN ${1 << j} ELSE 0 END"
-      }.mkString("(", " + ", ")")
-    }.mkString("array(", ", ", ")")
+        dotSign(emb, b * NdBandBits + j, 1L << j)
+      }.reduce(_ + _)
+    }: _*)
 
   /** DuckDB: one SELECT per band (mirrors the Spark posexplode rows). */
   private def bandedSqlDuck: String =
@@ -268,7 +276,7 @@ object Similarity {
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = embDouble(spark, dir).cache()
     val banded = e
-      .withColumn("bands", expr(bandArrExprSpark("emb")))
+      .withColumn("bands", bandArrCol(col("emb")))
       .selectExpr("vec_id", "label", "posexplode(bands) AS (band, bh)")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.label") === col("y.label") && col("x.band") === col("y.band") &&
