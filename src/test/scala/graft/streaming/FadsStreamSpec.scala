@@ -66,6 +66,60 @@ class FadsStreamSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq, "streaming output must equal the batch oracle exactly")
   }
 
+  test("region-sharded streaming with fixed bounds equals batch globalNorm replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = Tables.load(spark, sfDir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].collect().sortBy(e => (e.ts, e.event_id))
+    // fixed domain bounds, as a batch pre-pass would compute them
+    val uLo = input.map(_.user_id.toDouble).min; val uHi = input.map(_.user_id.toDouble).max
+    val vLo = input.map(_.value).min; val vHi = input.map(_.value).max
+    val cfg = SparkEntry.eventsFadsConfig.copy(
+      fixedLo = Some(Array(uLo, vLo)), fixedHi = Some(Array(uHi, vHi)))
+    def region(v: Double): Long = math.min((v / 128.0).floor.toLong, 3L)
+
+    val stream = MemoryStream[Event]
+    val ckpt = Files.createTempDirectory("fads-shard-ckpt").toString
+    val query = FadsStream.anonymizeSharded(stream.toDS(), cfg,
+        shardOf = e => if (e.event_id < 0) e.user_id else region(e.value))
+      .writeStream.format("memory").queryName("gen_shard").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.grouped(250).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      // one drain sentinel per shard (routed by user_id when event_id < 0)
+      (0L until 4L).foreach(s =>
+        stream.addData(Event(-1L, Long.MaxValue, s, "", 0.0, "")))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("gen_shard").as[GenEvent].collect()
+      .map(g => (g.event_id, g.user_id_lo, g.user_id_hi, g.value_lo, g.value_hi, g.suppressed))
+      .sortBy(_._1)
+
+    val events = Tables.load(spark, sfDir, "events")
+      .withColumn("shard", org.apache.spark.sql.functions.expr(
+        "least(CAST(floor(value / 128.0) AS BIGINT), 3L)"))
+    val want = graft.ops.FadsBatch.anonymizeByKey(events, "shard",
+        Seq("user_id", "value"), "user_id", Seq("ts", "event_id"),
+        Tables.tsNanosToMillis("ts"), SparkEntry.eventsFadsConfig, globalNorm = true)
+      .collect().map { r =>
+        val u = r.getStruct(r.fieldIndex("user_id"))
+        val v = r.getStruct(r.fieldIndex("value"))
+        (r.getLong(r.fieldIndex("event_id")),
+          u.getDouble(0), u.getDouble(1), v.getDouble(0), v.getDouble(1),
+          r.getBoolean(r.fieldIndex("suppressed")))
+      }.sortBy(_._1)
+
+    assert(got.length == input.length, "cardinality after per-shard drains")
+    assert(got.toSeq == want.toSeq,
+      "sharded streaming with fixed bounds must equal the batch globalNorm replay")
+  }
+
   test("idle-timer drain flushes the buffer without a sentinel") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
