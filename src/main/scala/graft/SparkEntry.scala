@@ -80,6 +80,7 @@ object SparkEntry {
       ops.ExtendedQueries.all ++
       ops.SharedSql.all ++
       ops.Sketches.all ++
+      ops.AsofJoin.all ++
       pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
@@ -133,6 +134,7 @@ object SparkEntry {
       ops.ExtendedQueries.oracles ++
       ops.SharedSql.oracles ++
       ops.Sketches.oracles ++
+      ops.AsofJoin.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
