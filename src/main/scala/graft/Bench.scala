@@ -66,7 +66,7 @@ object Bench {
 
     // streaming throughput: unthrottled replay of `events` through the FADS
     // transformWithState operator, 10 micro-batches
-    val (streamSec, streamRows) = {
+    val (streamSec, streamRows, streamShardedSec) = {
       import spark.implicits._
       val events = Tables.load(spark, sfDir, "events")
         .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -93,9 +93,28 @@ object Bench {
         }
       }
       val sec = math.min(streamOnce(), streamOnce()) // best-of-2, like queries
+      // scale-out variant: 8 independent FADS shards (hash on user) — the
+      // 1000-executor shape; measures the streaming parallel speedup over
+      // the parity-faithful single stream
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      def streamOnceSharded(): Double = {
+        val ckpt = Files.createTempDirectory("bench-ckpt-sh").toString
+        timed {
+          val q = FadsStream.anonymizeSharded(
+              PacedReplay.stream(spark, stageDir, events.schema).as[Event],
+              SparkEntry.eventsFadsConfig, e => e.user_id % 8)
+            .writeStream.format("noop").outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(PacedReplay.trigger(0))
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        }
+      }
+      val shardedSec = math.min(streamOnceSharded(), streamOnceSharded())
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
       spark.streams.removeListener(listener)
-      (sec, nRows)
+      (sec, nRows, shardedSec)
     }
 
     // Locale.ROOT: the f-interpolator uses the JVM default locale — a
@@ -108,8 +127,9 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val streamRps = if (streamSec > 0) streamRows / streamSec else 0.0
+    val shardedRps = if (streamShardedSec > 0) streamRows / streamShardedSec else 0.0
     println(
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"n_queries":${queryTimes.size}}""")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"stream_sharded_rows_per_sec":${num(shardedRps, 1)},"n_queries":${queryTimes.size}}""")
     spark.stop()
   }
 }
