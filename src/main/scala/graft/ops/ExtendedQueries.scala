@@ -192,7 +192,27 @@ object ExtendedQueries {
       |  FROM lineitem GROUP BY 1)
       |ORDER BY ls""".stripMargin
 
+  /** Semi-structured extraction: the same `events.props` JSON field pulled
+    * two ways — schema-directed `from_json` (typed struct, the bulk-ETL
+    * path: one parse, full codegen) and `get_json_object` path lookup (the
+    * ad-hoc path). Both must agree; DuckDB extracts with its native JSON
+    * functions. Per-row only — scales as a scan.
+    */
+  def jsonParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events").selectExpr(
+      "event_id",
+      "CAST(from_json(props, 'k INT').k AS BIGINT) AS k_typed",
+      "CAST(get_json_object(props, '$.k') AS BIGINT) AS k_path")
+      .orderBy("event_id")
+
+  val jsonParseSql: String =
+    """SELECT event_id,
+      |       json_extract(props, '$.k')::BIGINT AS k_typed,
+      |       json_extract(props, '$.k')::BIGINT AS k_path
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_json_parse" -> jsonParse,
     "x_join_agg" -> joinAgg,
     "x_window_rank" -> windowRank,
     "x_setops" -> setOps,
@@ -203,6 +223,7 @@ object ExtendedQueries {
     "x_agg_stats" -> aggStats)
 
   val oracles: Map[String, String] = Map(
+    "x_json_parse" -> jsonParseSql,
     "x_join_agg" -> joinAggSql,
     "x_window_rank" -> windowRankSql,
     "x_setops" -> setOpsSql,
