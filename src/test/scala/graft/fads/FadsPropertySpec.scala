@@ -98,4 +98,25 @@ class FadsPropertySpec extends AnyFunSuite {
       assert(a == b)
     }
   }
+
+  test("property: fixed-bounds normalization keeps cardinality and containment") {
+    forAll(scenarioGen) { s =>
+      // fixed domain bounds strictly wider than the generator's [-50, 50]
+      val cfg = s.cfg.copy(
+        fixedLo = Some(Array.fill(s.cfg.nQid)(-100.0)),
+        fixedHi = Some(Array.fill(s.cfg.nQid)(100.0)))
+      val byId = s.rows.map(r => r.payload -> r).toMap
+      val out = new Engine(cfg).runAll(s.rows.iterator, (t: In) => t.arrivalMs).toSeq
+      assert(out.size == s.rows.size)
+      out.foreach { o =>
+        val orig = byId(o.payload)
+        orig.qids.indices.foreach { i =>
+          assert(o.lo(i) <= o.hi(i))
+          assert(orig.qids(i) >= o.lo(i) && orig.qids(i) <= o.hi(i))
+          // suppressed releases generalize to the FIXED bounds now
+          if (o.suppressed) assert(o.lo(i) == -100.0 && o.hi(i) == 100.0)
+        }
+      }
+    }
+  }
 }
