@@ -100,6 +100,58 @@ object PolyHash {
   }
 }
 
+/** Native expression fusing whitespace tokenization + per-token polynomial
+  * hash into ONE pass over the string: `graft_token_hashes(s)` ==
+  * `transform(split(s, ' '), w -> graft_polyhash(w))` bit-for-bit
+  * (empty segments — leading/trailing/consecutive spaces, empty string —
+  * hash to 0 exactly like the split form). The split+transform composition
+  * materializes a string array and runs an interpreted lambda per token;
+  * this emits the hash array directly, no intermediate strings. It is the
+  * front of every MinHash/shingle pipeline (graft.pipeline.Dedup).
+  */
+case class TokenHashes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    TokenHashes.hash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenHashes.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_hashes"
+}
+
+object TokenHashes {
+  /** Called from generated code. One pass: accumulate h=(h*31+c) mod 1e9+7,
+    * emit at each space and at end-of-string (split-with-limit=-1 parity:
+    * "" yields [0], trailing space yields a trailing 0).
+    */
+  def hash(s: String): ArrayData = {
+    var n = 1
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') n += 1; i += 1 }
+    val out = new Array[Long](n)
+    var h = 0L
+    var k = 0
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') { out(k) = h; k += 1; h = 0L }
+      else h = (h * 31 + c) % 1000000007L
+      i += 1
+    }
+    out(k) = h
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
 
   /** Idempotently register graft's native expressions on a session, making
@@ -110,5 +162,7 @@ object VectorExpressions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_polyhash", exprs => PolyHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_hashes", exprs => TokenHashes(exprs.head), "scala_udf")
   }
 }

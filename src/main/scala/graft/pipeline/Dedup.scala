@@ -107,8 +107,9 @@ object Dedup {
     */
   private def hashedShinglesDF(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .selectExpr("doc_id",
-        s"transform(split(text, ' '), w -> ${polyHashExpr("w")}) AS th")
+      // fused tokenizer+hash kernel — bit-equal to
+      // transform(split(text,' '), w -> graft_polyhash(w)), one pass
+      .selectExpr("doc_id", "graft_token_hashes(text) AS th")
       .selectExpr("doc_id",
         s"""explode(array_distinct(CASE WHEN size(th) >= 3
            |  THEN transform(sequence(1, size(th) - 2),

@@ -62,4 +62,23 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 0.0)
     assert(r.isNullAt(2))
   }
+
+  test("graft_token_hashes == transform(split) composition, incl. edge cases") {
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    // real corpus + handcrafted edge cases (empty, leading/trailing/double
+    // spaces — the split(limit=-1) empty-segment parity)
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("text")
+    val edges = Seq("", " ", "a", "a ", " a", "a  b", "one two three").toDF("text")
+    val rows = corpus.unionByName(edges)
+      .selectExpr(
+        "graft_token_hashes(text) AS fast",
+        "transform(split(text, ' '), w -> graft_polyhash(w)) AS slow")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]](0) == r.getAs[scala.collection.Seq[Long]](1))
+    }
+  }
 }
