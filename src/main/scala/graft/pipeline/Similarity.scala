@@ -234,6 +234,122 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
+  /** IVF with a TRAINED codebook: [[ivfTopK]]'s seeded centroids refined by
+    * [[KmRounds]] Lloyd iterations (assign to nearest centroid, recompute
+    * means). Cross-engine determinism of the means: per-dimension values are
+    * quantized to integers (`floor(x * 2^20 + 0.5)` — floor is unambiguous
+    * in both engines, unlike round-half ties), summed EXACTLY as BIGINTs
+    * (order-free), and divided once — so Spark and DuckDB derive
+    * bit-identical centroids, assignments, and final top-k.
+    *
+    * Scale: each round is one broadcast of the 16-row codebook + one
+    * map-side-combinable 64-sum aggregate — no corpus shuffle; training cost
+    * is rounds × scan.
+    */
+  val KmRounds = 2
+  val QScale = 1048576L // 2^20
+
+  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir).cache()
+    var cent = emb.where(s"vec_id < $NCentroids")
+      .selectExpr("vec_id AS c_id", "emb AS c_emb", "nrm AS c_nrm")
+    for (_ <- 1 to KmRounds) {
+      val assigned = emb.crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "emb", "c_id",
+          s"round(${cosineExpr("emb", "c_emb", "nrm", "c_nrm")}, 6) AS csim")
+        .withColumn("crk", expr(
+          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
+        .where("crk = 1")
+      val qsums = (0 until Dim).map(i =>
+        sum(expr(s"CAST(floor(element_at(emb, ${i + 1}) * $QScale.0 + 0.5) AS BIGINT)")).as(s"s$i"))
+      val meanArr = (0 until Dim)
+        .map(i => s"CAST(s$i AS DOUBLE) / CAST(cn * $QScale AS DOUBLE)")
+        .mkString("array(", ", ", ")")
+      cent = assigned.groupBy("c_id")
+        .agg(count(lit(1)).as("cn"), qsums: _*)
+        .selectExpr("c_id", s"$meanArr AS c_emb")
+        .selectExpr("c_id", "c_emb", "sqrt(graft_dot(c_emb, c_emb)) AS c_nrm")
+    }
+    def nearest(src: DataFrame, idAs: String, keep: Int): DataFrame =
+      src.crossJoin(broadcast(cent))
+        .selectExpr(s"vec_id AS $idAs", "emb", "nrm", "c_id",
+          s"round(${cosineExpr("emb", "c_emb", "nrm", "c_nrm")}, 6) AS csim")
+        .withColumn("crk", expr(
+          s"row_number() OVER (PARTITION BY $idAs ORDER BY csim DESC, c_id)"))
+        .where(s"crk <= $keep")
+    val assigned = nearest(emb, "vec_id", 1).select("vec_id", "emb", "nrm", "c_id")
+    val probes = nearest(emb.where(s"vec_id < $QuerySetSize"), "q_id", NProbe)
+      .selectExpr("q_id", "emb AS q_emb", "nrm AS q_nrm", "c_id")
+    probes.join(assigned, "c_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  val ivfTrainedTopKSql: String = {
+    def assignCte(centName: String, outName: String): String =
+      s"""$outName AS (
+         |  SELECT vec_id, emb, nrm, c_id FROM (
+         |    SELECT e.vec_id, e.emb, e.nrm, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             round(${cosineSql("e.emb", "c.c_emb", "e.nrm", "c.c_nrm")}, 6) DESC,
+         |             c.c_id) AS crk
+         |    FROM emb e, $centName c)
+         |  WHERE crk = 1)""".stripMargin
+    def meanCte(assignName: String, outName: String): String = {
+      val sums = (0 until Dim)
+        .map(i => s"sum(floor(emb[${i + 1}] * $QScale.0 + 0.5)::BIGINT) AS s$i")
+        .mkString(", ")
+      val arr = (0 until Dim)
+        .map(i => s"s$i::DOUBLE / (cn * $QScale)::DOUBLE")
+        .mkString("[", ", ", "]")
+      s"""${outName}_m AS (
+         |  SELECT c_id, count(*)::BIGINT AS cn, $sums FROM $assignName GROUP BY c_id),
+         |${outName}_e AS (SELECT c_id, $arr AS c_emb FROM ${outName}_m),
+         |$outName AS (SELECT c_id, c_emb,
+         |             sqrt(list_sum(list_transform(c_emb, v -> v * v))) AS c_nrm
+         |             FROM ${outName}_e)""".stripMargin
+    }
+    s"""WITH $embCte,
+       |cent0 AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
+       |          WHERE vec_id < $NCentroids),
+       |${assignCte("cent0", "a1")},
+       |${meanCte("a1", "cent1")},
+       |${assignCte("cent1", "a2")},
+       |${meanCte("a2", "cent2")},
+       |assigned AS (
+       |  SELECT vec_id, emb, nrm, c_id FROM (
+       |    SELECT e.vec_id, e.emb, e.nrm, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(${cosineSql("e.emb", "c.c_emb", "e.nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM emb e, cent2 c)
+       |  WHERE crk = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, q_nrm, c_id FROM (
+       |    SELECT e.vec_id AS q_id, e.emb AS q_emb, e.nrm AS q_nrm, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(${cosineSql("e.emb", "c.c_emb", "e.nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM emb e, cent2 c WHERE e.vec_id < $QuerySetSize)
+       |  WHERE crk <= $NProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |         round(${cosineSql("p.q_emb", "a.emb", "p.q_nrm", "a.nrm")}, 6) AS sim
+       |  FROM probes p JOIN assigned a USING (c_id) WHERE a.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on (label × banded
     * hyperplane-LSH bucket): candidates must share the label AND at least
     * one of [[NdBands]] sign-pattern band buckets; only candidates get the
@@ -313,11 +429,13 @@ object Similarity {
     "sim_bruteforce_topk" -> bruteForceTopK,
     "sim_lsh_topk" -> lshTopK,
     "sim_ivf_topk" -> ivfTopK,
+    "sim_ivf_trained_topk" -> ivfTrainedTopK,
     "dedup_embedding_cosine" -> embeddingNearDup)
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     "sim_lsh_topk" -> lshTopKSql,
     "sim_ivf_topk" -> ivfTopKSql,
+    "sim_ivf_trained_topk" -> ivfTrainedTopKSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql)
 }

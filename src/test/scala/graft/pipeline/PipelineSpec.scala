@@ -84,6 +84,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(bf.nonEmpty)
   }
 
+  test("trained IVF returns k ranked candidates bounded by the exact best") {
+    val bfBest = Similarity.bruteForceTopK(spark, dir).collect()
+      .filter(_.getAs[Long]("rk") == 1L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("sim")).toMap
+    val byQ = Similarity.ivfTrainedTopK(spark, dir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == Similarity.TopK)
+      val sims = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "ranked desc")
+      // an ANN candidate can never beat the exact best match
+      assert(sims.head <= bfBest(q) + 1e-9)
+    }
+  }
+
   test("duplicate clusters: transitive closure matches a union-find oracle") {
     val pairs = Dedup.jaccardLshGated(spark, dir)
       .select("doc_a", "doc_b").collect()
