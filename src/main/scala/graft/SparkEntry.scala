@@ -81,6 +81,7 @@ object SparkEntry {
       ops.SharedSql.all ++
       ops.Sketches.all ++
       ops.AsofJoin.all ++
+      ops.SkewJoin.all ++
       pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
@@ -121,7 +122,24 @@ object SparkEntry {
         pipeline.CleanCorpus.query(s, dir)),
       // O1/O2 end-to-end: reference-format taxi CSV lines → typed rides
       "taxi_parse" -> ((s: SparkSession, dir: String) =>
-        sources.TaxiRideSource.parseQuery(s, dir))
+        sources.TaxiRideSource.parseQuery(s, dir)),
+      // THE reference pipeline, end-to-end: taxi lines → typed rides → FADS
+      // generalizer with the job's exact config (k=10, buffer=30, TTL=60 s,
+      // QIDs={rideId, taxiId, endTime}, pid=rideId —
+      // TransactionGeneralizationJob.java:66-71); deterministic clock =
+      // startTime. Stateful-sequential ⇒ rows-only, like the q9 family.
+      "taxi_fads_replay" -> ((s: SparkSession, dir: String) => {
+        val rides = sources.TaxiRideSource.syntheticRides(s, dir)
+        FadsBatch.flattenIntervals(
+          FadsBatch.anonymize(rides,
+            qidCols = Seq("rideId", "taxiId", "endTime"),
+            pidCol = "rideId",
+            orderCols = Seq("startTime", "rideId"),
+            clockCol = col("startTime"),
+            cfg = Fads.Config(k = 10, bufferConstraint = 30,
+              reuseTtlMs = 60000L, nQid = 3)),
+          Seq("rideId", "taxiId", "endTime"))
+      })
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,6 +153,7 @@ object SparkEntry {
       ops.SharedSql.oracles ++
       ops.Sketches.oracles ++
       ops.AsofJoin.oracles ++
+      ops.SkewJoin.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Salting for skew-resistant joins — the manual fallback when AQE's skew
   * handling can't apply (e.g. the skewed side feeds a stateful op, or the
@@ -26,4 +27,32 @@ object SkewJoin {
       explode(sequence(lit(0), lit(nSalts - 1))))
     saltedLarge.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Driver row: per-nation revenue through an 8-way SALTED lineitem ⋈
+    * supplier join. The oracle is the PLAIN join — salting is an internal
+    * rewrite that must not change the result multiset, and the hash-gate
+    * proves it (exact decimal sums, so aggregation order can't leak in).
+    */
+  def skewJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_suppkey AS s_suppkey", "CAST(l_extendedprice AS DECIMAL(18,2)) AS price")
+    val supp = Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    saltedJoin(li, supp, "s_suppkey", nSalts = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum("price").cast("double").as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
+  val skewJoinSql: String =
+    """SELECT s_nationkey, count(*)::BIGINT AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_skew_join" -> skewJoinQuery)
+
+  val oracles: Map[String, String] = Map(
+    "x_skew_join" -> skewJoinSql)
 }

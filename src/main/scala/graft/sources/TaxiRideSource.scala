@@ -78,7 +78,13 @@ object TaxiRideSource {
     * for END rows (NYCTaxiRideSource.java:226-231), UTC `yyyy-MM-dd HH:mm:ss`
     * → epoch-ms, empty lon/lat → 0.0 (:232-239).
     */
-  def parseQuery(spark: SparkSession, dir: String): DataFrame = {
+  def parseQuery(spark: SparkSession, dir: String): DataFrame =
+    syntheticRides(spark, dir).orderBy("rideId")
+
+  /** Reference-format synthetic rides (the [[parseQuery]] generator without
+    * the output ordering — also feeds the end-to-end taxi FADS replay).
+    */
+  def syntheticRides(spark: SparkSession, dir: String): DataFrame = {
     val lines = graft.Tables.load(spark, dir, "events")
       .selectExpr(
         "event_id", "user_id",
@@ -100,7 +106,7 @@ object TaxiRideSource {
           |  CAST(1 + event_id % 6 AS STRING),
           |  CAST(1000 + user_id AS STRING),
           |  CAST(2000 + user_id AS STRING)) AS value""".stripMargin)
-    parse(lines).orderBy("rideId")
+    parse(lines)
   }
 
   /** DuckDB oracle: the expected parse output computed straight from the

@@ -57,6 +57,23 @@ class TaxiRideSourceSpec extends AnyFunSuite {
     assert(empty.getAs[Long]("taxiId") == 101L)
   }
 
+  test("end-to-end taxi FADS replay preserves cardinality with sane intervals") {
+    val dir = "/root/testdata/sf0.001"
+    val nRides = TaxiRideSource.syntheticRides(spark, dir).count()
+    val out = graft.SparkEntry.queries("taxi_fads_replay")(spark, dir).collect()
+    assert(out.length == nRides, "one release per ride after drain")
+    // QID intervals well-formed; taxiId intervals stay inside the generated
+    // taxiId domain [1000, 1000 + maxUser]
+    val maxTaxi = 1000.0 + out.map(_.getAs[Long]("driverId")).max - 2000.0
+    out.foreach { r =>
+      Seq("rideId", "taxiId", "endTime").foreach { q =>
+        assert(r.getAs[Double](s"${q}_lo") <= r.getAs[Double](s"${q}_hi"))
+      }
+      assert(r.getAs[Double]("taxiId_lo") >= 1000.0 &&
+        r.getAs[Double]("taxiId_hi") <= maxTaxi)
+    }
+  }
+
   test("contiguous PID is dense from 0 and order-stable") {
     val path = writeGz((0 until 25).map(i =>
       s"$i,START,2013-01-01 00:00:0${i % 10},2013-01-01 00:10:00,1.0,2.0,3.0,4.0,1,${i + 1000},${i + 2000}"))
