@@ -295,6 +295,7 @@ object Dedup {
     var labels = bidir.groupBy(col("src").as("doc_id"))
       .agg(least(col("src"), min("dst")).as("comp"))
       .repartition(parts, col("doc_id")).cache()
+    var cachedRound = labels // handle to the round's cached frame
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -308,6 +309,8 @@ object Dedup {
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .cache()
       changed = next.where("comp != oc").count()
+      cachedRound.unpersist() // superseded — don't accumulate cached rounds
+      cachedRound = next
       labels = next.select("doc_id", "comp")
       iter += 1
     }
