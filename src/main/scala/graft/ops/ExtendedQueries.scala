@@ -72,6 +72,52 @@ object ExtendedQueries {
       |  FROM orders)
       |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
 
+  /** Analytic window FRAMES (SURVEY §2.2 names ranking/analytic/frames —
+    * this is the frames/analytic leg): bounded moving frame (last-4-orders
+    * spend), frame-derived moving average, lag and first_value per customer
+    * order history. Exact decimal frame sums; the moving average is one
+    * double division of exact operands — deterministic in both engines.
+    */
+  def windowFrames(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .selectExpr("o_custkey", "o_orderkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000L AS day",
+        "o_totalprice")
+      .selectExpr("o_custkey", "o_orderkey", "day", "o_totalprice",
+        """CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+          |  (PARTITION BY o_custkey ORDER BY day, o_orderkey
+          |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS last4_spend""".stripMargin,
+        """CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+          |  (PARTITION BY o_custkey ORDER BY day, o_orderkey
+          |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          | / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+          |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS last4_avg""".stripMargin,
+        """lag(o_totalprice, 1) OVER
+          |  (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS prev_price""".stripMargin,
+        """first_value(o_orderkey) OVER
+          |  (PARTITION BY o_custkey ORDER BY day, o_orderkey
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order""".stripMargin)
+      .orderBy("o_custkey", "day", "o_orderkey")
+
+  val windowFramesSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       epoch_us(o_orderdate) // 86400000000 AS day, o_totalprice,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |         (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey
+      |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS last4_spend,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |         (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey
+      |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |        / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey
+      |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS last4_avg,
+      |       lag(o_totalprice, 1) OVER
+      |         (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey) AS prev_price,
+      |       first_value(o_orderkey) OVER
+      |         (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
+      |FROM orders
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   /** Set operations: large parts (size > 30) that never shipped. EXCEPT =
     * left-anti + distinct under the hood; both engines use set semantics.
     */
@@ -213,6 +259,7 @@ object ExtendedQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_json_parse" -> jsonParse,
+    "x_window_frames" -> windowFrames,
     "x_join_agg" -> joinAgg,
     "x_window_rank" -> windowRank,
     "x_setops" -> setOps,
@@ -224,6 +271,7 @@ object ExtendedQueries {
 
   val oracles: Map[String, String] = Map(
     "x_json_parse" -> jsonParseSql,
+    "x_window_frames" -> windowFramesSql,
     "x_join_agg" -> joinAggSql,
     "x_window_rank" -> windowRankSql,
     "x_setops" -> setOpsSql,

@@ -54,6 +54,41 @@ class WindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows merge within the gap and close via watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, session_window, unix_millis}
+    val stream = MemoryStream[Event]
+    val ckpt = Files.createTempDirectory("sess-ckpt").toString
+    val q = stream.toDF()
+      .withColumn("event_ts", Windows.tsCol("ts"))
+      .withWatermark("event_ts", "30 minutes")
+      .groupBy(session_window(col("event_ts"), "30 minutes"), col("user_id"))
+      .count()
+      .select(
+        unix_millis(col("session_window.start")).as("s"),
+        unix_millis(col("session_window.end")).as("e"),
+        col("user_id"), col("count"))
+      .writeStream.format("memory").queryName("sess_out").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // user 1 (ids ≡ 1 mod 7): 10:00 and 10:10 merge (gap 30 min);
+      // 10:50 starts a fresh session (10:40 close < 10:50)
+      stream.addData(ev(1, 10, 0, "a", 1.0), ev(8, 10, 10, "a", 1.0), ev(15, 10, 50, "a", 1.0))
+      q.processAllAvailable()
+      // watermark pusher: hour 13 - 30 min lateness = 12:30 > all session ends
+      stream.addData(ev(2, 13, 0, "b", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("s") / 60000, r.getAs[Long]("e") / 60000,
+          r.getAs[Long]("user_id"), r.getAs[Long]("count"))).toSet
+      val h = 600L // 10:00 in minutes
+      assert(got.contains((h, h + 40, 1L, 2L)), s"merged session wrong: $got")
+      assert(got.contains((h + 50, h + 80, 1L, 1L)), s"fresh session wrong: $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per key and evicts state past the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
