@@ -123,6 +123,9 @@ object SparkEntry {
       // O1/O2 end-to-end: reference-format taxi CSV lines → typed rides
       "taxi_parse" -> ((s: SparkSession, dir: String) =>
         sources.TaxiRideSource.parseQuery(s, dir)),
+      // O3's error-tolerant twin: PERMISSIVE CSV parse accounting
+      "x_csv_permissive" -> ((s: SparkSession, dir: String) =>
+        sources.CsvParser.permissiveQuery(s, dir)),
       // THE reference pipeline, end-to-end: taxi lines → typed rides → FADS
       // generalizer with the job's exact config (k=10, buffer=30, TTL=60 s,
       // QIDs={rideId, taxiId, endTime}, pid=rideId —
@@ -164,5 +167,6 @@ object SparkEntry {
         "stream_session_counts" -> streaming.Windows.sessionCountsSql,
         "stream_dedup_first" -> streaming.StreamingDedup.firstPerKeySql,
         "pipeline_clean_corpus" -> pipeline.CleanCorpus.sql,
-        "taxi_parse" -> sources.TaxiRideSource.parseQuerySql)
+        "taxi_parse" -> sources.TaxiRideSource.parseQuerySql,
+        "x_csv_permissive" -> sources.CsvParser.permissiveSql)
 }

@@ -39,4 +39,33 @@ object CsvParser {
   def read(spark: SparkSession, path: String, schema: StructType,
       delimiter: String = ","): DataFrame =
     parse(spark.read.text(path), schema, delimiter)
+
+  /** Driver row for the error-TOLERANT path (the reference only throws —
+    * FAILFAST parity is `strict = true`; production ingest needs PERMISSIVE):
+    * synthesize CSV lines where every 13th record carries an unparseable
+    * third field, parse with `strict = false`, and account for the damage —
+    * bad fields become nulls, rows survive, good values aggregate exactly.
+    */
+  def permissiveQuery(spark: SparkSession, dir: String): DataFrame = {
+    val lines = graft.Tables.load(spark, dir, "events").selectExpr(
+      """concat_ws(',',
+        |  CAST(event_id AS STRING),
+        |  CAST(user_id AS STRING),
+        |  CASE WHEN event_id % 13 = 0 THEN 'xx'
+        |       ELSE CAST(CAST(floor(value) AS BIGINT) AS STRING) END) AS value""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType),
+      StructField("c", LongType)))
+    parse(lines, schema, strict = false)
+      .selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_rows",
+        "CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad",
+        "CAST(sum(coalesce(c, 0)) AS BIGINT) AS c_sum")
+  }
+
+  val permissiveSql: String =
+    """SELECT count(*)::BIGINT AS n_rows,
+      |       sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_bad,
+      |       sum(CASE WHEN event_id % 13 <> 0 THEN floor(value)::BIGINT ELSE 0 END)::BIGINT AS c_sum
+      |FROM events""".stripMargin
 }
