@@ -172,6 +172,29 @@ object ExtendedQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  /** CUBE — all 2^n grouping combinations (the rollup's sibling named in
+    * SURVEY §2.2; one Expand + one shuffle, partial-aggregated like any
+    * groupBy).
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("st"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("pri"),
+        col("n"), col("total"))
+      .orderBy("st", "pri")
+
+  val cubeAggSql: String =
+    """SELECT coalesce(o_orderstatus, '(all)') AS st,
+      |       coalesce(o_orderpriority, '(all)') AS pri,
+      |       count(*)::BIGINT AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY st, pri""".stripMargin
+
   /** Sort + limit (global top-k → TakeOrderedAndProject, no full sort). */
   def sortLimit(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
@@ -265,6 +288,7 @@ object ExtendedQueries {
     "x_setops" -> setOps,
     "x_semi_anti" -> semiAnti,
     "x_rollup" -> rollupAgg,
+    "x_cube" -> cubeAgg,
     "x_sort_limit" -> sortLimit,
     "x_scalar_funcs" -> scalarFuncs,
     "x_agg_stats" -> aggStats)
@@ -277,6 +301,7 @@ object ExtendedQueries {
     "x_setops" -> setOpsSql,
     "x_semi_anti" -> semiAntiSql,
     "x_rollup" -> rollupAggSql,
+    "x_cube" -> cubeAggSql,
     "x_sort_limit" -> sortLimitSql,
     "x_scalar_funcs" -> scalarFuncsSql,
     "x_agg_stats" -> aggStatsSql)
