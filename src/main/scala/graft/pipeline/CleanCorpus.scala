@@ -48,7 +48,11 @@ object CleanCorpus {
 
     // stage 3: near-dup gate — LSH-gated confirmed Jaccard pairs kill the
     // higher id (the full-scale flow: candidate pairs from MinHash-LSH,
-    // exact Jaccard only on candidates — never the all-pairs shingle join)
+    // exact Jaccard only on candidates — never the all-pairs shingle join).
+    // Killing every doc_b is already TRANSITIVELY correct for keeper
+    // survival: pairs are oriented doc_a < doc_b, so a duplicate cluster's
+    // minimum member never appears as a doc_b and always survives — the
+    // same keeper Dedup.duplicateClusters (connected components) selects.
     val losers = Dedup.jaccardLshGated(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
     val clean = surviving.join(losers, Seq("doc_id"), "left_anti")
