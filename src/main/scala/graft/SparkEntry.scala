@@ -82,6 +82,7 @@ object SparkEntry {
       ops.Sketches.all ++
       ops.AsofJoin.all ++
       ops.SkewJoin.all ++
+      ops.FadsInvariants.all ++
       pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
@@ -157,6 +158,7 @@ object SparkEntry {
       ops.Sketches.oracles ++
       ops.AsofJoin.oracles ++
       ops.SkewJoin.oracles ++
+      ops.FadsInvariants.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++

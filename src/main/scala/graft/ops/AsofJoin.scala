@@ -23,30 +23,41 @@ object AsofJoin {
   /** Generic as-of join. `right` must be unique per (key, time) — pre-dedupe
     * if not (ties would make the carried row nondeterministic).
     *
+    * The payload is carried as ONE struct column, not per-column: a per-column
+    * `last(c, ignoreNulls)` would let a matched right row with a NULL payload
+    * field inherit that field from an OLDER right row — true ASOF semantics
+    * (and DuckDB's ASOF JOIN) take every field from the single matched row,
+    * NULLs included. The struct itself is non-null on every right row, so
+    * `last(struct, ignoreNulls)` pins the whole row at once.
+    *
     * @param payloadCols right-side columns to carry (become nullable on the
     *                    left rows that precede every right row of their key)
     */
   def asof(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
       payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    val restCols = leftCols.filterNot(c => c == keyCol || c == timeCol)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(right.schema.fieldIndex(c))))
     // right rows sort BEFORE left rows at equal time (tag 0 < 1): an exact
     // time tie matches (as-of is <=)
     val taggedRight = right.select(
-      (Seq(col(keyCol), col(timeCol), lit(0).as("__tag")) ++
-        payloadCols.map(col) ++
-        leftCols.filterNot(c => c == keyCol || c == timeCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+      (Seq(col(keyCol), col(timeCol), lit(0).as("__tag"),
+        struct(payloadCols.map(col): _*).as("__p")) ++
+        restCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
-      (Seq(col(keyCol), col(timeCol), lit(1).as("__tag")) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
-        leftCols.filterNot(c => c == keyCol || c == timeCol).map(col)): _*)
+      (Seq(col(keyCol), col(timeCol), lit(1).as("__tag"),
+        lit(null).cast(payloadType).as("__p")) ++
+        restCols.map(col)): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(col(timeCol), col("__tag"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val carried = payloadCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__tag") === 1).drop("__tag")
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    carried.where(col("__tag") === 1)
+      .select((Seq(col(keyCol), col(timeCol)) ++
+        payloadCols.map(c => col(s"__p.$c").as(c)) ++
+        restCols.map(col)): _*)
   }
 
   /** Driver row: for each event (key = user_id, with a deterministic

@@ -270,7 +270,9 @@ object ExtendedQueries {
   def jsonParse(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events").selectExpr(
       "event_id",
-      "CAST(from_json(props, 'k INT').k AS BIGINT) AS k_typed",
+      // k BIGINT, not INT: an out-of-int32 props.k would NULL the typed path
+      // while the other two paths return the value (ADVICE r2)
+      "CAST(from_json(props, 'k BIGINT').k AS BIGINT) AS k_typed",
       "CAST(get_json_object(props, '$.k') AS BIGINT) AS k_path")
       .orderBy("event_id")
 

@@ -280,7 +280,14 @@ object Dedup {
     * connected-components shape, cf. GraphX) — no row data ever reaches the
     * driver.
     */
-  def duplicateClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** @param maxIters iteration cap ≙ max component diameter the resolution
+    *        can close (near-dup components are near-cliques, diameter 2-3;
+    *        20 covers pathological chains). Exceeding it THROWS rather than
+    *        returning silently-unconverged keepers — wrong labels would
+    *        propagate into deletion decisions downstream.
+    */
+  def duplicateClusters(spark: SparkSession, dir: String,
+      maxIters: Int = 20): DataFrame = {
     val edges = jaccardLshGated(spark, dir).select("doc_a", "doc_b").cache()
     // size the iteration to the EDGE LIST, not the corpus: confirmed pairs
     // are a vanishing fraction of the input, and label propagation pays a
@@ -298,7 +305,7 @@ object Dedup {
     var cachedRound = labels // handle to the round's cached frame
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < maxIters) {
       val prop = bidir.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min("comp").as("ncomp"))
       // carry the old comp through the join so materializing `next` (one
@@ -314,6 +321,11 @@ object Dedup {
       labels = next.select("doc_id", "comp")
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters: label propagation not converged after $maxIters " +
+          s"iterations ($changed labels still changing) — raise maxIters " +
+          "(component diameter exceeds the cap)")
     labels.selectExpr("doc_id", "comp AS keeper").orderBy("doc_id")
   }
 
@@ -376,7 +388,7 @@ object Dedup {
     "dedup_minhash_sig" -> minhashSignatures,
     "dedup_minhash_lsh" -> minhashCandidates,
     "dedup_simhash" -> simhash,
-    "dedup_components" -> duplicateClusters)
+    "dedup_components" -> ((s: SparkSession, dir: String) => duplicateClusters(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,

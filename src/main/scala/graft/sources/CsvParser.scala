@@ -47,12 +47,16 @@ object CsvParser {
     * bad fields become nulls, rows survive, good values aggregate exactly.
     */
   def permissiveQuery(spark: SparkSession, dir: String): DataFrame = {
+    // concat_ws silently SKIPS null arguments — a NULL source field would
+    // drop its CSV slot and shift the row's arity; coalesce to '' keeps the
+    // slot (an empty field parses to NULL downstream, counted in n_bad like
+    // any other bad field) (ADVICE r2)
     val lines = graft.Tables.load(spark, dir, "events").selectExpr(
       """concat_ws(',',
-        |  CAST(event_id AS STRING),
-        |  CAST(user_id AS STRING),
+        |  coalesce(CAST(event_id AS STRING), ''),
+        |  coalesce(CAST(user_id AS STRING), ''),
         |  CASE WHEN event_id % 13 = 0 THEN 'xx'
-        |       ELSE CAST(CAST(floor(value) AS BIGINT) AS STRING) END) AS value""".stripMargin)
+        |       ELSE coalesce(CAST(CAST(floor(value) AS BIGINT) AS STRING), '') END) AS value""".stripMargin)
     val schema = StructType(Seq(
       StructField("a", LongType), StructField("b", LongType),
       StructField("c", LongType)))

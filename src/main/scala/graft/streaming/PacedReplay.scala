@@ -33,8 +33,10 @@ object PacedReplay {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField("__chunk", org.apache.spark.sql.types.StringType))
+    // %09d: lexicographic == numeric order up to 1e9 chunks (%05d broke at
+    // 100k — chunk "100000" sorts before "99999"; ADVICE r2)
     val withChunk = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ "%05d".format(i / rowsPerFile))
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ "%09d".format(i / rowsPerFile))
     }
     df.sparkSession.createDataFrame(withChunk, schema)
       .repartition(col("__chunk"))
