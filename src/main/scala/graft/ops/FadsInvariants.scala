@@ -45,12 +45,19 @@ object FadsInvariants {
   private def withOrig(df: DataFrame, qidCols: Seq[String]): DataFrame =
     qidCols.foldLeft(df)((d, q) => d.withColumn(s"orig_$q", col(q)))
 
-  /** Row-level containment violation: original value outside [lo, hi]. */
+  /** Row-level containment violation: original value outside [lo, hi].
+    * NULL-hardened: a NULL orig/lo/hi makes the comparison NULL, and `sum`
+    * would silently drop it — so un-evaluable rows COUNT AS violations
+    * (a corrupted replay that nulls its interval bounds must fail the gate,
+    * not slip past it).
+    */
   private def violation(qidCols: Seq[String]): Column =
-    qidCols
-      .map(q =>
-        col(s"orig_$q") < col(s"${q}_lo") || col(s"orig_$q") > col(s"${q}_hi"))
-      .reduce(_ || _)
+    coalesce(
+      qidCols
+        .map(q =>
+          col(s"orig_$q") < col(s"${q}_lo") || col(s"orig_$q") > col(s"${q}_hi"))
+        .reduce(_ || _),
+      lit(true))
 
   /** One-row invariant summary over a flattened replay output.
     *
@@ -155,7 +162,7 @@ object FadsInvariants {
     */
   def shardedInvariants(spark: SparkSession, dir: String): DataFrame = {
     val events = withOrig(Tables.load(spark, dir, "events"), Seq("user_id", "value"))
-      .withColumn("shard", pmod(col("user_id"), lit(8)))
+      .withColumn("shard", graft.SparkEntry.hashShard)
     val flat = FadsBatch.flattenIntervals(
       FadsBatch.anonymizeByKey(
         events, shardCol = "shard",
@@ -175,7 +182,7 @@ object FadsInvariants {
     */
   def regionInvariants(spark: SparkSession, dir: String): DataFrame = {
     val events = withOrig(Tables.load(spark, dir, "events"), Seq("user_id", "value"))
-      .withColumn("shard", least(floor(col("value") / 64.0), lit(7L)))
+      .withColumn("shard", graft.SparkEntry.regionShard)
     val flat = FadsBatch.flattenIntervals(
       FadsBatch.anonymizeByKey(
         events, shardCol = "shard",

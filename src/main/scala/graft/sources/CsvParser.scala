@@ -67,9 +67,18 @@ object CsvParser {
         "CAST(sum(coalesce(c, 0)) AS BIGINT) AS c_sum")
   }
 
+  /** Oracle mirror of the Spark-side accounting INCLUDING the NULL paths
+    * (ADVICE r3): field `c` parses to NULL — and counts in n_bad — when the
+    * row was deliberately corrupted (event_id % 13 = 0) OR the source value
+    * was NULL (coalesced to an empty CSV slot above). `coalesce(..., false)`
+    * keeps a hypothetical NULL event_id on the same branch both engines take
+    * (Spark's CASE treats a NULL predicate as false).
+    */
   val permissiveSql: String =
     """SELECT count(*)::BIGINT AS n_rows,
-      |       sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_bad,
-      |       sum(CASE WHEN event_id % 13 <> 0 THEN floor(value)::BIGINT ELSE 0 END)::BIGINT AS c_sum
+      |       sum(CASE WHEN coalesce(event_id % 13 = 0, false) OR value IS NULL
+      |                THEN 1 ELSE 0 END)::BIGINT AS n_bad,
+      |       sum(CASE WHEN NOT coalesce(event_id % 13 = 0, false) AND value IS NOT NULL
+      |                THEN floor(value)::BIGINT ELSE 0 END)::BIGINT AS c_sum
       |FROM events""".stripMargin
 }
