@@ -49,11 +49,15 @@ object CleanCorpus {
     // stage 3: near-dup gate — LSH-gated confirmed Jaccard pairs kill the
     // higher id (the full-scale flow: candidate pairs from MinHash-LSH,
     // exact Jaccard only on candidates — never the all-pairs shingle join).
-    // Killing every doc_b is already TRANSITIVELY correct for keeper
-    // survival: pairs are oriented doc_a < doc_b, so a duplicate cluster's
-    // minimum member never appears as a doc_b and always survives — the
-    // same keeper Dedup.duplicateClusters (connected components) selects.
-    val losers = Dedup.jaccardLshGated(spark, dir)
+    // Pairs are computed over the SURVIVING set, not the raw corpus, so a
+    // doc is only killed when its keeper (the pair's lower id) itself
+    // survived quality + exact dedup — no over-kill by an absent twin
+    // (round-2 verdict item 6). Killing every doc_b is then TRANSITIVELY
+    // correct for keeper survival: pairs are oriented doc_a < doc_b, so a
+    // duplicate cluster's minimum SURVIVING member never appears as a doc_b
+    // — the same keeper Dedup.duplicateClusters (connected components)
+    // would select on this corpus.
+    val losers = Dedup.jaccardLshGated(surviving.select("doc_id", "text"))
       .select(col("doc_b").as("doc_id")).distinct()
     val clean = surviving.join(losers, Seq("doc_id"), "left_anti")
 
@@ -76,10 +80,11 @@ object CleanCorpus {
        |    AND len(regexp_extract_all(lower(text), '$markers'))::DOUBLE
        |        / len(string_split(text, ' ')) >= $MinStopRatio),
        |keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-       |${Dedup.lshGatedCtes},
+       |surv AS (SELECT q.* FROM q JOIN keepers USING (doc_id)),
+       |${Dedup.lshGatedCtes("surv")},
        |losers AS (SELECT DISTINCT doc_b AS doc_id FROM gated),
-       |clean AS (SELECT q.* FROM q JOIN keepers USING (doc_id)
-       |          WHERE q.doc_id NOT IN (SELECT doc_id FROM losers))
+       |clean AS (SELECT surv.* FROM surv
+       |          WHERE surv.doc_id NOT IN (SELECT doc_id FROM losers))
        |SELECT doc_id, ${TextAnalysis.polyHashSql("text")} AS fp_full,
        |       n_chars_m, n_tokens,
        |       n_stop::DOUBLE / n_tokens AS stop_ratio

