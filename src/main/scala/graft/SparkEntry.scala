@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fads.Fads
 import graft.ops.FadsBatch
@@ -14,6 +14,16 @@ object SparkEntry {
     */
   val eventsFadsConfig: Fads.Config =
     Fads.Config(k = 10, bufferConstraint = 30, reuseTtlMs = 60000L, nQid = 2)
+
+  /** Shard-key expressions shared by the scale-out replays AND their
+    * invariant gates ([[ops.FadsInvariants]]) — single definitions so a gate
+    * can never silently check a differently-sharded pipeline than the one
+    * the released query runs (the same no-drift rule as `eventsFadsConfig`).
+    */
+  val hashShard: Column = pmod(col("user_id"), lit(8))
+
+  /** value ∈ [0, ~500): 8 fixed-width regions of the QID space. */
+  val regionShard: Column = least(floor(col("value") / 64.0), lit(7L))
 
   def fadsReplay(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
@@ -38,8 +48,7 @@ object SparkEntry {
     */
   def fadsReplayRegionSharded(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
-      // value ∈ [0, ~500): 8 fixed-width regions of the QID space
-      .withColumn("shard", least(floor(col("value") / 64.0), lit(7L)))
+      .withColumn("shard", regionShard)
     FadsBatch.anonymizeByKey(
       events,
       shardCol = "shard",
@@ -56,7 +65,7 @@ object SparkEntry {
     */
   def fadsReplaySharded(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
-      .withColumn("shard", pmod(col("user_id"), lit(8)))
+      .withColumn("shard", hashShard)
     FadsBatch.anonymizeByKey(
       events,
       shardCol = "shard",
@@ -78,6 +87,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalQueries.all ++
       ops.ExtendedQueries.all ++
+      ops.FunctionSuites.all ++
       ops.SharedSql.all ++
       ops.Sketches.all ++
       ops.AsofJoin.all ++
@@ -104,6 +114,8 @@ object SparkEntry {
         streaming.Windows.sessionCountsQuery(s, dir)),
       "stream_dedup_first" -> ((s: SparkSession, dir: String) =>
         streaming.StreamingDedup.firstPerKeyQuery(s, dir)),
+      "stream_interval_join" -> ((s: SparkSession, dir: String) =>
+        streaming.StreamJoin.intervalJoinQuery(s, dir)),
       // reference-parity replay: quirk Q2 (distance precedence bug) + Q4
       // (PID filter disabled) enabled. NOTE: Q3 (the :355 raw-field index
       // bug) is not replayable — the engine sees extracted QID values only
@@ -154,6 +166,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.RelationalQueries.oracles ++
       ops.ExtendedQueries.oracles ++
+      ops.FunctionSuites.oracles ++
       ops.SharedSql.oracles ++
       ops.Sketches.oracles ++
       ops.AsofJoin.oracles ++
@@ -168,6 +181,7 @@ object SparkEntry {
         "stream_sliding_counts" -> streaming.Windows.slidingCountsSql,
         "stream_session_counts" -> streaming.Windows.sessionCountsSql,
         "stream_dedup_first" -> streaming.StreamingDedup.firstPerKeySql,
+        "stream_interval_join" -> streaming.StreamJoin.intervalJoinSql,
         "pipeline_clean_corpus" -> pipeline.CleanCorpus.sql,
         "taxi_parse" -> sources.TaxiRideSource.parseQuerySql,
         "x_csv_permissive" -> sources.CsvParser.permissiveSql)

@@ -134,6 +134,51 @@ object ExtendedQueries {
       |SELECT l_partkey AS k FROM lineitem
       |ORDER BY k""".stripMargin
 
+  /** FULL OUTER join — year-over-year customer activity (1996 vs 1997):
+    * customers active in only one of the two years surface as a null side
+    * (493 such at sf0.01), so the outer semantics are actually exercised,
+    * not vacuously inner. The USING-style join key coalesces across sides
+    * in both engines. Plan: two partial-aggregated groupBys feeding one
+    * shuffled full-outer hash join on the same key — co-partitioned, no
+    * extra exchange; at 100 TB both sides shuffle on o_custkey once.
+    */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    def yearAgg(yr: Int, n: String, spend: String): DataFrame =
+      o.where(year(col("o_orderdate")) === yr)
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as(n),
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast("double").as(spend))
+    yearAgg(1996, "n_96", "spend_96")
+      .join(yearAgg(1997, "n_97", "spend_97"), Seq("o_custkey"), "full_outer")
+      .select(
+        col("o_custkey"),
+        coalesce(col("n_96"), lit(0L)).as("n_96"),
+        coalesce(col("n_97"), lit(0L)).as("n_97"),
+        (coalesce(col("n_97"), lit(0L)) - coalesce(col("n_96"), lit(0L))).as("delta_n"),
+        coalesce(col("spend_96"), lit(0.0)).as("spend_96"),
+        coalesce(col("spend_97"), lit(0.0)).as("spend_97"))
+      .orderBy("o_custkey")
+  }
+
+  val outerJoinSql: String =
+    """SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+      |       COALESCE(a.n_96, 0)::BIGINT AS n_96,
+      |       COALESCE(b.n_97, 0)::BIGINT AS n_97,
+      |       (COALESCE(b.n_97, 0) - COALESCE(a.n_96, 0))::BIGINT AS delta_n,
+      |       COALESCE(a.spend_96, 0.0) AS spend_96,
+      |       COALESCE(b.spend_97, 0.0) AS spend_97
+      |FROM (SELECT o_custkey, count(*)::BIGINT AS n_96,
+      |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend_96
+      |      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey) a
+      |FULL OUTER JOIN
+      |     (SELECT o_custkey, count(*)::BIGINT AS n_97,
+      |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend_97
+      |      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey) b
+      |ON a.o_custkey = b.o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   /** Semi/anti joins: customers with orders but no high-value order. */
   def semiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(spark, dir, "customer")
@@ -286,6 +331,7 @@ object ExtendedQueries {
     "x_json_parse" -> jsonParse,
     "x_window_frames" -> windowFrames,
     "x_join_agg" -> joinAgg,
+    "x_outer_join" -> outerJoin,
     "x_window_rank" -> windowRank,
     "x_setops" -> setOps,
     "x_semi_anti" -> semiAnti,
@@ -299,6 +345,7 @@ object ExtendedQueries {
     "x_json_parse" -> jsonParseSql,
     "x_window_frames" -> windowFramesSql,
     "x_join_agg" -> joinAggSql,
+    "x_outer_join" -> outerJoinSql,
     "x_window_rank" -> windowRankSql,
     "x_setops" -> setOpsSql,
     "x_semi_anti" -> semiAntiSql,

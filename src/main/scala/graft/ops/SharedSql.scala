@@ -46,12 +46,41 @@ object SharedSql {
       |       FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
       |ORDER BY o.o_orderkey""".stripMargin
 
+  /** LEFT OUTER join with null-side aggregation: every customer has SOME
+    * order in this data, so the null side comes from the join CONDITION —
+    * customers with no order above 150k keep their row with n_big = 0 /
+    * big_spend = 0.0 (count over a nullable column + COALESCE'd SUM are the
+    * ANSI null-side aggregation idioms both engines share).
+    */
+  val leftJoin: String =
+    """SELECT c.c_custkey,
+      |       CAST(count(o.o_orderkey) AS BIGINT) AS n_big,
+      |       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))),
+      |                     CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS big_spend
+      |FROM customer c LEFT JOIN orders o
+      |  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 150000
+      |GROUP BY c.c_custkey
+      |ORDER BY c.c_custkey""".stripMargin
+
   /** INTERSECT set op: large parts that actually shipped. */
   val intersectParts: String =
     """SELECT p_partkey AS k FROM part WHERE p_size > 30
       |INTERSECT
       |SELECT l_partkey AS k FROM lineitem
       |ORDER BY k""".stripMargin
+
+  /** Explicit GROUPING SETS (the third grouping-set form next to
+    * ExtendedQueries' ROLLUP/CUBE) — two chosen aggregation levels, no
+    * intermediate rollup level, ANSI in both engines.
+    */
+  val groupingSets: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+      |       COALESCE(l_linestatus, '(all)') AS ls,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
 
   private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
@@ -62,6 +91,8 @@ object SharedSql {
     "sql_shared_discount_revenue" -> run(discountRevenue) _,
     "sql_shared_big_spenders" -> run(bigSpenders) _,
     "sql_shared_correlated_subquery" -> run(correlatedSubquery) _,
+    "sql_shared_left_join" -> run(leftJoin) _,
+    "sql_shared_grouping_sets" -> run(groupingSets) _,
     "sql_shared_intersect" -> run(intersectParts) _)
 
   /** The oracle IS the query — identical bytes. */
@@ -69,5 +100,7 @@ object SharedSql {
     "sql_shared_discount_revenue" -> discountRevenue,
     "sql_shared_big_spenders" -> bigSpenders,
     "sql_shared_correlated_subquery" -> correlatedSubquery,
+    "sql_shared_left_join" -> leftJoin,
+    "sql_shared_grouping_sets" -> groupingSets,
     "sql_shared_intersect" -> intersectParts)
 }

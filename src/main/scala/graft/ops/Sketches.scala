@@ -53,11 +53,37 @@ object Sketches {
       |       true AS parts_ok, true AS median_ok
       |FROM lineitem GROUP BY 1 ORDER BY rf""".stripMargin
 
+  /** The typed [[BoundsAgg]] Aggregator as a driver-checked entry (round-2
+    * verdict item 9 — it was spec-only): per-returnflag FADS bounding box of
+    * (price, quantity) through the registered `graft_bounds` UDAF, flattened
+    * to plain doubles for the hash compare. Two-phase ObjectHashAggregate
+    * with map-side partial merge — the same shuffle shape as min/max.
+    */
+  def boundsAgg(spark: SparkSession, dir: String): DataFrame = {
+    BoundsAgg.register(spark)
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        expr("graft_bounds(l_extendedprice)").as("pb"),
+        expr("graft_bounds(l_quantity)").as("qb"))
+      .selectExpr("rf", "pb._1 AS price_lo", "pb._2 AS price_hi",
+        "qb._1 AS qty_lo", "qb._2 AS qty_hi")
+      .orderBy("rf")
+  }
+
+  val boundsAggSql: String =
+    """SELECT l_returnflag AS rf,
+      |       min(l_extendedprice) AS price_lo, max(l_extendedprice) AS price_hi,
+      |       min(l_quantity) AS qty_lo, max(l_quantity) AS qty_hi
+      |FROM lineitem GROUP BY 1 ORDER BY rf""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_sketch_stats" -> approxStats)
+    "x_sketch_stats" -> approxStats,
+    "x_bounds_agg" -> boundsAgg)
 
   val oracles: Map[String, String] = Map(
-    "x_sketch_stats" -> approxStatsSql)
+    "x_sketch_stats" -> approxStatsSql,
+    "x_bounds_agg" -> boundsAggSql)
 }
 
 /** Typed `Aggregator` for a per-QID (min, max) interval — SURVEY §4.2's

@@ -192,17 +192,64 @@ object TextAnalysis {
       |       CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) ELSE 0.0 END AS rep_g3
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF-style term salience: top-3 terms per document by
+    * tf × (N / df). LOG-FREE scoring on purpose: `ln()` is libm-dependent
+    * and not bit-stable across engines, while one IEEE division and one
+    * multiplication are exactly rounded everywhere — the RANKING this
+    * produces is the same monotone order as tf × log-idf for fixed tf, and
+    * the values hash-match cross-engine.
+    *
+    * Scale shape: (doc,term) counts = one partial-agg shuffle; df derived
+    * from tf by a second agg on term; score join keyed on term (AQE picks
+    * broadcast vs shuffle by vocab size); per-doc top-3 via
+    * WindowGroupLimit — partial top-k before the doc_id exchange.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .selectExpr("doc_id", "term", "tf", "df",
+        "CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)"))
+      .where("rk <= 3")
+      .selectExpr("doc_id", "term", "tf", "df", "score", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+      |scored AS (SELECT doc_id, term, tf, df,
+      |                  tf::DOUBLE * (n_docs::DOUBLE / df::DOUBLE) AS score
+      |           FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (SELECT doc_id, term, tf, df, score,
+      |                  row_number() OVER (PARTITION BY doc_id
+      |                                     ORDER BY score DESC, term) AS rk
+      |           FROM scored)
+      |SELECT doc_id, term, tf, df, score, rk::BIGINT AS rk
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> tokens,
     "text_langid" -> langId,
     "text_quality" -> quality,
     "text_fingerprint" -> fingerprint,
-    "text_repetition" -> repetition)
+    "text_repetition" -> repetition,
+    "text_tfidf" -> tfidf)
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> tokensSql,
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,
     "text_fingerprint" -> fingerprintSql,
-    "text_repetition" -> repetitionSql)
+    "text_repetition" -> repetitionSql,
+    "text_tfidf" -> tfidfSql)
 }
