@@ -134,6 +134,13 @@ object TaxiRideSource {
     * /root/reference/src/main/java/fads/CSVParser.java:62-64, prepends an
     * auto-increment int). `zipWithIndex` is a narrow op — no shuffle — and
     * unlike `monotonically_increasing_id` the ids are contiguous.
+    *
+    * COST NOTE (round-2 verdict): dropping to `df.rdd` exits Tungsten (full
+    * row deserialization) and zipWithIndex runs an extra per-partition
+    * count job. That's acceptable for this PARITY UTILITY (and for bench
+    * staging, PacedReplay.stage) — do NOT put it in a hot pipeline; where
+    * contiguity isn't contractual, use `monotonically_increasing_id()`
+    * (codegen'd, zero extra jobs, unique but gapped).
     */
   def withContiguousPid(df: DataFrame, pidCol: String = "pid"): DataFrame = {
     val schema = StructType(StructField(pidCol, LongType, nullable = false) +: df.schema.fields)
