@@ -93,6 +93,8 @@ object SparkEntry {
       ops.AsofJoin.all ++
       ops.SkewJoin.all ++
       ops.FadsInvariants.all ++
+      ops.TableOps.all ++
+      pipeline.CorpusOps.all ++
       pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
@@ -116,6 +118,8 @@ object SparkEntry {
         streaming.StreamingDedup.firstPerKeyQuery(s, dir)),
       "stream_interval_join" -> ((s: SparkSession, dir: String) =>
         streaming.StreamJoin.intervalJoinQuery(s, dir)),
+      "stream_static_enrich" -> ((s: SparkSession, dir: String) =>
+        streaming.StaticEnrich.staticEnrichQuery(s, dir)),
       // reference-parity replay: quirk Q2 (distance precedence bug) + Q4
       // (PID filter disabled) enabled. NOTE: Q3 (the :355 raw-field index
       // bug) is not replayable — the engine sees extracted QID values only
@@ -172,6 +176,8 @@ object SparkEntry {
       ops.AsofJoin.oracles ++
       ops.SkewJoin.oracles ++
       ops.FadsInvariants.oracles ++
+      ops.TableOps.oracles ++
+      pipeline.CorpusOps.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
@@ -182,6 +188,7 @@ object SparkEntry {
         "stream_session_counts" -> streaming.Windows.sessionCountsSql,
         "stream_dedup_first" -> streaming.StreamingDedup.firstPerKeySql,
         "stream_interval_join" -> streaming.StreamJoin.intervalJoinSql,
+        "stream_static_enrich" -> streaming.StaticEnrich.staticEnrichSql,
         "pipeline_clean_corpus" -> pipeline.CleanCorpus.sql,
         "taxi_parse" -> sources.TaxiRideSource.parseQuerySql,
         "x_csv_permissive" -> sources.CsvParser.permissiveSql)

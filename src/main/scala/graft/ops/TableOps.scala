@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Table-maintenance and data-management operators a production lake needs
+  * around the analytics core: CDC latest-snapshot compaction, referential
+  * data-quality auditing, distribution window functions, and time-series
+  * gap-filling. All absent in the reference (SURVEY.md §2.2); each entry is
+  * oracle-checked.
+  */
+object TableOps {
+
+  // -------------------------------------------------------- latest by key
+
+  /** CDC-style latest-record-per-key snapshot: the compaction every
+    * upsert-ingest lake runs (take the newest version of each key, here
+    * user_id by (ts, event_id) descending). One hash shuffle on the key;
+    * Spark plans the rank-1 filter as WindowGroupLimit, so each partition
+    * keeps only its per-key max row instead of sorting whole groups — the
+    * 100 TB-correct shape (equivalent to max_by over all payload columns).
+    */
+  def latestByKey(spark: SparkSession, dir: String): DataFrame = {
+    // order AND output on µs-truncated time: DuckDB surfaces the parquet
+    // nanos timestamp at µs precision, so deciding the per-key winner on raw
+    // nanos could tie-break differently cross-engine when two versions share
+    // a microsecond
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("ts_us"), desc("event_id"))
+    Tables.load(spark, dir, "events")
+      .withColumn("ts_us", Tables.tsNanosToMicros("ts"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .orderBy("user_id")
+  }
+
+  val latestByKeySql: String =
+    """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------- data quality
+
+  /** Data-quality audit — the validation pass a pipeline runs before
+    * promoting a snapshot: cardinality, duplicate keys, domain violations,
+    * null/blank required fields, and referential orphans across the star
+    * schema. Each check is an independent aggregate (anti-joins for the
+    * referential ones — at scale the dimension side broadcasts); the 1-row
+    * results combine via broadcast cross joins. The literal-expected checks
+    * double as a driver-side gate: a corrupted snapshot flips the row.
+    */
+  def dataQuality(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+
+    val eventChecks = events.agg(
+      count(lit(1)).as("n_events"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_event_ids"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_values"),
+      sum(when(col("props").isNull || col("props") === "", 1L).otherwise(0L))
+        .as("blank_props"))
+    val orphanOrders = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_orders"))
+    val orphanLines = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    eventChecks.crossJoin(orphanOrders).crossJoin(orphanLines)
+  }
+
+  val dataQualitySql: String =
+    """SELECT (SELECT count(*) FROM events)::BIGINT AS n_events,
+      |       (SELECT count(*) - count(DISTINCT event_id) FROM events)::BIGINT AS dup_event_ids,
+      |       (SELECT count(*) FROM events WHERE value < 0)::BIGINT AS neg_values,
+      |       (SELECT count(*) FROM events WHERE props IS NULL OR props = '')::BIGINT AS blank_props,
+      |       (SELECT count(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |        WHERE c.c_custkey IS NULL)::BIGINT AS orphan_orders,
+      |       (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |        WHERE o.o_orderkey IS NULL)::BIGINT AS orphan_lineitems""".stripMargin
+
+  // ------------------------------------------------- distribution windows
+
+  /** Distribution window functions — ntile/percent_rank/cume_dist over
+    * customers within market segment. Completes the window family
+    * (x_window_rank = ranking, x_window_frames = frames/analytic). The
+    * ORDER BY is a total order (acctbal, custkey) so ranks are deterministic;
+    * percent_rank/cume_dist are single IEEE divisions of exact integer
+    * ranks — bit-stable cross-engine.
+    */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("c_custkey")
+  }
+
+  val windowDistributionSql: String =
+    """SELECT c_custkey, c_mktsegment AS seg, c_acctbal,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------- gapfill
+
+  /** Time-series gap-fill (resample): hourly event counts over the full
+    * span with empty hours materialized as zero — the densification step
+    * before any rolling-window feature computation. The hour spine is
+    * generated from a 1-row bounds aggregate (`sequence` + explode — no
+    * driver loop, no collect), then left-joins the hourly counts. At scale:
+    * counts are a map-side-combinable agg; the spine is tiny (one row per
+    * hour of span) and broadcasts.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    // integral div — `Column./` would round-trip epoch nanos (~1.7e18 > 2^53)
+    // through DOUBLE (see Tables.tsNanosToMillis)
+    val hours = Tables.load(spark, dir, "events")
+      .select(expr("ts div 3600000000000L").as("hr"))
+    val spine = hours.agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val counts = hours.groupBy("hr").agg(count(lit(1)).as("n_raw"))
+    spine.join(counts, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("n_raw"), lit(0L)).as("n"))
+      .orderBy("hr")
+  }
+
+  val gapFillSql: String =
+    """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr FROM events),
+      |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+      |spine AS (SELECT unnest(generate_series(lo, hi)) AS hr FROM b),
+      |c AS (SELECT hr, count(*)::BIGINT AS n_raw FROM h GROUP BY hr)
+      |SELECT spine.hr, COALESCE(c.n_raw, 0)::BIGINT AS n
+      |FROM spine LEFT JOIN c USING (hr) ORDER BY hr""".stripMargin
+
+  // ---------------------------------------------------------------- entry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_latest_by_key" -> latestByKey,
+    "x_data_quality" -> dataQuality,
+    "x_window_distribution" -> windowDistribution,
+    "x_gapfill" -> gapFill)
+
+  val oracles: Map[String, String] = Map(
+    "x_latest_by_key" -> latestByKeySql,
+    "x_data_quality" -> dataQualitySql,
+    "x_window_distribution" -> windowDistributionSql,
+    "x_gapfill" -> gapFillSql)
+}

@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-management operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity/quality (which live in [[Dedup]], [[Similarity]],
+  * [[TextAnalysis]]): deterministic dataset splits, PII redaction, n-gram
+  * corpus statistics, and per-label embedding centroids. The reference has
+  * none of these (SURVEY.md §2.2 — it is a single hardcoded anonymization
+  * pipeline); they are first-class surface here because a 100 TB corpus is
+  * useless without reproducible splits and scrubbing.
+  *
+  * Every entry is oracle-checked: cross-engine determinism comes from md5
+  * (bit-identical everywhere), integer arithmetic, and the
+  * quantize-sum-divide trick ([[Similarity.QScale]]) for float reductions.
+  */
+object CorpusOps {
+
+  // ---------------------------------------------------------------- split
+
+  /** Deterministic train/val/test assignment by content-free hashing of the
+    * stable document id: first 2 hex chars of md5(doc_id) give 256 buckets;
+    * lexicographic cutoffs 'cc' (204/256 ≈ 80%) and 'e6' (230/256 ≈ 90%)
+    * carve train/val/test. Properties that matter at 100 TB:
+    *  - pure per-row expression work — no shuffle, no sampling state, no
+    *    driver-side randomness; re-runs and backfills assign identically;
+    *  - adding documents never reassigns existing ones (hash, not rank);
+    *  - md5 hex is bit-identical across engines and languages, so training
+    *    jobs in other stacks reproduce the same split.
+    */
+  def split(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("h"))
+      .withColumn("split",
+        when(col("h") < "cc", "train")
+          .when(col("h") < "e6", "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  val splitSql: String =
+    """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+      |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- pii redact
+
+  /** Regex patterns shared by both engines — restricted to the
+    * RE2 ∩ java.util.regex common subset (character classes, +, bounded
+    * repetition; no backrefs, no lookaround) so Spark and DuckDB match
+    * byte-identically.
+    */
+  val EmailPat = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+  val PhonePat = "\\+1-555-[0-9]{4}"
+
+  /** PII detection + redaction. The synthetic corpus carries no PII, so the
+    * query first APPENDS a deterministic per-doc email + phone (making every
+    * row a real positive), then counts and redacts both. Output carries the
+    * match counts and an md5 fingerprint of the redacted text — the hash
+    * compare therefore proves the redacted bytes are identical cross-engine,
+    * not just the counts. Pure per-row regex work: zero shuffles, scales as
+    * a scan; at 100 TB this is the shape of every scrubbing pass.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("txt", concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .select(
+        col("doc_id"),
+        // Column-API regexp_count: the pattern is NOT re-parsed as a SQL
+        // string literal, so backslash escapes survive as written
+        regexp_count(col("txt"), lit(EmailPat)).cast("long").as("n_emails"),
+        regexp_count(col("txt"), lit(PhonePat)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("txt"), EmailPat, "<EMAIL>"),
+          PhonePat, "<PHONE>")).as("red_md5"))
+      .orderBy("doc_id")
+
+  val piiRedactSql: String =
+    s"""SELECT doc_id,
+       |       len(regexp_extract_all(txt, '$EmailPat'))::BIGINT AS n_emails,
+       |       len(regexp_extract_all(txt, '\\+1-555-[0-9]{4}'))::BIGINT AS n_phones,
+       |       md5(regexp_replace(regexp_replace(txt, '$EmailPat', '<EMAIL>', 'g'),
+       |                          '\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
+       |FROM (SELECT doc_id,
+       |             text || ' contact user' || doc_id || '@mail.example.com or +1-555-'
+       |                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- ngram stats
+
+  /** Corpus-level bigram frequency, top 20 with a total-order tie-break.
+    * The zip_with(slice, slice) pairing is a narrow per-row generate — the
+    * only shuffle is the final count groupBy (map-side combinable), and the
+    * top-k is a TakeOrderedAndProject (no global sort materialization).
+    * This is the shape of corpus n-gram statistics at any scale; the k
+    * constant bounds driver/result size.
+    */
+  def bigramStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("split(text, ' ') AS t")
+      .selectExpr(
+        "explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+          " (a, b) -> concat(a, ' ', b))) AS bigram")
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+
+  val bigramStatsSql: String =
+    """SELECT bigram, count(*)::BIGINT AS n
+      |FROM (SELECT t[i] || ' ' || t[i + 1] AS bigram
+      |      FROM (SELECT string_split(text, ' ') AS t FROM documents),
+      |           LATERAL (SELECT unnest(range(1, len(t))) AS i))
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------ centroids
+
+  /** Per-label embedding centroids — the class-prototype computation behind
+    * label-balanced sampling and centroid-distance outlier mining. Float
+    * reductions are not order-stable in IEEE arithmetic, so each component
+    * is quantized to an integer (`floor(x * 2^20 + 0.5)`, the
+    * [[Similarity]] codebook trick), summed EXACTLY as BIGINTs (order-free,
+    * map-side combinable) and divided once — Spark and DuckDB emit
+    * bit-identical centroids. One posexplode + one two-phase agg: at scale
+    * this is a single shuffle of (label, dim) partial sums, never of
+    * vectors.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(
+        sum(expr(s"CAST(floor(CAST(v AS DOUBLE) * ${Similarity.QScale} + 0.5) AS BIGINT)"))
+          .as("sum_q"),
+        count(lit(1)).as("n"))
+      .selectExpr("label", "CAST(dim AS BIGINT) AS dim", "sum_q", "n",
+        s"CAST(sum_q AS DOUBLE) / (n * ${Similarity.QScale}.0) AS centroid")
+      .orderBy("label", "dim")
+
+  val labelCentroidsSql: String =
+    s"""SELECT label, (i - 1)::BIGINT AS dim,
+       |       SUM(CAST(floor(CAST(v AS DOUBLE) * ${Similarity.QScale} + 0.5) AS BIGINT)) AS sum_q,
+       |       count(*)::BIGINT AS n,
+       |       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * ${Similarity.QScale} + 0.5) AS BIGINT)) AS DOUBLE)
+       |         / (count(*) * ${Similarity.QScale}.0) AS centroid
+       |FROM (SELECT label, i, embedding[i] AS v
+       |      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i))
+       |GROUP BY label, i ORDER BY label, dim""".stripMargin
+
+  // ---------------------------------------------------------------- entry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_split" -> split,
+    "text_pii_redact" -> piiRedact,
+    "text_bigrams" -> bigramStats,
+    "sim_label_centroids" -> labelCentroids)
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_split" -> splitSql,
+    "text_pii_redact" -> piiRedactSql,
+    "text_bigrams" -> bigramStatsSql,
+    "sim_label_centroids" -> labelCentroidsSql)
+}

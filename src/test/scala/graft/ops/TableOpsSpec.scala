@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant tests for the table-maintenance operators. */
+class TableOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("latest by key: one row per user carrying that user's max (ts, event_id)") {
+    import org.apache.spark.sql.functions._
+    val got = TableOps.latestByKey(spark, dir).collect()
+    val users = graft.Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(got.length == users)
+    val maxTs = graft.Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(max(graft.Tables.tsNanosToMicros("ts")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach(r =>
+      assert(r.getAs[Long]("ts_us") == maxTs(r.getAs[Long]("user_id"))))
+  }
+
+  test("data quality: clean fixture audits clean") {
+    val r = TableOps.dataQuality(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_events") ==
+      graft.Tables.load(spark, dir, "events").count())
+    assert(row.getAs[Long]("dup_event_ids") == 0L)
+    assert(row.getAs[Long]("orphan_orders") == 0L)
+    assert(row.getAs[Long]("orphan_lineitems") == 0L)
+  }
+
+  test("window distribution: quartiles 1..4, ranks in [0,1], cume positive") {
+    val rows = TableOps.windowDistribution(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("quartile")
+      assert(q >= 1 && q <= 4)
+      val pr = r.getAs[Double]("pct_rank")
+      assert(pr >= 0.0 && pr <= 1.0)
+      val cd = r.getAs[Double]("cume")
+      assert(cd > 0.0 && cd <= 1.0)
+    }
+  }
+
+  test("gapfill: dense hour spine, counts preserved") {
+    val rows = TableOps.gapFill(spark, dir).collect()
+    val hrs = rows.map(_.getAs[Long]("hr"))
+    assert(hrs.last - hrs.head + 1 == rows.length) // no holes in the spine
+    assert(hrs.sameElements(hrs.sorted))
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      graft.Tables.load(spark, dir, "events").count())
+  }
+}

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant tests for the corpus-management operators (cross-engine value
+  * equality is the driver oracle's job; these pin the semantic contracts).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("split: total, disjoint, deterministic, ratios near 80/10/10") {
+    val rows = CorpusOps.split(spark, dir).collect()
+    val nDocs = graft.Tables.load(spark, dir, "documents").count()
+    assert(rows.length == nDocs) // every doc assigned exactly once
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length == 1))
+    val frac = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.length.toDouble / rows.length).toMap
+    // 256-bucket md5 hashing: generous bands for a small fixture
+    assert(frac("train") > 0.70 && frac("train") < 0.90, s"train=$frac")
+    assert(frac.getOrElse("val", 0.0) < 0.20 && frac.getOrElse("test", 0.0) < 0.20)
+    // determinism: identical assignment on re-run
+    val again = CorpusOps.split(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(2))).toSeq)
+  }
+
+  test("pii redact: every injected positive found, redaction leaves no matches") {
+    import org.apache.spark.sql.functions._
+    val rows = CorpusOps.piiRedact(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") >= 1L) // the injected email at minimum
+      assert(r.getAs[Long]("n_phones") >= 1L)
+    }
+    // re-derive the redacted text and assert zero residual matches
+    val residual = graft.Tables.load(spark, dir, "documents")
+      .withColumn("txt", concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .withColumn("red", regexp_replace(
+        regexp_replace(col("txt"), CorpusOps.EmailPat, "<EMAIL>"),
+        CorpusOps.PhonePat, "<PHONE>"))
+      .where(regexp_count(col("red"), lit(CorpusOps.EmailPat)) > 0 ||
+        regexp_count(col("red"), lit(CorpusOps.PhonePat)) > 0)
+      .count()
+    assert(residual == 0L)
+  }
+
+  test("bigrams: top-k bounded, counts descending, well-formed") {
+    val rows = CorpusOps.bigramStats(spark, dir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val counts = rows.map(_.getAs[Long]("n"))
+    assert(counts.sameElements(counts.sorted.reverse))
+    rows.foreach(r => assert(r.getAs[String]("bigram").contains(" ")))
+  }
+
+  test("label centroids: one row per (label, dim); centroid inside data bounds") {
+    val rows = CorpusOps.labelCentroids(spark, dir).collect()
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val labels = emb.select("label").distinct().count()
+    assert(rows.length == labels * Similarity.Dim)
+    val labelCounts = emb.groupBy("label").count().collect()
+      .map(r => r.getAs[Int]("label").toLong -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == labelCounts(r.getAs[Int]("label").toLong))
+      val c = r.getAs[Double]("centroid")
+      assert(c >= -1.001 && c <= 1.001) // unit-ish embedding components
+    }
+  }
+}
