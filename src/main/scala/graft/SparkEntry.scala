@@ -93,6 +93,7 @@ object SparkEntry {
       ops.AsofJoin.all ++
       ops.SkewJoin.all ++
       ops.FadsInvariants.all ++
+      ops.AggFamilies.all ++
       ops.TableOps.all ++
       pipeline.CorpusOps.all ++
       pipeline.TextAnalysis.all ++
@@ -176,6 +177,7 @@ object SparkEntry {
       ops.AsofJoin.oracles ++
       ops.SkewJoin.oracles ++
       ops.FadsInvariants.oracles ++
+      ops.AggFamilies.oracles ++
       ops.TableOps.oracles ++
       pipeline.CorpusOps.oracles ++
       pipeline.TextAnalysis.oracles ++

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the aggregate families. */
+class AggFamiliesSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("string_agg: roster is sorted and n matches its cardinality") {
+    val rows = AggFamilies.stringAgg(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val roster = r.getAs[String]("roster").split('|').toSeq
+      assert(roster.length == r.getAs[Long]("n"))
+      assert(roster == roster.sorted)
+    }
+  }
+
+  test("setops all: multiplicities are min / positive-difference of per-key counts") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val heavy = li.where("l_quantity > 25").groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("ch"))
+    val ret = li.where("l_returnflag = 'R'").groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("cr"))
+    val expected = heavy.join(ret, Seq("k"), "full_outer")
+      .selectExpr("k", "coalesce(ch, 0L) AS ch", "coalesce(cr, 0L) AS cr")
+      .selectExpr("k", "least(ch, cr) AS n_both",
+        "greatest(ch - cr, 0L) AS n_only_heavy")
+      .where("n_both > 0 OR n_only_heavy > 0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val got = AggFamilies.setOpsAll(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("percentiles: monotone and drawn from the data") {
+    val prices = graft.Tables.load(spark, dir, "lineitem")
+      .select("l_extendedprice").collect().map(_.getDouble(0)).toSet
+    AggFamilies.percentiles(spark, dir).collect().foreach { r =>
+      val ps = Seq("p25", "p50", "p75", "p95").map(r.getAs[Double])
+      assert(ps == ps.sorted)
+      ps.foreach(p => assert(prices.contains(p), s"$p not an actual data value"))
+    }
+  }
+
+  test("moment stats: integer-moment variance tracks var_samp on cents") {
+    import org.apache.spark.sql.functions._
+    val native = graft.Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_returnflag AS rf",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents")
+      .groupBy("rf").agg(var_samp(col("cents")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    AggFamilies.momentStats(spark, dir).collect().foreach { r =>
+      val v = r.getAs[Double]("var_cents2")
+      val want = native(r.getAs[String]("rf"))
+      assert(math.abs(v - want) <= 1e-9 * math.abs(want))
+    }
+  }
+}
