@@ -39,4 +39,48 @@ object Sinks {
           .partitionBy(partitionCols :+ "__batch_id": _*)
           .parquet(path)
       }
+
+  /** Streaming UPSERT (merge) sink: maintains a latest-version-per-key
+    * snapshot table — the MERGE INTO pattern without a table format. Each
+    * micro-batch unions the current snapshot with the batch, keeps the max
+    * `versionCols` row per `keyCols` (row_number window — the same
+    * WindowGroupLimit shape as the batch latest-by-key compaction), writes
+    * the new snapshot beside the live one and swaps via two renames.
+    *
+    * Idempotent under foreachBatch's at-least-once contract: replaying a
+    * batch re-merges rows the snapshot already holds, and latest-per-key
+    * dedup makes that a content no-op. `versionCols` must totally order
+    * versions of one key (e.g. ts + a unique id) or the winner is
+    * nondeterministic. Snapshot cost is O(snapshot + batch) per trigger —
+    * for a 100 TB table you would partition the snapshot and rewrite only
+    * partitions the batch touches (partitionedParquet's dynamic-overwrite
+    * trick composes here); kept single-swap for clarity.
+    */
+  def upsertParquet(df: DataFrame, path: String, checkpoint: String,
+      keyCols: Seq[String], versionCols: Seq[String]): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val live = new org.apache.hadoop.fs.Path(path)
+        val fs = live.getFileSystem(hconf)
+        val merged =
+          if (fs.exists(live)) spark.read.parquet(path).unionByName(batch.toDF())
+          else batch.toDF()
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(versionCols.map(c => col(c).desc): _*)
+        val snap = merged
+          .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+          .drop("__rn")
+        val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$batchId")
+        snap.write.mode("overwrite").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(s"$path.old-$batchId")
+        if (fs.exists(live)) fs.rename(live, old)
+        fs.rename(tmp, live)
+        fs.delete(old, true)
+        ()
+      }
 }
