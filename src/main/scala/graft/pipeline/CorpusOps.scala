@@ -119,6 +119,41 @@ object CorpusOps {
       |           LATERAL (SELECT unnest(range(1, len(t))) AS i))
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------- stratified sample
+
+  /** Stratified deterministic sampling: exactly ⌈20%⌉ of each language
+    * stratum, chosen by ranking on md5(doc_id) within the stratum — a
+    * reproducible pseudo-random draw ([[split]]'s hash trick plus a rank,
+    * trading a per-stratum shuffle for EXACT per-group counts where the
+    * pure hash-threshold gives only expected fractions). Balanced corpus
+    * subsets (eval slices, per-language caps) are this exact shape. One
+    * shuffle on the stratum key; the rank is WindowGroupLimit-friendly
+    * since the predicate bounds it per group.
+    */
+  val SampleFrac = 0.2
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+      .where(col("rk") <= ceil(lit(SampleFrac) * col("n_lang")))
+      .select(col("doc_id"), col("lang"), col("rk"), col("n_lang"))
+      .orderBy("doc_id")
+  }
+
+  val stratifiedSampleSql: String =
+    s"""SELECT doc_id, lang, rk, n_lang FROM (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang
+       |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)::BIGINT AS rk,
+       |         count(*) OVER (PARTITION BY lang)::BIGINT AS n_lang
+       |  FROM documents)
+       |WHERE rk <= ceil($SampleFrac * n_lang)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ centroids
 
   /** Per-label embedding centroids — the class-prototype computation behind
@@ -157,12 +192,14 @@ object CorpusOps {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> split,
+    "pipeline_stratified_sample" -> stratifiedSample,
     "text_pii_redact" -> piiRedact,
     "text_bigrams" -> bigramStats,
     "sim_label_centroids" -> labelCentroids)
 
   val oracles: Map[String, String] = Map(
     "pipeline_split" -> splitSql,
+    "pipeline_stratified_sample" -> stratifiedSampleSql,
     "text_pii_redact" -> piiRedactSql,
     "text_bigrams" -> bigramStatsSql,
     "sim_label_centroids" -> labelCentroidsSql)

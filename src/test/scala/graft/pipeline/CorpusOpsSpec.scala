@@ -34,6 +34,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getString(2))).toSeq)
   }
 
+  test("stratified sample: exact ceil(frac*n) per language, deterministic") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = CorpusOps.stratifiedSample(spark, dir).collect()
+    val sampled = got.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(sampled.getOrElse(lang, 0) ==
+        math.ceil(CorpusOps.SampleFrac * n).toLong, s"lang=$lang")
+    }
+    val again = CorpusOps.stratifiedSample(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("pii redact: every injected positive found, redaction leaves no matches") {
     import org.apache.spark.sql.functions._
     val rows = CorpusOps.piiRedact(spark, dir).collect()
