@@ -35,8 +35,18 @@ object Tables {
     org.apache.spark.sql.functions.expr(s"$colName div 1000L")
 
   /** Register every table as a temp view so `spark.sql` mirrors the DuckDB
-    * oracle's naming.
+    * oracle's naming. Memoized per (session, dir): registering reads 10
+    * parquet footers (~0.5-0.9 s), which dominated every sql_shared_* row
+    * when repeated per query — one registration per session now serves all
+    * of them (re-registering only when the data dir changes).
     */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
+    if (registeredDir.get(spark) != sfDir) {
+      names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+      registeredDir.put(spark, sfDir)
+    }
+  }
 }
