@@ -188,11 +188,101 @@ object CorpusOps {
        |      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i))
        |GROUP BY label, i ORDER BY label, dim""".stripMargin
 
+  // ------------------------------------------------------- decontaminate
+
+  /** Benchmark decontamination — flag training documents sharing word
+    * n-grams with a held-out eval set (the contamination check every
+    * pretraining corpus runs against its benchmarks). Eval set here: every
+    * 10th doc_id (deterministic synthetic stand-in). Both sides explode to
+    * DISTINCT word 5-grams; the join keys on the gram string. At scale the
+    * eval side is tiny and broadcasts — the corpus side never shuffles, so
+    * decontamination costs one scan of the corpus, which is the only
+    * acceptable price at 100 TB.
+    */
+  val DecontamN = 5
+  val EvalEvery = 10
+
+  private def gramExpr(n: Int): String =
+    s"array_distinct(transform(sequence(1, greatest(size(t) - ${n - 1}, 0))," +
+      s" i -> array_join(slice(t, i, $n), ' ')))"
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr("doc_id", s"explode(${gramExpr(DecontamN)}) AS gram")
+    val eval = grams.where(s"doc_id % $EvalEvery = 0")
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    grams.where(s"doc_id % $EvalEvery != 0")
+      .join(broadcast(eval), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_shared_grams"),
+        countDistinct("eval_id").as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = {
+    val grams =
+      s"""SELECT doc_id, unnest(list_distinct(list_transform(
+         |         range(1, greatest(len(t) - ${DecontamN - 1}, 0) + 1),
+         |         i -> array_to_string(t[i:i+${DecontamN - 1}], ' ')))) AS gram
+         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
+    s"""WITH g AS ($grams),
+       |e AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % $EvalEvery = 0),
+       |c AS (SELECT doc_id, gram FROM g WHERE doc_id % $EvalEvery != 0)
+       |SELECT c.doc_id, count(DISTINCT c.gram)::BIGINT AS n_shared_grams,
+       |       count(DISTINCT e.eval_id)::BIGINT AS n_eval_docs
+       |FROM c JOIN e USING (gram)
+       |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- packing
+
+  /** Sequence packing — the concat-and-chunk layout pretraining data takes:
+    * documents are concatenated in deterministic order within a shard and
+    * chunked into fixed token-budget bins; each doc lands at (bin, offset).
+    * Packing is SHARD-LOCAL by design (each shard emits an independent
+    * token stream — exactly how distributed pretraining packs data), so the
+    * running token sum is a window per shard, not a global single-partition
+    * cumsum: 8 shards here, thousands at 100 TB, all parallel.
+    */
+  val PackBudget = 512L
+  val PackShards = 8
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", s"doc_id % $PackShards AS shard",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
+      .withColumn("cum", sum("n_tokens").over(w))
+      .selectExpr("doc_id", "shard", "n_tokens",
+        // integral div matches DuckDB's `//` exactly (no double round-trip)
+        s"(cum - n_tokens) div $PackBudget AS bin_first",
+        s"(cum - 1) div $PackBudget AS bin_last",
+        s"(cum - n_tokens) % $PackBudget AS offset")
+      .orderBy("doc_id")
+  }
+
+  val packSequencesSql: String =
+    s"""SELECT doc_id, shard, n_tokens,
+       |       (cum - n_tokens) // $PackBudget AS bin_first,
+       |       (cum - 1) // $PackBudget AS bin_last,
+       |       (cum - n_tokens) % $PackBudget AS offset
+       |FROM (SELECT doc_id, doc_id % $PackShards AS shard, n_tokens,
+       |             sum(n_tokens) OVER (PARTITION BY doc_id % $PackShards
+       |                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- entry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> split,
     "pipeline_stratified_sample" -> stratifiedSample,
+    "pipeline_decontaminate" -> decontaminate,
+    "pipeline_pack_sequences" -> packSequences,
     "text_pii_redact" -> piiRedact,
     "text_bigrams" -> bigramStats,
     "sim_label_centroids" -> labelCentroids)
@@ -200,6 +290,8 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "pipeline_split" -> splitSql,
     "pipeline_stratified_sample" -> stratifiedSampleSql,
+    "pipeline_decontaminate" -> decontaminateSql,
+    "pipeline_pack_sequences" -> packSequencesSql,
     "text_pii_redact" -> piiRedactSql,
     "text_bigrams" -> bigramStatsSql,
     "sim_label_centroids" -> labelCentroidsSql)

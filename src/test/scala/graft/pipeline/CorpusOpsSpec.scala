@@ -48,6 +48,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("decontaminate: only non-eval docs flagged, with genuine overlap counts") {
+    val rows = CorpusOps.decontaminate(spark, dir).collect()
+    assert(rows.nonEmpty, "synthetic near-dups should contaminate the eval slice")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % CorpusOps.EvalEvery != 0)
+      assert(r.getAs[Long]("n_shared_grams") >= 1L)
+      assert(r.getAs[Long]("n_eval_docs") >= 1L)
+    }
+  }
+
+  test("pack sequences: contiguous token positions per shard, offsets within budget") {
+    val rows = CorpusOps.packSequences(spark, dir).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("bin_first"),
+        r.getAs[Long]("bin_last"), r.getAs[Long]("offset")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { shardRows =>
+      val ordered = shardRows.sortBy(_._2)
+      var pos = 0L
+      ordered.foreach { case (_, _, n, binFirst, binLast, offset) =>
+        assert(offset == pos % CorpusOps.PackBudget)
+        assert(binFirst == pos / CorpusOps.PackBudget)
+        assert(binLast == (pos + n - 1) / CorpusOps.PackBudget)
+        pos += n // concat-and-chunk: no gaps, no overlaps
+      }
+    }
+  }
+
   test("pii redact: every injected positive found, redaction leaves no matches") {
     import org.apache.spark.sql.functions._
     val rows = CorpusOps.piiRedact(spark, dir).collect()
