@@ -159,17 +159,51 @@ object FunctionSuites {
       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Higher-order functions — lambda expressions over arrays
+    * (filter/aggregate-fold/exists/forall/transform), the expression-level
+    * alternative to per-row UDFs. What makes them scale-preferable is NOT
+    * codegen — HOF lambdas evaluate interpreted (the Project carrying them
+    * sits outside the WholeStageCodegen span; verified in the spec) — but
+    * that they stay Catalyst expressions over Tungsten rows: the optimizer
+    * sees through them (pruning/pushdown still reach the scan), and there
+    * is no serialize-to-object or external-runtime boundary, which is
+    * where UDF pipelines actually bleed at 100 TB.
+    */
+  def hofFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr(
+        "doc_id",
+        "CAST(size(filter(t, x -> length(x) > 5)) AS BIGINT) AS n_long",
+        "aggregate(t, 0L, (a, x) -> a + length(x)) AS total_chars",
+        "exists(t, x -> length(x) > 10) AS any_huge",
+        "forall(t, x -> length(x) > 0) AS all_nonempty",
+        "CAST(array_max(transform(t, x -> length(x))) AS BIGINT) AS max_len")
+      .orderBy("doc_id")
+
+  val hofFuncsSql: String =
+    """SELECT doc_id,
+      |       len(list_filter(t, x -> length(x) > 5))::BIGINT AS n_long,
+      |       CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_chars,
+      |       len(list_filter(t, x -> length(x) > 10)) > 0 AS any_huge,
+      |       len(list_filter(t, x -> length(x) = 0)) = 0 AS all_nonempty,
+      |       CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT) AS max_len
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pivot" -> pivot,
     "x_explode" -> explodeLateral,
     "x_range_join" -> rangeJoin,
     "x_date_funcs" -> dateFuncs,
-    "x_array_funcs" -> arrayFuncs)
+    "x_array_funcs" -> arrayFuncs,
+    "x_hof_funcs" -> hofFuncs)
 
   val oracles: Map[String, String] = Map(
     "x_pivot" -> pivotSql,
     "x_explode" -> explodeLateralSql,
     "x_range_join" -> rangeJoinSql,
     "x_date_funcs" -> dateFuncsSql,
-    "x_array_funcs" -> arrayFuncsSql)
+    "x_array_funcs" -> arrayFuncsSql,
+    "x_hof_funcs" -> hofFuncsSql)
 }

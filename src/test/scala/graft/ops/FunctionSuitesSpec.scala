@@ -79,4 +79,26 @@ class FunctionSuitesSpec extends AnyFunSuite {
       assert(lag > 0 && lag <= 6 * 3600)
     }
   }
+
+  test("x_hof_funcs: lambdas stay on the expression path (no object hop), scan pruned") {
+    val q = FunctionSuites.hofFuncs(spark, sfDir)
+    val rows = q.collect() // materialize so AQE finalizes the physical plan
+    val plan = q.queryExecution.executedPlan.toString()
+    // a UDF-shaped implementation would surface as an object/serialize hop
+    assert(!plan.contains("MapElements") && !plan.contains("SerializeFromObject"),
+      "HOF query fell out of the expression path into the object path")
+    // the optimizer sees through the lambdas: column pruning reaches the scan
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    // semantic spot-check vs plain Scala
+    val doc = graft.Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(20).foreach { r =>
+      val toks = doc(r.getLong(0)).split(" ", -1)
+      assert(r.getAs[Long]("n_long") == toks.count(_.length > 5))
+      assert(r.getAs[Long]("total_chars") == toks.map(_.length.toLong).sum)
+      assert(r.getAs[Boolean]("all_nonempty") == toks.forall(_.nonEmpty))
+    }
+  }
 }
