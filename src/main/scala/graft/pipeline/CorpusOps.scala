@@ -278,6 +278,49 @@ object CorpusOps {
 
   // ---------------------------------------------------------------- entry
 
+  // --------------------------------------------------------------- vocab
+
+  /** Vocabulary size reported by [[vocab]]. */
+  val VocabK = 50
+
+  /** Tokenizer-training vocabulary: the top-[[VocabK]] corpus tokens with
+    * dense ranks and cumulative corpus coverage — the seed statistics every
+    * BPE/unigram tokenizer build starts from. The count is one map-side-
+    * combinable groupBy; the top-k is a TakeOrderedAndProject (no global
+    * sort); the single-partition rank/cum-sum window then runs over only the
+    * k surviving rows, and the corpus-total join is a 1-row broadcast —
+    * nothing here grows with corpus size except the combinable count.
+    * Coverage is an exact-BIGINT cumulative sum with ONE final IEEE
+    * division, so it is bit-stable cross-engine.
+    */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS tok")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    counts.orderBy(desc("n"), asc("tok")).limit(VocabK)
+      .crossJoin(broadcast(total))
+      .withColumn("rk", expr("row_number() OVER (ORDER BY n DESC, tok ASC)"))
+      .withColumn("cum_n", expr(
+        "sum(n) OVER (ORDER BY n DESC, tok ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+      .selectExpr("CAST(rk AS BIGINT) AS rk", "tok", "n",
+        "CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) AS coverage")
+      .orderBy("rk")
+  }
+
+  val vocabSql: String =
+    s"""WITH counts AS (
+       |  SELECT tok, count(*)::BIGINT AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |total AS (SELECT sum(n)::BIGINT AS total FROM counts),
+       |top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT $VocabK)
+       |SELECT row_number() OVER (ORDER BY n DESC, tok)::BIGINT AS rk, tok, n,
+       |       (sum(n) OVER (ORDER BY n DESC, tok
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+       |         / total::DOUBLE AS coverage
+       |FROM top, total ORDER BY rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> split,
     "pipeline_stratified_sample" -> stratifiedSample,
@@ -285,6 +328,7 @@ object CorpusOps {
     "pipeline_pack_sequences" -> packSequences,
     "text_pii_redact" -> piiRedact,
     "text_bigrams" -> bigramStats,
+    "text_vocab" -> vocab,
     "sim_label_centroids" -> labelCentroids)
 
   val oracles: Map[String, String] = Map(
@@ -294,5 +338,6 @@ object CorpusOps {
     "pipeline_pack_sequences" -> packSequencesSql,
     "text_pii_redact" -> piiRedactSql,
     "text_bigrams" -> bigramStatsSql,
+    "text_vocab" -> vocabSql,
     "sim_label_centroids" -> labelCentroidsSql)
 }

@@ -475,6 +475,64 @@ object Dedup {
        |WHERE bit_count(xor(sh_a, sh_b)) <= $SimhashMaxBits
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------- exact substring-span dedup
+
+  /** Rolling-window length (in whitespace tokens) for exact substring-span
+    * dedup — the ~50-token windows of Lee et al.'s "Deduplicating Training
+    * Data Makes Language Models Better" scaled to this corpus's short
+    * synthetic docs.
+    */
+  val SpanTokens = 16
+
+  /** Exact duplicated-SPAN detection: the substring-level complement of the
+    * document-level families above (exact/MinHash/SimHash all score whole
+    * docs — a 16-token passage pasted into two otherwise-different documents
+    * is invisible to them). Every doc explodes into its rolling
+    * [[SpanTokens]]-token window hashes; a span is duplicated when it occurs
+    * in ≥2 DISTINCT documents; output is per-doc contamination stats.
+    *
+    * The distributed shape replaces the paper's suffix array: one
+    * map-side-combinable groupBy on the span hash — cross-doc presence is
+    * decided by `min(doc_id) <> max(doc_id)`, NOT a count-distinct, so the
+    * aggregate stays a 2-long partial — then one hash join back to the span
+    * stream. Span rows are O(total tokens), the same order as the tokenize
+    * pass every other text operator already pays; no pairwise anything.
+    */
+  def substringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .where(s"size(t) >= $SpanTokens")
+      .selectExpr("doc_id",
+        s"""explode(transform(sequence(1, size(t) - ${SpanTokens - 1}),
+           |  i -> md5(array_join(slice(t, i, $SpanTokens), ' ')))) AS h""".stripMargin)
+    val dup = spans.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("h"), lit(1L).as("is_dup"))
+    spans.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
+      .selectExpr("doc_id", "n_spans", "n_dup_spans",
+        "CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_ratio")
+      .orderBy("doc_id")
+  }
+
+  val substringSpansSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |spans AS (
+       |  SELECT doc_id, md5(array_to_string(t[i:i + ${SpanTokens - 1}], ' ')) AS h
+       |  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - ${SpanTokens - 2})) AS i)
+       |  WHERE len(t) >= $SpanTokens),
+       |dup AS (SELECT h, 1::BIGINT AS is_dup FROM spans
+       |        GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+       |per AS (SELECT s.doc_id, count(*)::BIGINT AS n_spans,
+       |               sum(coalesce(d.is_dup, 0))::BIGINT AS n_dup_spans
+       |        FROM spans s LEFT JOIN dup d USING (h) GROUP BY s.doc_id)
+       |SELECT doc_id, n_spans, n_dup_spans,
+       |       n_dup_spans::DOUBLE / n_spans::DOUBLE AS dup_ratio
+       |FROM per ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,
     "dedup_jaccard" -> jaccard,
@@ -483,6 +541,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashCandidates,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
+    "dedup_substring_spans" -> substringSpans,
     "dedup_components" -> ((s: SparkSession, dir: String) => duplicateClusters(s, dir)))
 
   val oracles: Map[String, String] = Map(
@@ -493,5 +552,6 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashCandidatesSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_substring_spans" -> substringSpansSql,
     "dedup_components" -> duplicateClustersSql)
 }

@@ -106,6 +106,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[String]("bigram").contains(" ")))
   }
 
+  test("vocab: dense ranks, counts non-increasing, coverage monotone to <= 1") {
+    val rows = CorpusOps.vocab(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= CorpusOps.VocabK)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to rows.length).toSeq)
+    val counts = rows.map(_.getAs[Long]("n"))
+    assert(counts.sameElements(counts.sorted.reverse))
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a < b }) // counts >= 1
+    assert(cov.last <= 1.0 + 1e-12)
+    // cross-check the top-1 token count against a direct count
+    val top = rows.head
+    val direct = graft.Tables.load(spark, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS tok")
+      .where(s"tok = '${top.getAs[String]("tok")}'").count()
+    assert(top.getAs[Long]("n") == direct)
+  }
+
   test("label centroids: one row per (label, dim); centroid inside data bounds") {
     val rows = CorpusOps.labelCentroids(spark, dir).collect()
     val emb = graft.Tables.load(spark, dir, "embeddings")

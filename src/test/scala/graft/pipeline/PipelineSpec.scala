@@ -58,6 +58,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(jac.subsetOf(cand), s"missed: ${jac.diff(cand)}")
   }
 
+  test("substring spans: exact-duplicate docs are fully span-contaminated") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    import org.apache.spark.sql.functions._
+    // every doc that shares its full text with another doc must have EVERY
+    // rolling window duplicated (dup_ratio == 1.0); counts must be sane
+    val dupDocs = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")) >= 2)
+      .selectExpr("explode(ids) AS doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val rows = Dedup.substringSpans(spark, dir).collect()
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // sf0.001 has no exact dupes; sf0.01+ does — check when present
+    dupDocs.foreach { id =>
+      byDoc.get(id).foreach { r => // absent = doc shorter than SpanTokens
+        assert(r.getAs[Long]("n_dup_spans") == r.getAs[Long]("n_spans"),
+          s"doc $id should be fully contaminated")
+      }
+    }
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_spans"); val d = r.getAs[Long]("n_dup_spans")
+      assert(n >= 1 && d >= 0 && d <= n)
+      assert(math.abs(r.getAs[Double]("dup_ratio") - d.toDouble / n) == 0.0)
+    }
+    // total spans must equal the directly-computed rolling-window count
+    val expected = docs
+      .selectExpr(s"greatest(size(split(text, ' ')) - ${Dedup.SpanTokens - 1}, 0) AS k")
+      .agg(sum(col("k"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_spans")).sum == expected)
+  }
+
   test("simhash values fit in 32 bits") {
     Dedup.simhash(spark, dir).collect()
       .foreach(r => assert(r.getAs[Long]("simhash") >= 0 && r.getAs[Long]("simhash") < (1L << 32)))
