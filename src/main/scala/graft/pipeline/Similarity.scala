@@ -447,11 +447,123 @@ object Similarity {
        |WHERE round(${cosineSql("a.emb", "b.emb", "a.nrm", "b.nrm")}, 6) >= $NearDupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ------------------------------------------ product-quantization ANN
+
+  /** PQ geometry: [[Dim]]=64 dims split into [[PqM]]=4 subspaces of
+    * [[PqSubDim]]=16 dims, [[PqK]]=16 codes per subspace — each vector
+    * compresses to 4 small ints (vs 64 doubles), the memory lever IVF/LSH
+    * don't have.
+    */
+  val PqM = 4
+  val PqSubDim = Dim / PqM
+  val PqK = 16
+
+  /** Product-quantization ANN — the third scale path, orthogonal to
+    * LSH (pruning by bucket) and IVF (pruning by inverted list): PQ keeps
+    * scoring ALL vectors but against a 16×-compressed representation.
+    * Per-subspace codebooks are seeded from the first [[PqK]] corpus rows
+    * (same deterministic-init convention as [[ivfTopK]]); encoding picks the
+    * L2-nearest code per (vector, subspace); queries score via the classic
+    * ADC lookup table — dot(q_sub, centroid) precomputed for Q×M×K cells —
+    * so the per-vector score is M table lookups + adds, never a D-wide dot.
+    *
+    * At 100 TB: the codebook (M×K subvectors) and the LUT (Q×M×K cells)
+    * both broadcast; codes are 4 bytes/vector; the only corpus-sized
+    * shuffles are the encode argmin and the per-(q, vec) combine, both
+    * map-side combinable by key. Cross-engine determinism: ADC partial dots
+    * and code norms are quantized to BIGINT ([[QScale]]) so the 4-term sums
+    * are order-free; one final division/sqrt chain is IEEE-stable.
+    */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val subSlices = (0 until PqM)
+      .map(m => s"slice(emb, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+    val subs = emb.selectExpr("vec_id", "nrm",
+      s"posexplode(array($subSlices)) AS (m, sub)")
+    val cent = subs.where(s"vec_id < $PqK")
+      .selectExpr("m", "vec_id AS c_id", "sub AS c_sub",
+        s"CAST(floor(graft_dot(sub, sub) * $QScale.0 + 0.5) AS BIGINT) AS cq")
+    // encode: per (vector, subspace) argmin of squared L2 to the 16 codes —
+    // term-by-term |s|² - 2·s·c + |c|² so both engines fold identically
+    val codes = subs.join(broadcast(cent), "m")
+      .selectExpr("vec_id", "m", "c_id",
+        s"""round(graft_dot(sub, sub) - 2 * graft_dot(sub, c_sub)
+           |  + graft_dot(c_sub, c_sub), 6) AS d2""".stripMargin)
+      .withColumn("crk", expr(
+        "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, c_id ASC)"))
+      .where("crk = 1").select("vec_id", "m", "c_id")
+    // ADC lookup table: Q × M × K quantized partial dots (+ code norms)
+    val lut = subs.where(s"vec_id < $QuerySetSize")
+      .selectExpr("vec_id AS q_id", "nrm AS q_nrm", "m", "sub AS q_sub")
+      .join(broadcast(cent), "m")
+      .selectExpr("q_id", "q_nrm", "m", "c_id",
+        s"CAST(floor(graft_dot(q_sub, c_sub) * $QScale.0 + 0.5) AS BIGINT) AS pq",
+        "cq")
+    codes.join(broadcast(lut), Seq("m", "c_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(max("q_nrm").as("q_nrm"), sum("pq").as("adcq"), sum("cq").as("rq"))
+      .selectExpr("q_id", "vec_id",
+        s"""round((CAST(adcq AS DOUBLE) / $QScale.0)
+           |  / (q_nrm * sqrt(CAST(rq AS DOUBLE) / $QScale.0)), 6) AS sim""".stripMargin)
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  val pqTopKSql: String = {
+    val subSelects = (0 until PqM)
+      .map(m => s"SELECT vec_id, nrm, $m AS m, emb[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS sub FROM emb")
+      .mkString("\n  UNION ALL ")
+    def dotSub(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i]))"
+    def normSq(a: String): String =
+      s"list_sum(list_transform($a, v -> v * v))"
+    s"""WITH $embCte,
+       |subs AS (
+       |  $subSelects),
+       |cent AS (SELECT m, vec_id AS c_id, sub AS c_sub,
+       |                floor(${normSq("sub")} * $QScale.0 + 0.5)::BIGINT AS cq
+       |         FROM subs WHERE vec_id < $PqK),
+       |codes AS (
+       |  SELECT vec_id, m, c_id FROM (
+       |    SELECT s.vec_id, s.m, c.c_id,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |             round(${normSq("s.sub")} - 2 * ${dotSub("s.sub", "c.c_sub")}
+       |               + ${normSq("c.c_sub")}, 6) ASC, c.c_id ASC) AS crk
+       |    FROM subs s JOIN cent c USING (m))
+       |  WHERE crk = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.nrm AS q_nrm, s.m, c.c_id,
+       |         floor(${dotSub("s.sub", "c.c_sub")} * $QScale.0 + 0.5)::BIGINT AS pq,
+       |         c.cq
+       |  FROM subs s JOIN cent c USING (m) WHERE s.vec_id < $QuerySetSize),
+       |scored AS (
+       |  SELECT l.q_id, c.vec_id, max(l.q_nrm) AS q_nrm,
+       |         sum(l.pq)::BIGINT AS adcq, sum(l.cq)::BIGINT AS rq
+       |  FROM codes c JOIN lut l ON l.m = c.m AND l.c_id = c.c_id
+       |  WHERE c.vec_id <> l.q_id GROUP BY l.q_id, c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id,
+       |         round((adcq::DOUBLE / $QScale.0)
+       |           / (q_nrm * sqrt(rq::DOUBLE / $QScale.0)), 6) AS sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY
+       |           round((adcq::DOUBLE / $QScale.0)
+       |             / (q_nrm * sqrt(rq::DOUBLE / $QScale.0)), 6) DESC,
+       |           vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> bruteForceTopK,
     "sim_lsh_topk" -> lshTopK,
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_trained_topk" -> ivfTrainedTopK,
+    "sim_pq_topk" -> pqTopK,
     "dedup_embedding_cosine" -> embeddingNearDup)
 
   val oracles: Map[String, String] = Map(
@@ -459,5 +571,6 @@ object Similarity {
     "sim_lsh_topk" -> lshTopKSql,
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_ivf_trained_topk" -> ivfTrainedTopKSql,
+    "sim_pq_topk" -> pqTopKSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql)
 }

@@ -131,6 +131,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pq topk: k ranked candidates per query, sims are valid cosines") {
+    val byQ = Similarity.pqTopK(spark, dir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == Similarity.QuerySetSize)
+    byQ.values.foreach { rows =>
+      assert(rows.length == Similarity.TopK)
+      val sims = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "ranked desc")
+      // ADC sim is a true cosine against the RECONSTRUCTED vector, so it is
+      // bounded like any cosine (but may exceed the exact-best sim — the
+      // quantized reconstruction can overestimate; no IVF-style bound here)
+      sims.foreach(s => assert(math.abs(s) <= 1.0 + 1e-5))
+    }
+  }
+
   test("duplicate clusters: transitive closure matches a union-find oracle") {
     val pairs = Dedup.jaccardLshGated(spark, dir)
       .select("doc_a", "doc_b").collect()
