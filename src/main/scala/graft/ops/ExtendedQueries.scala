@@ -327,7 +327,51 @@ object ExtendedQueries {
       |       json_extract(props, '$.k')::BIGINT AS k_path
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ----------------------------------------------------------- histogram
+
+  /** Equi-width histogram bins. */
+  val HistBins = 20
+
+  /** Two-pass equi-width histogram over l_extendedprice — the profiling
+    * primitive behind every "distribution of X" dashboard and every
+    * range-partitioner choice. Pass 1 is a 1-row min/max aggregate; pass 2
+    * broadcasts that row and buckets every value with PURE INTEGER
+    * arithmetic: prices quantize to cents (BIGINT), the bin width is an
+    * integer `div`, so bucket ids are exact in any engine — no
+    * float-boundary flakiness at bin edges. The bucket groupBy is map-side
+    * combinable; output is ≤ [[HistBins]] rows.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.load(spark, dir, "lineitem")
+      .selectExpr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c")
+    val bounds = cents.agg(min("c").as("mn"), max("c").as("mx"))
+    cents.crossJoin(broadcast(bounds))
+      .selectExpr(
+        s"(c - mn) div ((mx - mn) div $HistBins + 1) AS bucket",
+        s"mn + ((c - mn) div ((mx - mn) div $HistBins + 1)) * ((mx - mn) div $HistBins + 1) AS lo_cents",
+        s"mn + ((c - mn) div ((mx - mn) div $HistBins + 1) + 1) * ((mx - mn) div $HistBins + 1) - 1 AS hi_cents",
+        "c")
+      .groupBy("bucket", "lo_cents", "hi_cents")
+      .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_cents"))
+      .orderBy("bucket")
+  }
+
+  val histogramSql: String =
+    s"""WITH cents AS (
+       |  SELECT floor(l_extendedprice * 100.0 + 0.5)::BIGINT AS c FROM lineitem),
+       |bounds AS (SELECT min(c) AS mn, max(c) AS mx FROM cents),
+       |bucketed AS (
+       |  SELECT (c - mn) // ((mx - mn) // $HistBins + 1) AS bucket,
+       |         mn + ((c - mn) // ((mx - mn) // $HistBins + 1)) * ((mx - mn) // $HistBins + 1) AS lo_cents,
+       |         mn + ((c - mn) // ((mx - mn) // $HistBins + 1) + 1) * ((mx - mn) // $HistBins + 1) - 1 AS hi_cents,
+       |         c
+       |  FROM cents, bounds)
+       |SELECT bucket, lo_cents, hi_cents,
+       |       count(*)::BIGINT AS n_rows, sum(c)::BIGINT AS sum_cents
+       |FROM bucketed GROUP BY bucket, lo_cents, hi_cents ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_histogram" -> histogram,
     "x_json_parse" -> jsonParse,
     "x_window_frames" -> windowFrames,
     "x_join_agg" -> joinAgg,
@@ -342,6 +386,7 @@ object ExtendedQueries {
     "x_agg_stats" -> aggStats)
 
   val oracles: Map[String, String] = Map(
+    "x_histogram" -> histogramSql,
     "x_json_parse" -> jsonParseSql,
     "x_window_frames" -> windowFramesSql,
     "x_join_agg" -> joinAggSql,

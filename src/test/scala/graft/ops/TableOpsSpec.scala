@@ -15,6 +15,25 @@ class TableOpsSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("histogram: partitioning is total, contiguous, and count-preserving") {
+    val rows = ExtendedQueries.histogram(spark, dir).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty && rows.length <= ExtendedQueries.HistBins)
+    val total = graft.Tables.load(spark, dir, "lineitem").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lo_cents") <= r.getAs[Long]("hi_cents"))
+      assert(r.getAs[Long]("n_rows") >= 1L) // empty bins never materialize
+    }
+    // equi-width and non-overlapping: every bin is width apart
+    val width = rows.head.getAs[Long]("hi_cents") - rows.head.getAs[Long]("lo_cents") + 1
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hi_cents") - r.getAs[Long]("lo_cents") + 1 == width)
+      assert(r.getAs[Long]("lo_cents") ==
+        rows.head.getAs[Long]("lo_cents") + r.getAs[Long]("bucket") * width)
+    }
+  }
+
   test("latest by key: one row per user carrying that user's max (ts, event_id)") {
     import org.apache.spark.sql.functions._
     val got = TableOps.latestByKey(spark, dir).collect()
