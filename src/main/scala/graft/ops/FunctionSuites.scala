@@ -191,7 +191,41 @@ object FunctionSuites {
       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Unpivot (wide → long), [[pivot]]'s inverse: the 4 lineitem measures
+    * melt into (metric, val) rows via the native `unpivot` operator — a
+    * generate-side expand, NOT 4 self-union scans (one pass over the input,
+    * 4 output rows per input row), then one combinable aggregate. Sums are
+    * DECIMAL(18,2)-exact before the final double cast, so accumulation
+    * order can't shift the result cross-engine. The oracle spells the same
+    * melt as UNION ALL, the portable form.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .groupBy("l_returnflag", "metric")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("val").cast("decimal(18,2)")).cast("double").as("total"),
+        min("val").as("mn"), max("val").as("mx"))
+      .orderBy("l_returnflag", "metric")
+
+  val unpivotMetricsSql: String =
+    """WITH u AS (
+      |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      |SELECT l_returnflag, metric, count(*)::BIGINT AS n,
+      |       CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       min(val) AS mn, max(val) AS mx
+      |FROM u GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_unpivot" -> unpivotMetrics,
     "x_pivot" -> pivot,
     "x_explode" -> explodeLateral,
     "x_range_join" -> rangeJoin,
@@ -200,6 +234,7 @@ object FunctionSuites {
     "x_hof_funcs" -> hofFuncs)
 
   val oracles: Map[String, String] = Map(
+    "x_unpivot" -> unpivotMetricsSql,
     "x_pivot" -> pivotSql,
     "x_explode" -> explodeLateralSql,
     "x_range_join" -> rangeJoinSql,

@@ -80,6 +80,23 @@ class FunctionSuitesSpec extends AnyFunSuite {
     }
   }
 
+  test("x_unpivot: melt is lossless — per-metric totals equal direct column sums") {
+    val rows = FunctionSuites.unpivotMetrics(spark, sfDir).collect()
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val n = li.count()
+    // every (flag, metric) cell count sums back to 4 × |lineitem|
+    assert(rows.map(_.getLong(2)).sum == 4 * n)
+    // per-metric total matches the direct aggregate over the wide column
+    val direct = li.selectExpr(
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").collect()(0).getDouble(0)
+    val melted = rows.filter(_.getString(1) == "l_quantity").map(_.getDouble(3)).sum
+    assert(math.abs(melted - direct) < 1e-9 * math.max(1.0, math.abs(direct)))
+    // plan shape: native Expand, not 4 union'd scans
+    val plan = FunctionSuites.unpivotMetrics(spark, sfDir).queryExecution.executedPlan.toString()
+    assert(plan.contains("Expand"), "unpivot should lower to a single-scan Expand")
+    assert(!plan.contains("Union"), "unpivot must not be implemented as UNION ALL scans")
+  }
+
   test("x_hof_funcs: lambdas stay on the expression path (no object hop), scan pruned") {
     val q = FunctionSuites.hofFuncs(spark, sfDir)
     val rows = q.collect() // materialize so AQE finalizes the physical plan
