@@ -146,17 +146,39 @@ object TableOps {
       |SELECT spine.hr, COALESCE(c.n_raw, 0)::BIGINT AS n
       |FROM spine LEFT JOIN c USING (hr) ORDER BY hr""".stripMargin
 
+  // ------------------------------------------------------------- dense ids
+
+  /** Driver row for [[Ids.contiguous]]: contiguous 0-based ids over
+    * `documents` in `doc_id` order (the "assign stable row ids to the
+    * corpus" step of every training-data pipeline). The oracle is the
+    * definition itself — a global row_number — which DuckDB can afford
+    * single-node; the Spark side computes the same ranks with one
+    * bucket-hash shuffle and no unpartitioned window (see [[Ids]]).
+    */
+  def denseIds(spark: SparkSession, dir: String): DataFrame =
+    Ids.contiguous(
+      Tables.load(spark, dir, "documents").select("doc_id", "n_chars"),
+      Seq("doc_id"), "seq_id")
+      .orderBy("doc_id")
+
+  val denseIdsSql: String =
+    """SELECT doc_id, n_chars,
+      |       (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS seq_id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- entry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_latest_by_key" -> latestByKey,
     "x_data_quality" -> dataQuality,
     "x_window_distribution" -> windowDistribution,
-    "x_gapfill" -> gapFill)
+    "x_gapfill" -> gapFill,
+    "x_dense_ids" -> denseIds)
 
   val oracles: Map[String, String] = Map(
     "x_latest_by_key" -> latestByKeySql,
     "x_data_quality" -> dataQualitySql,
     "x_window_distribution" -> windowDistributionSql,
-    "x_gapfill" -> gapFillSql)
+    "x_gapfill" -> gapFillSql,
+    "x_dense_ids" -> denseIdsSql)
 }

@@ -137,10 +137,12 @@ object TaxiRideSource {
     *
     * COST NOTE (round-2 verdict): dropping to `df.rdd` exits Tungsten (full
     * row deserialization) and zipWithIndex runs an extra per-partition
-    * count job. That's acceptable for this PARITY UTILITY (and for bench
-    * staging, PacedReplay.stage) — do NOT put it in a hot pipeline; where
-    * contiguity isn't contractual, use `monotonically_increasing_id()`
-    * (codegen'd, zero extra jobs, unique but gapped).
+    * count job. That's acceptable ONLY for this PARITY UTILITY, which must
+    * number rows in the df's existing (arrival) order with no sort key —
+    * do NOT put it in a hot pipeline. Where a sort key exists, use
+    * [[graft.ops.Ids.contiguous]] (bucketed rank, stays in codegen — what
+    * PacedReplay.stage uses); where contiguity isn't contractual, use
+    * `monotonically_increasing_id()` (zero extra jobs, unique but gapped).
     */
   def withContiguousPid(df: DataFrame, pidCol: String = "pid"): DataFrame = {
     val schema = StructType(StructField(pidCol, LongType, nullable = false) +: df.schema.fields)
