@@ -173,10 +173,16 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val calArr = calibrations.map(num(_, 3)).mkString("[", ",", "]")
+    // declared-sample entries run CONSTANT work at every sf (their scaladoc
+    // contracts cap the input: Dedup.JaccardSampleCap / SimhashPairsCap) —
+    // tagged so cross-round diffs don't read the cap as an optimization or
+    // treat their flat times as corpus-scale evidence (ADVICE r4)
+    val capped =
+      s"""{"dedup_jaccard":${graft.pipeline.Dedup.JaccardSampleCap},"dedup_simhash_pairs":${graft.pipeline.Dedup.SimhashPairsCap}}"""
     val streamRps = if (streamSec > 0) streamRows / streamSec else 0.0
     val shardedRps = if (streamShardedSec > 0) streamRows / streamShardedSec else 0.0
     println(
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"stream_sharded_rows_per_sec":${num(shardedRps, 1)},"n_queries":${queryTimes.size},"protocol":"median-of-3-interleaved","query_stats_min_med_max":$stats,"calibration_sec":$calArr,"load_warning":$loadWarning}""")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"stream_sharded_rows_per_sec":${num(shardedRps, 1)},"n_queries":${queryTimes.size},"protocol":"median-of-3-interleaved","query_stats_min_med_max":$stats,"calibration_sec":$calArr,"load_warning":$loadWarning,"capped_query_doc_ids":$capped}""")
     spark.stop()
   }
 }

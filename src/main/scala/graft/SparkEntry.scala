@@ -95,6 +95,8 @@ object SparkEntry {
       ops.FadsInvariants.all ++
       ops.AggFamilies.all ++
       ops.TableOps.all ++
+      ops.EventAnalytics.all ++
+      ops.BloomJoin.all ++
       pipeline.CorpusOps.all ++
       pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++
@@ -179,6 +181,8 @@ object SparkEntry {
       ops.FadsInvariants.oracles ++
       ops.AggFamilies.oracles ++
       ops.TableOps.oracles ++
+      ops.EventAnalytics.oracles ++
+      ops.BloomJoin.oracles ++
       pipeline.CorpusOps.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++

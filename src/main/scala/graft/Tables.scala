@@ -38,15 +38,29 @@ object Tables {
     * oracle's naming. Memoized per (session, dir): registering reads 10
     * parquet footers (~0.5-0.9 s), which dominated every sql_shared_* row
     * when repeated per query — one registration per session now serves all
-    * of them (re-registering only when the data dir changes).
+    * of them (re-registering only when the data dir changes). The memo is
+    * only a fast path: any view a caller dropped (or shadowed and then
+    * dropped) since the last call is re-registered via a per-name catalog
+    * check, and the map is weak-keyed so stopped sessions don't accumulate
+    * (ADVICE r4).
     */
   private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
-    if (registeredDir.get(spark) != sfDir) {
-      names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
-      registeredDir.put(spark, sfDir)
+    val sameDir = registeredDir.get(spark) == sfDir
+    names.foreach { n =>
+      if (!sameDir || !spark.catalog.tableExists(n))
+        load(spark, sfDir, n).createOrReplaceTempView(n)
     }
+    registeredDir.put(spark, sfDir)
+  }
+
+  /** Drop the memo for a session — callers that replace views with foreign
+    * data (tests, tools) can force the next [[registerAll]] to rebuild.
+    */
+  def invalidate(spark: SparkSession): Unit = synchronized {
+    registeredDir.remove(spark)
   }
 }

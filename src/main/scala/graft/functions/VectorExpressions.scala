@@ -164,5 +164,18 @@ object VectorExpressions {
       "graft_polyhash", exprs => PolyHash(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_hashes", exprs => TokenHashes(exprs.head), "scala_udf")
+    // Spark ships codegen'd bloom-filter expressions for its own runtime
+    // row-level filtering but does not register them in the public function
+    // registry — surface them under graft names so SQL/selectExpr plans can
+    // build explicit semi-join pre-filters (BloomFilter sketch: no false
+    // negatives, so bloom-prefilter + exact confirm == exact semi join).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain", exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)), "scala_udf")
   }
 }

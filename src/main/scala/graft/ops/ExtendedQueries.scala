@@ -263,7 +263,7 @@ object ExtendedQueries {
       "CAST(split(o_orderpriority, '-')[0] AS BIGINT) AS prio_num",
       "CAST(abs(CAST(o_totalprice AS DECIMAL(18,2)) - 100000.00) AS DOUBLE) AS dist_100k",
       "least(o_totalprice, 100000.0) AS capped",
-      "greatest(year(o_orderdate), 1995) AS yr_floor",
+      "CAST(greatest(year(o_orderdate), 1995) AS BIGINT) AS yr_floor",
       "CAST(month(o_orderdate) AS BIGINT) AS mth",
       "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS odate_ms"
     ).orderBy("o_orderkey")

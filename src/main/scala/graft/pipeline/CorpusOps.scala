@@ -180,7 +180,7 @@ object CorpusOps {
 
   val labelCentroidsSql: String =
     s"""SELECT label, (i - 1)::BIGINT AS dim,
-       |       SUM(CAST(floor(CAST(v AS DOUBLE) * ${Similarity.QScale} + 0.5) AS BIGINT)) AS sum_q,
+       |       SUM(CAST(floor(CAST(v AS DOUBLE) * ${Similarity.QScale} + 0.5) AS BIGINT))::BIGINT AS sum_q,
        |       count(*)::BIGINT AS n,
        |       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * ${Similarity.QScale} + 0.5) AS BIGINT)) AS DOUBLE)
        |         / (count(*) * ${Similarity.QScale}.0) AS centroid
@@ -270,8 +270,8 @@ object CorpusOps {
        |       (cum - 1) // $PackBudget AS bin_last,
        |       (cum - n_tokens) % $PackBudget AS offset
        |FROM (SELECT doc_id, doc_id % $PackShards AS shard, n_tokens,
-       |             sum(n_tokens) OVER (PARTITION BY doc_id % $PackShards
-       |                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |             (sum(n_tokens) OVER (PARTITION BY doc_id % $PackShards
+       |                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
        |      FROM (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin

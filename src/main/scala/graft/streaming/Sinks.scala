@@ -67,6 +67,7 @@ object Sinks {
         val hconf = spark.sparkContext.hadoopConfiguration
         val live = new org.apache.hadoop.fs.Path(path)
         val fs = live.getFileSystem(hconf)
+        recoverSwap(fs, path)
         val merged =
           if (fs.exists(live)) spark.read.parquet(path).unionByName(batch.toDF())
           else batch.toDF()
@@ -83,4 +84,55 @@ object Sinks {
         fs.delete(old, true)
         ()
       }
+
+  /** Crash recovery for [[upsertParquet]]'s rename swap. The swap sequence
+    * per batch is: write `.tmp-B` (complete, `_SUCCESS`-marked) → rename
+    * live → `.old-B` → rename `.tmp-B` → live → delete `.old-B`. A crash
+    * can therefore leave exactly three shapes on disk, each repaired here
+    * before the next merge reads the snapshot:
+    *
+    *  - live EXISTS + orphan `.tmp-*`/`.old-*`: the crash hit before the
+    *    first rename (tmp possibly half-written) or after the second
+    *    (stale old). Live is authoritative — drop the orphans; the
+    *    checkpoint replays the batch.
+    *  - live MISSING + complete `.tmp-B`: the crash hit between the two
+    *    renames. The tmp snapshot already contains old ∪ batch deduped, and
+    *    its write finished before the first rename ran (`_SUCCESS` proves
+    *    it) — promote the highest-batch tmp to live.
+    *  - live MISSING + only `.old-B`: no promotable tmp — restore the
+    *    pre-swap snapshot; at-least-once replay re-delivers the batch.
+    *
+    * Without this, the middle shape silently truncated state: the next
+    * batch found no live snapshot and rebuilt it from that batch alone
+    * (ADVICE r4). All repairs are renames/deletes of whole directories, so
+    * a crash during recovery re-lands in one of the same three shapes.
+    */
+  private[streaming] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val parent = live.getParent
+    val name = live.getName
+    def orphans(kind: String): Seq[(Long, Path)] =
+      if (!fs.exists(parent)) Seq.empty
+      else fs.listStatus(parent).toSeq.map(_.getPath)
+        .flatMap { p =>
+          val pre = s"$name.$kind-"
+          if (p.getName.startsWith(pre)) p.getName.stripPrefix(pre).toLongOption.map(_ -> p)
+          else None
+        }
+    val tmps = orphans("tmp")
+    val olds = orphans("old")
+    if (!fs.exists(live)) {
+      val promotable = tmps
+        .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+        .sortBy(_._1).lastOption
+      promotable match {
+        case Some((_, p)) => fs.rename(p, live)
+        case None => olds.sortBy(_._1).lastOption.foreach { case (_, p) => fs.rename(p, live) }
+      }
+    }
+    (orphans("tmp") ++ orphans("old")).foreach { case (_, p) =>
+      if (fs.exists(live)) fs.delete(p, true)
+    }
+  }
 }

@@ -58,4 +58,66 @@ class UpsertSinkSpec extends AnyFunSuite {
     val parent = new java.io.File(outDir).getParentFile
     assert(parent.listFiles().map(_.getName).count(_.startsWith("snap")) == 1)
   }
+
+  test("recoverSwap repairs every crash shape of the rename swap") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+
+    def writeSnap(dir: String, ids: Seq[Long]): Unit =
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    def readIds(dir: String): Seq[Long] =
+      spark.read.parquet(dir).as[Long].collect().toSeq.sorted
+    def fresh(): String =
+      Files.createTempDirectory("ups-rec").toString + "/snap"
+
+    // Shape 1: crash between rename(live, old) and rename(tmp, live) —
+    // live missing, complete tmp present. tmp must be promoted (it holds
+    // old ∪ batch); restoring old alone would also be safe but tmp is newer.
+    val s1 = fresh()
+    writeSnap(s"$s1.tmp-7", Seq(1L, 2L, 3L))
+    writeSnap(s"$s1.old-7", Seq(1L, 2L))
+    Sinks.recoverSwap(fs, s1)
+    assert(readIds(s1) == Seq(1L, 2L, 3L))
+    assert(!fs.exists(new Path(s"$s1.tmp-7")) && !fs.exists(new Path(s"$s1.old-7")))
+
+    // Shape 2: crash mid-write of tmp (no _SUCCESS) with live already
+    // renamed away — fall back to old. (Cannot arise from the real
+    // ordering, but recovery must still never promote an incomplete tmp.)
+    val s2 = fresh()
+    writeSnap(s"$s2.tmp-9", Seq(9L))
+    fs.delete(new Path(s"$s2.tmp-9/_SUCCESS"), false)
+    writeSnap(s"$s2.old-9", Seq(4L, 5L))
+    Sinks.recoverSwap(fs, s2)
+    assert(readIds(s2) == Seq(4L, 5L))
+    assert(!fs.exists(new Path(s"$s2.tmp-9")))
+
+    // Shape 3: live intact, stale orphans from an earlier crash — live is
+    // authoritative; orphans are dropped, content untouched.
+    val s3 = fresh()
+    writeSnap(s3, Seq(10L, 11L))
+    writeSnap(s"$s3.tmp-3", Seq(99L))
+    writeSnap(s"$s3.old-2", Seq(98L))
+    Sinks.recoverSwap(fs, s3)
+    assert(readIds(s3) == Seq(10L, 11L))
+    assert(!fs.exists(new Path(s"$s3.tmp-3")) && !fs.exists(new Path(s"$s3.old-2")))
+
+    // End-to-end: simulate the mid-swap crash, then run a NEW upsert stream
+    // over the same path — prior keys must survive (this was the silent
+    // truncation ADVICE r4 flagged).
+    val s4 = fresh()
+    val ck4 = Files.createTempDirectory("ups-rec-ckpt").toString
+    writeSnap(s"$s4.tmp-0", Seq(1L, 2L, 3L))   // crashed mid-swap…
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Long]
+    val q = Sinks.upsertParquet(
+      stream.toDF().withColumnRenamed("value", "id"), s4, ck4,
+      keyCols = Seq("id"), versionCols = Seq("id")).start()
+    try {
+      stream.addData(3L, 4L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(readIds(s4) == Seq(1L, 2L, 3L, 4L))
+  }
 }

@@ -25,8 +25,20 @@ def main(sf_dir, out_dir):
     failed = []
     for name, sql in sorted(oracles.items()):
         try:
-            oracle = con.sql(sql).df()
-            spark = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            # Arrow-level dtype check first: the driver hash-compares
+            # bit-identically, so a DuckDB type widening (e.g. sum(BIGINT)
+            # -> HUGEINT) fails its gate even when values match. Catch it
+            # here before the value compare papers over it.
+            oa = con.sql(sql).arrow()
+            sa = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").arrow()
+            od = {f.name: str(f.type) for f in oa.schema}
+            sd = {f.name: str(f.type) for f in sa.schema}
+            dtype_diff = {k: (od.get(k), sd.get(k))
+                          for k in set(od) | set(sd) if od.get(k) != sd.get(k)}
+            if dtype_diff:
+                raise AssertionError(f"arrow dtypes differ: {dtype_diff}")
+            oracle = oa.to_pandas()
+            spark = sa.to_pandas()
             o = oracle.reindex(sorted(oracle.columns), axis=1)
             s = spark.reindex(sorted(spark.columns), axis=1)
             if list(o.columns) != list(s.columns):
