@@ -97,6 +97,7 @@ object SparkEntry {
       ops.TableOps.all ++
       ops.EventAnalytics.all ++
       ops.BloomJoin.all ++
+      ops.TpchQueries.all ++
       pipeline.CorpusOps.all ++
       pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++
@@ -183,6 +184,7 @@ object SparkEntry {
       ops.TableOps.oracles ++
       ops.EventAnalytics.oracles ++
       ops.BloomJoin.oracles ++
+      ops.TpchQueries.oracles ++
       pipeline.CorpusOps.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++
