@@ -99,7 +99,19 @@ object Bench {
       name -> (if (ok.isEmpty) (-1.0, -1.0, -1.0)
                else (ok.min, median(ok), ok.max))
     }
-    val loadWarning = calibrations.max / math.max(calibrations.min, 1e-9) > 2.0
+    // Contention is sensed from the SUITE, not just the probe: BENCH_r05
+    // carried a 17× phantom regression (x_json_parse 20.96 s vs re-timed
+    // 1.45 s) while the trivial calibration probe stayed clean — it doesn't
+    // feel memory/GC pressure the way a real query does (round-5 verdict).
+    // A query's own min across the 3 rotated passes is its quiet-box time;
+    // median > 3× min means at least two of three passes were disturbed.
+    // The 0.5 s absolute guard keeps sub-second planning jitter from
+    // flagging trivially fast queries.
+    val contendedQueries = queryStats.collect {
+      case (name, (mn, md, _)) if mn > 0 && md > 3.0 * mn && md - mn > 0.5 => name
+    }
+    val probeSwing = calibrations.max / math.max(calibrations.min, 1e-9) > 2.0
+    val loadWarning = probeSwing || contendedQueries.size >= 3
 
     // streaming throughput: unthrottled replay of `events` through the FADS
     // transformWithState operator, 10 micro-batches
@@ -173,6 +185,7 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val calArr = calibrations.map(num(_, 3)).mkString("[", ",", "]")
+    val contendedArr = contendedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     // declared-sample entries run CONSTANT work at every sf (their scaladoc
     // contracts cap the input: Dedup.JaccardSampleCap / SimhashPairsCap) —
     // tagged so cross-round diffs don't read the cap as an optimization or
@@ -182,7 +195,7 @@ object Bench {
     val streamRps = if (streamSec > 0) streamRows / streamSec else 0.0
     val shardedRps = if (streamShardedSec > 0) streamRows / streamShardedSec else 0.0
     println(
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"stream_sharded_rows_per_sec":${num(shardedRps, 1)},"n_queries":${queryTimes.size},"protocol":"median-of-3-interleaved","query_stats_min_med_max":$stats,"calibration_sec":$calArr,"load_warning":$loadWarning,"capped_query_doc_ids":$capped}""")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"stream_sharded_rows_per_sec":${num(shardedRps, 1)},"n_queries":${queryTimes.size},"protocol":"median-of-3-interleaved","query_stats_min_med_max":$stats,"calibration_sec":$calArr,"load_warning":$loadWarning,"contended_queries":$contendedArr,"capped_query_doc_ids":$capped}""")
     spark.stop()
   }
 }

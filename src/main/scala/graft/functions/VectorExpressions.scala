@@ -157,25 +157,53 @@ object VectorExpressions {
   /** Idempotently register graft's native expressions on a session, making
     * them available to `selectExpr`/`spark.sql` as ordinary functions.
     */
+  /** Registry builders receive whatever argument list the SQL call supplied;
+    * indexing exprs(n) unchecked turns a wrong-arity call into an opaque
+    * IndexOutOfBoundsException (ADVICE r5). Validate and name the signature.
+    */
+  private def arity(name: String, sig: String, n: Int)(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`", "expectedNum" -> n.toString,
+          "actualNum" -> exprs.length.toString, "docroot" -> sig))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+      "graft_dot", exprs => {
+        arity("graft_dot", "graft_dot(vec1 array<float>, vec2 array<float>)", 2)(exprs)
+        DotProduct(exprs(0), exprs(1))
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_polyhash", exprs => PolyHash(exprs.head), "scala_udf")
+      "graft_polyhash", exprs => {
+        arity("graft_polyhash", "graft_polyhash(token string)", 1)(exprs)
+        PolyHash(exprs.head)
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_token_hashes", exprs => TokenHashes(exprs.head), "scala_udf")
+      "graft_token_hashes", exprs => {
+        arity("graft_token_hashes", "graft_token_hashes(text string)", 1)(exprs)
+        TokenHashes(exprs.head)
+      }, "scala_udf")
     // Spark ships codegen'd bloom-filter expressions for its own runtime
     // row-level filtering but does not register them in the public function
     // registry — surface them under graft names so SQL/selectExpr plans can
     // build explicit semi-join pre-filters (BloomFilter sketch: no false
     // negatives, so bloom-prefilter + exact confirm == exact semi join).
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg", exprs =>
+      "graft_bloom_agg", exprs => {
+        arity("graft_bloom_agg",
+          "graft_bloom_agg(key bigint, estimatedNumItems bigint, numBits bigint)", 3)(exprs)
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "scala_udf")
+          exprs(0), exprs(1), exprs(2)).toAggregateExpression()
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_might_contain", exprs =>
+      "graft_might_contain", exprs => {
+        arity("graft_might_contain",
+          "graft_might_contain(bloomFilter binary, key bigint)", 2)(exprs)
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1)), "scala_udf")
+          exprs(0), exprs(1))
+      }, "scala_udf")
   }
 }

@@ -81,20 +81,37 @@ object AggFamilies {
   // ---------------------------------------------------------- percentiles
 
   /** Exact DISCRETE percentiles (p25/p50/p75/p95 of extended price per
-    * return flag): percentile_disc selects an actual data element — no
-    * interpolation — so the values are bit-stable cross-engine, unlike
-    * percentile_cont whose midpoint arithmetic may differ in the last ulp.
-    * (The approximate t-digest twin is gated in [[Sketches.approxStats]].)
+    * return flag) by RANK ARITHMETIC, not `percentile_disc`: the native
+    * aggregate buffers every group's values inside an ObjectHashAggregate —
+    * at 100× a 3-group aggregation holds ~60M doubles per group on one
+    * task's heap, an OOM, not a spill (round-5 verdict). Here the heavy
+    * path is a per-group sort feeding `row_number` — SortExec +
+    * WindowExec, both spill to disk — and the only aggregation is over the
+    * 3-row count frame. percentile_disc(p) is the first element whose
+    * cume_dist ≥ p, i.e. the value at 1-indexed rank ceil(p·n); the rank
+    * is computed in exact integer arithmetic ((r·n + 99) div 100 for
+    * p = r/100) because float `ceil(0.95 * n)` misrounds when p·n lands on
+    * an integer (0.95·20 = 19.0000…04 → 20, off by one). Verified against
+    * DuckDB's quantile_disc on n = 1…21 edge cases.
     */
-  def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25"),
-        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").as("p75"),
-        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"))
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = Seq("p25" -> 25, "p50" -> 50, "p75" -> 75, "p95" -> 95)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("v"))
+    // 3-row count frame → 12-row (rf, pname, rank) target frame, broadcast
+    val targets = li.groupBy("rf").agg(count(lit(1)).as("n"))
+      .select(col("rf"), explode(array(ps.map { case (pname, r) =>
+        struct(lit(pname).as("pname"),
+          expr(s"($r * n + 99) div 100").as("rn"))
+      }: _*)).as("t"))
+      .select(col("rf"), col("t.pname"), col("t.rn"))
+    li.withColumn("rn",
+        row_number().over(Window.partitionBy("rf").orderBy("v")).cast("long"))
+      .join(broadcast(targets), Seq("rf", "rn"))
+      .groupBy("rf").pivot("pname", ps.map(_._1)).agg(first("v"))
       .orderBy("rf")
+  }
 
   val percentilesSql: String =
     """SELECT l_returnflag AS rf,

@@ -260,12 +260,17 @@ object EventAnalytics {
       .selectExpr("rf", "n", "sx", "sy",
         "CAST(sxx AS DOUBLE) AS sxx", "CAST(syy AS DOUBLE) AS syy",
         "CAST(sxy AS DOUBLE) AS sxy",
+        // nullif on the denominator: a constant-x or constant-y group has a
+        // zero variance term; 0/0 is NaN in Spark but engine-configurable in
+        // DuckDB, so emit NULL instead — native corr's zero-variance
+        // behavior, and bit-identical across engines (ADVICE r5).
         """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
           |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-          | / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-          |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-          |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-          |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price"""
+          | / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0D)
+          | AS corr_qty_price"""
           .stripMargin)
       .orderBy("rf")
 
@@ -285,10 +290,11 @@ object EventAnalytics {
       |       CAST(sxy AS DOUBLE) AS sxy,
       |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
       |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+      |        / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+      |                 0.0) AS corr_qty_price
       |FROM m ORDER BY rf""".stripMargin
 
   // ---------------------------------------------------------------- entry

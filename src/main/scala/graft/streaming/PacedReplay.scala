@@ -39,16 +39,21 @@ object PacedReplay {
     // replay (chunk 10 would sort before chunk 2 unpadded).
     // %09d: lexicographic == numeric order up to 1e9 chunks (%05d broke at
     // 100k — chunk "100000" sorts before "99999"; ADVICE r2)
-    // sortWithinPartitions(__seq) after the chunk repartition: the shuffle
-    // would otherwise scramble row order INSIDE each chunk file, making any
-    // order-sensitive within-batch consumer (first-per-key tie-breaks)
-    // nondeterministic across stagings (ADVICE r4). Local sort, no extra
-    // shuffle; __seq is dropped at write via the partition column trick —
-    // select keeps it out of the file payload.
+    // sortWithinPartitions(__chunk, __seq) after the chunk repartition: the
+    // shuffle would otherwise scramble row order INSIDE each chunk file,
+    // making any order-sensitive within-batch consumer (first-per-key
+    // tie-breaks) nondeterministic across stagings (ADVICE r4). Leading
+    // with __chunk matters: partitionBy("__chunk") requires the writer's
+    // rows ordered by __chunk, and sorting by __seq alone made the planner
+    // inject its own SortExec on __chunk above this one — within-chunk
+    // order then hung on sort STABILITY, which spill-merge does not
+    // guarantee for equal keys (ADVICE r5). With the (__chunk, __seq)
+    // prefix the writer's requirement is already satisfied, no extra sort
+    // is injected, and determinism is total-order, not stability.
     graft.ops.Ids.contiguous(df, orderCols, "__seq")
       .withColumn("__chunk", format_string("%09d", expr(s"__seq div $rowsPerFile")))
       .repartition(col("__chunk"))
-      .sortWithinPartitions(col("__seq"))
+      .sortWithinPartitions(col("__chunk"), col("__seq"))
       .drop("__seq")
       .write.mode("overwrite").partitionBy("__chunk").parquet(stageDir)
   }

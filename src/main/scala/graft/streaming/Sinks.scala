@@ -79,11 +79,22 @@ object Sinks {
         val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$batchId")
         snap.write.mode("overwrite").parquet(tmp.toString)
         val old = new org.apache.hadoop.fs.Path(s"$path.old-$batchId")
-        if (fs.exists(live)) fs.rename(live, old)
-        fs.rename(tmp, live)
+        if (fs.exists(live)) renameOrThrow(fs, live, old)
+        renameOrThrow(fs, tmp, live)
         fs.delete(old, true)
         ()
       }
+
+  /** fs.rename signals failure by RETURNING false (e.g. destination exists,
+    * object-store semantics), not by throwing — an unchecked rename would let
+    * the batch commit over a disk shape the recovery scaladoc assumes cannot
+    * occur (ADVICE r5). Throwing fails the micro-batch, so the checkpoint
+    * replays it and recoverSwap repairs the layout first.
+    */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst (snapshot swap aborted; batch will replay)")
 
   /** Crash recovery for [[upsertParquet]]'s rename swap. The swap sequence
     * per batch is: write `.tmp-B` (complete, `_SUCCESS`-marked) → rename
@@ -127,8 +138,8 @@ object Sinks {
         .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
         .sortBy(_._1).lastOption
       promotable match {
-        case Some((_, p)) => fs.rename(p, live)
-        case None => olds.sortBy(_._1).lastOption.foreach { case (_, p) => fs.rename(p, live) }
+        case Some((_, p)) => renameOrThrow(fs, p, live)
+        case None => olds.sortBy(_._1).lastOption.foreach { case (_, p) => renameOrThrow(fs, p, live) }
       }
     }
     (orphans("tmp") ++ orphans("old")).foreach { case (_, p) =>
