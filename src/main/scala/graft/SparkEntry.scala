@@ -25,6 +25,12 @@ object SparkEntry {
   /** value ∈ [0, ~500): 8 fixed-width regions of the QID space. */
   val regionShard: Column = least(floor(col("value") / 64.0), lit(7L))
 
+  /** Replay reporting surfaces carry `ts_us` (micros), not raw nanos: the
+    * DuckDB oracle reads TIMESTAMP(NANOS) parquet at microsecond precision.
+    */
+  private def reportTsUs(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", expr("ts div 1000L")).drop("ts")
+
   def fadsReplay(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
     FadsBatch.anonymize(
@@ -105,13 +111,16 @@ object SparkEntry {
       pipeline.Multimodal.all ++ Map(
       // reporting surface: flat `q_lo`/`q_hi` doubles (GenEvent shape) — the
       // struct API stays for library callers, but driver-facing output must
-      // be hashable by flat-column tooling (pandas cannot hash structs)
+      // be hashable by flat-column tooling (pandas cannot hash structs).
+      // `ts` reports as microseconds (`ts_us`): the DuckDB oracle reads the
+      // TIMESTAMP(NANOS) parquet at microsecond precision, so raw nanos
+      // would be unverifiable (same convention as TableOps/EventAnalytics).
       "q9_fads_replay" -> ((s: SparkSession, dir: String) =>
-        FadsBatch.flattenIntervals(fadsReplay(s, dir), Seq("user_id", "value"))),
+        reportTsUs(FadsBatch.flattenIntervals(fadsReplay(s, dir), Seq("user_id", "value")))),
       "q9_fads_sharded" -> ((s: SparkSession, dir: String) =>
-        FadsBatch.flattenIntervals(fadsReplaySharded(s, dir), Seq("user_id", "value"))),
+        reportTsUs(FadsBatch.flattenIntervals(fadsReplaySharded(s, dir), Seq("user_id", "value")))),
       "q9_fads_region_sharded" -> ((s: SparkSession, dir: String) =>
-        FadsBatch.flattenIntervals(fadsReplayRegionSharded(s, dir), Seq("user_id", "value"))),
+        reportTsUs(FadsBatch.flattenIntervals(fadsReplayRegionSharded(s, dir), Seq("user_id", "value")))),
       "stream_window_counts" -> ((s: SparkSession, dir: String) =>
         streaming.Windows.windowCountsQuery(s, dir)),
       "stream_sliding_counts" -> ((s: SparkSession, dir: String) =>
@@ -131,13 +140,13 @@ object SparkEntry {
       "q9_fads_replay_refmode" -> ((s: SparkSession, dir: String) => {
         val refCfg = eventsFadsConfig.copy(quirks =
           graft.fads.Fads.Quirks(referenceDistance = true, uniquePid = false))
-        FadsBatch.flattenIntervals(
+        reportTsUs(FadsBatch.flattenIntervals(
           ops.FadsBatch.anonymize(
             Tables.load(s, dir, "events"),
             qidCols = Seq("user_id", "value"), pidCol = "user_id",
             orderCols = Seq("ts", "event_id"),
             clockCol = Tables.tsNanosToMillis("ts"), cfg = refCfg),
-          Seq("user_id", "value"))
+          Seq("user_id", "value")))
       }),
       "pipeline_clean_corpus" -> ((s: SparkSession, dir: String) =>
         pipeline.CleanCorpus.query(s, dir)),
@@ -167,9 +176,9 @@ object SparkEntry {
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops (the driver
-    * then records a rows-only check). q9_fads_replay is stateful-sequential
-    * (SURVEY §2.3 Q9) — not SQL-expressible, rows-only.
+    * the same parquet tables. The stateful FADS replay family is covered by
+    * [[ops.FadsOracle]]'s recursive-CTE re-implementation of the sequential
+    * engine (round-5 verdict item 1) — every entry now has a hash oracle.
     */
   def oracleSql: Map[String, String] =
     ops.RelationalQueries.oracles ++
@@ -190,6 +199,7 @@ object SparkEntry {
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
       pipeline.Multimodal.oracles ++
+      ops.FadsOracle.oracles ++
       Map(
         "stream_window_counts" -> streaming.Windows.windowCountsSql,
         "stream_sliding_counts" -> streaming.Windows.slidingCountsSql,
