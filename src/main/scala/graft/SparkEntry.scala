@@ -133,6 +133,11 @@ object SparkEntry {
         streaming.StreamJoin.intervalJoinQuery(s, dir)),
       "stream_static_enrich" -> ((s: SparkSession, dir: String) =>
         streaming.StaticEnrich.staticEnrichQuery(s, dir)),
+      // 100 TB streaming shape, driver-checked: 8 region shards through one
+      // transformWithState operator, hash-oracled against the batch twin's
+      // recursive-CTE oracle (streaming==batch, now beyond spec-only)
+      "stream_fads_region_sharded" -> ((s: SparkSession, dir: String) =>
+        streaming.FadsStream.regionShardedQuery(s, dir)),
       // reference-parity replay: quirk Q2 (distance precedence bug) + Q4
       // (PID filter disabled) enabled. NOTE: Q3 (the :355 raw-field index
       // bug) is not replayable — the engine sees extracted QID values only

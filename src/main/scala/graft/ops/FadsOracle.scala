@@ -273,7 +273,8 @@ $payloadSelect
   }
 
   private def eventsSql(shardExpr: String, refDist: Boolean = false,
-      uniquePid: Boolean = true, globalNorm: Boolean = false): String = {
+      uniquePid: Boolean = true, globalNorm: Boolean = false,
+      payloadShard: Option[Boolean] = None): String = {
     val cfg = graft.SparkEntry.eventsFadsConfig
     replaySql(
       nq = cfg.nQid, k = cfg.k, b = cfg.bufferConstraint, ttlMs = cfg.reuseTtlMs,
@@ -283,7 +284,8 @@ $payloadSelect
       pidExpr = "src.user_id",
       clockExpr = "epoch_ns(src.ts) // 1000000",
       orderBy = "src.ts, src.event_id",
-      payloadSelect = eventsPayload(withShard = shardExpr != "0"),
+      payloadSelect =
+        eventsPayload(withShard = payloadShard.getOrElse(shardExpr != "0")),
       refDist = refDist, uniquePid = uniquePid, globalNorm = globalNorm)
   }
 
@@ -337,5 +339,12 @@ $payloadSelect
     "q9_fads_sharded" -> eventsSql("src.user_id % 8"),
     "q9_fads_region_sharded" -> eventsSql(
       "least(floor(src.value / 64.0), 7)::BIGINT", globalNorm = true),
+    // the STREAMING region-sharded run replays the identical per-shard
+    // sequential order (one sorted micro-batch per shard + sentinel drain),
+    // so it shares the batch twin's oracle — minus the shard column, which
+    // the GenEvent streaming schema doesn't carry
+    "stream_fads_region_sharded" -> eventsSql(
+      "least(floor(src.value / 64.0), 7)::BIGINT", globalNorm = true,
+      payloadShard = Some(false)),
     "taxi_fads_replay" -> taxiSql)
 }

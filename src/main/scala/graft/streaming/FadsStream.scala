@@ -218,4 +218,74 @@ object FadsStream {
     b.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+
+  /** Driver entry: the REGION-sharded FADS stream end-to-end — the 100 TB
+    * streaming shape (8 independent QID-region shards through ONE
+    * transformWithState operator, per-shard state + per-shard drain), run to
+    * completion and hash-checked against the same recursive-CTE oracle as
+    * the batch twin `q9_fads_region_sharded` (round-5 verdict item 6; the
+    * streaming==batch equivalence the specs assert is therefore also
+    * driver-checked now).
+    *
+    * Determinism contract: all events arrive in one micro-batch (10k rows at
+    * sf0.01 — far under [[FadsProcessor.DefaultMaxBatchRows]]), the operator
+    * sorts per shard by (ts, event_id), and drain uses one sentinel per
+    * shard, so the replay equals the batch per-shard sequential order.
+    * Normalization uses the true domain bounds (globalNorm), computed by the
+    * same pre-pass aggregation as [[graft.ops.FadsBatch.anonymizeByKey]].
+    */
+  def regionShardedQuery(spark: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val events = graft.Tables.load(spark, dir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event]
+    val b = events.agg(
+      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.expr("CAST(user_id AS DOUBLE)")),
+      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.expr("CAST(user_id AS DOUBLE)")),
+      org.apache.spark.sql.functions.min($"value"),
+      org.apache.spark.sql.functions.max($"value")).head()
+    val cfg = graft.SparkEntry.eventsFadsConfig.copy(
+      fixedLo = Some(Array(b.getDouble(0), b.getDouble(2))),
+      fixedHi = Some(Array(b.getDouble(1), b.getDouble(3))))
+    def shardOf(e: Event): Long = math.min((e.value / 64.0).toLong, 7L)
+
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "8") // 8 shards = 8 state stores
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      val table = s"stream_fads_region_${System.nanoTime()}"
+      val query = anonymizeSharded(src.toDS(), cfg, shardOf)
+        .writeStream.format("memory").queryName(table).outputMode("append")
+        .start()
+      try {
+        src.addData(events.orderBy("ts", "event_id").collect().toIndexedSeq)
+        query.processAllAvailable()
+        // one drain sentinel per shard, routed by value (region key)
+        src.addData((0 until 8).map(s =>
+          Event(-1L, 0L, 0L, "", s * 64.0, "")))
+        query.processAllAvailable()
+      } finally query.stop()
+      // materialize before the memory table goes away; ts_us reporting
+      // convention (DuckDB reads TIMESTAMP(NANOS) at micros)
+      val out = spark.table(table)
+        .selectExpr("event_id", "ts div 1000L AS ts_us", "user_id_lo",
+          "user_id_hi", "event_type", "value_lo", "value_hi", "props",
+          "suppressed")
+        .collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+        spark.table(table).selectExpr("event_id", "ts div 1000L AS ts_us",
+          "user_id_lo", "user_id_hi", "event_type", "value_lo", "value_hi",
+          "props", "suppressed").schema)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider.foreach(p =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    }
+  }
 }

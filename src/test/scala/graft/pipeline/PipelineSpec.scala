@@ -146,6 +146,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("recall gate: every approximate index clears its declared threshold") {
+    val rows = Similarity.recallGate(spark, dir).collect()
+    assert(rows.length == Similarity.RecallGatePct.size)
+    rows.foreach { r =>
+      val (method, hits, truth, ok) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(4))
+      assert(truth == Similarity.QuerySetSize.toLong * Similarity.TopK)
+      assert(hits >= 0 && hits <= truth, s"$method hits in range")
+      assert(ok, s"$method recall ${hits}/$truth under its gate — an index " +
+        "change degraded retrieval quality")
+    }
+  }
+
+  test("wide simhash: pairs verified within hamming bound, graph naturally sparse") {
+    val pairs = Dedup.simhashWide(spark, dir).collect()
+    val docs = graft.Tables.load(spark, dir, "documents").count()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "canonical pair order")
+      assert(r.getLong(2) <= Dedup.SimhashMaxBits, "confirmed popcount bound")
+    }
+    // the point of the production config: UNCAPPED output stays far from
+    // the all-pairs surface the unigram demo drowns in
+    assert(pairs.length < docs * docs / 100,
+      s"pair graph must be sparse: ${pairs.length} of ${docs * docs / 2} possible")
+  }
+
   test("duplicate clusters: transitive closure matches a union-find oracle") {
     val pairs = Dedup.jaccardLshGated(spark, dir)
       .select("doc_a", "doc_b").collect()

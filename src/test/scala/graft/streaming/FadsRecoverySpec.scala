@@ -136,4 +136,53 @@ class FadsRecoverySpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq,
       "restarted stream must produce exactly the single-run oracle output")
   }
+
+  test("upsert sink recovers a mid-swap crash through the orphan-promotion branch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = loadEvents()
+    val path = Files.createTempDirectory("upsert-crash").toString + "/snap"
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def runBatch(events: Seq[Event]): Unit = {
+      val src = MemoryStream[Event]
+      val ckpt = Files.createTempDirectory("upsert-crash-ckpt").toString
+      val q = Sinks.upsertParquet(src.toDS().toDF(), path, ckpt,
+        keyCols = Seq("event_id"), versionCols = Seq("ts", "event_id")).start()
+      try {
+        src.addData(events.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    // batch 1 establishes the live snapshot
+    runBatch(input.take(100).toSeq)
+    assert(spark.read.parquet(path).count() == 100)
+
+    // simulate the crash BETWEEN the two renames of a later batch's swap
+    // (Sinks.upsertParquet): live was already moved aside to .old-B, the
+    // complete .tmp-B (with _SUCCESS) never got promoted. The tmp snapshot
+    // holds rows the .old does NOT — restoring .old instead of promoting
+    // tmp, or ignoring both, loses them.
+    val onlyInTmp = (0 until 10).map(i =>
+      Event(1000000L + i, i.toLong, i.toLong, "tmp_only", 1.0, "{}"))
+    (spark.read.parquet(path).as[Event].collect().toSeq ++ onlyInTmp).toDS()
+      .write.parquet(s"$path.tmp-7")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path.tmp-7/_SUCCESS")))
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(s"$path.old-6")))
+    assert(!fs.exists(live), "crash shape: live missing, tmp-7 complete, old-6 stale")
+
+    // restart: the next micro-batch's recoverSwap must PROMOTE tmp-7 (the
+    // highest complete tmp), not restore old-6, then merge the new rows
+    runBatch(input.slice(100, 200).toSeq)
+
+    val snap = spark.read.parquet(path).as[Event].collect()
+    assert(snap.length == 210, s"no data loss through recovery: ${snap.length}")
+    assert(snap.count(_.event_type == "tmp_only") == 10,
+      "rows present only in the promoted tmp snapshot survived")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.tmp-7")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$path.old-6")),
+      "orphans cleaned up after promotion")
+  }
 }

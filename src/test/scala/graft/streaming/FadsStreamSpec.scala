@@ -120,6 +120,20 @@ class FadsStreamSpec extends AnyFunSuite {
       "sharded streaming with fixed bounds must equal the batch globalNorm replay")
   }
 
+  test("driver entry stream_fads_region_sharded equals the batch q9 twin") {
+    val got = FadsStream.regionShardedQuery(spark, sfDir)
+      .selectExpr("event_id", "user_id_lo", "user_id_hi", "value_lo",
+        "value_hi", "suppressed")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val want = SparkEntry.queries("q9_fads_region_sharded")(spark, sfDir)
+      .selectExpr("event_id", "user_id_lo", "user_id_hi", "value_lo",
+        "value_hi", "suppressed")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(got.length == want.length)
+    assert(got.toSeq == want.toSeq,
+      "the streaming driver entry must replay identically to the batch entry")
+  }
+
   test("idle-timer drain flushes the buffer without a sentinel") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
