@@ -176,6 +176,14 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     val validTimes = queryTimes.filter(_._2 >= 0)
     val total = validTimes.map(_._2).sum + streamSec
+    // declared verification surfaces (capped all-pairs ground-truth entries;
+    // scaladoc contracts in graft.pipeline.Dedup) — still timed and reported
+    // per-query, but excluded from the production-path total so the suite
+    // headline isn't dominated by constant-cost verification work (round-5
+    // verdict item 8)
+    val declaredSurfaces = Set("dedup_jaccard", "dedup_simhash_pairs")
+    val totalProduction =
+      validTimes.filterNot(t => declaredSurfaces(t._1)).map(_._2).sum + streamSec
     val qs = (queryTimes :+ ("streaming_fads_replay" -> streamSec))
       .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
@@ -195,7 +203,7 @@ object Bench {
     val streamRps = if (streamSec > 0) streamRows / streamSec else 0.0
     val shardedRps = if (streamShardedSec > 0) streamRows / streamShardedSec else 0.0
     println(
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"stream_sharded_rows_per_sec":${num(shardedRps, 1)},"n_queries":${queryTimes.size},"protocol":"median-of-3-interleaved","query_stats_min_med_max":$stats,"calibration_sec":$calArr,"load_warning":$loadWarning,"contended_queries":$contendedArr,"capped_query_doc_ids":$capped}""")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","total_production_sec":${num(totalProduction, 3)},"excluded_declared_surfaces":["dedup_jaccard","dedup_simhash_pairs"],"queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"stream_sharded_rows_per_sec":${num(shardedRps, 1)},"n_queries":${queryTimes.size},"protocol":"median-of-3-interleaved","query_stats_min_med_max":$stats,"calibration_sec":$calArr,"load_warning":$loadWarning,"contended_queries":$contendedArr,"capped_query_doc_ids":$capped}""")
     spark.stop()
   }
 }
