@@ -104,6 +104,7 @@ object SparkEntry {
       ops.EventAnalytics.all ++
       ops.BloomJoin.all ++
       ops.TpchQueries.all ++
+      ops.Formats.all ++
       pipeline.CorpusOps.all ++
       pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++
@@ -199,6 +200,7 @@ object SparkEntry {
       ops.EventAnalytics.oracles ++
       ops.BloomJoin.oracles ++
       ops.TpchQueries.oracles ++
+      ops.Formats.oracles ++
       pipeline.CorpusOps.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++

@@ -1,0 +1,112 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** File-format round-trips beyond parquet: ORC, JSON-lines, and gzip CSV.
+  * Each entry writes a deterministic slice of `events` in the target format,
+  * reads it back with an explicit schema, and aggregates — proving the
+  * source/sink actually moves bytes, not just that the writer ran. The
+  * DuckDB oracle computes the same aggregate straight from the parquet
+  * table, so any loss or corruption in the round-trip breaks the hash.
+  *
+  * Values that cross a TEXT format (JSON/CSV) are quantized to integer
+  * cents BEFORE writing — double→text→double round-trips are exact in both
+  * engines for integers, while raw double formatting is a cross-engine
+  * hazard the repo avoids everywhere (the momentStats rule).
+  */
+object Formats {
+
+  /** Deterministic round-trip payload: integer-quantized, ordered. */
+  private def payload(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .selectExpr("event_id", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS value_c",
+        "ts div 1000L AS ts_us")
+
+  private def aggregate(df: DataFrame): DataFrame =
+    df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("value_c").as("sum_value_c"),
+        min("ts_us").as("min_ts_us"),
+        max("event_id").as("max_event_id"))
+      .orderBy("event_type")
+
+  private val aggregateSql =
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_c,
+      |       min(epoch_us(ts))::BIGINT AS min_ts_us,
+      |       max(event_id)::BIGINT AS max_event_id
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  private def roundTrip(spark: SparkSession, dir: String, format: String,
+      writeOpts: Map[String, String] = Map.empty): DataFrame = {
+    val out = Files.createTempDirectory(s"fmt-$format").toString + "/data"
+    val src = payload(spark, dir)
+    src.write.options(writeOpts).format(format).mode("overwrite").save(out)
+    // explicit schema on read: text formats must not re-infer types
+    aggregate(spark.read.schema(src.schema).format(format)
+      .options(writeOpts).load(out))
+  }
+
+  /** ORC round-trip (Spark-native columnar sibling of parquet). */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    roundTrip(spark, dir, "orc")
+
+  /** JSON-lines round-trip (the interchange format every ingestion pipeline
+    * meets; gzip-compressed like real data drops).
+    */
+  def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    roundTrip(spark, dir, "json", Map("compression" -> "gzip"))
+
+  /** Gzip CSV round-trip with header (reference's wire format family —
+    * NYCTaxiRideSource reads gzip CSV; this proves the generic compressed
+    * CSV source/sink path on arbitrary tables).
+    */
+  def csvGzipRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    roundTrip(spark, dir, "csv",
+      Map("compression" -> "gzip", "header" -> "true"))
+
+  /** Hive-partitioned parquet layout + partition-pruned read: write events
+    * partitioned by event_type, read back ONE partition through a
+    * partition-column filter (PartitionFilters at the scan — the layout
+    * trick that turns a 100 TB table scan into a directory listing), and
+    * aggregate the surviving slice. The oracle aggregates the same slice
+    * from the raw table, so a broken pruning path (missing rows) or a
+    * broken layout (extra rows) both break the hash.
+    */
+  def partitionedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("fmt-partitioned").toString + "/data"
+    payload(spark, dir).write.mode("overwrite")
+      .partitionBy("event_type").parquet(out)
+    val pruned = spark.read.parquet(out).where("event_type = 'click'")
+    pruned.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value_c").as("sum_value_c"),
+        min("ts_us").as("min_ts_us"), max("event_id").as("max_event_id"))
+      .orderBy("event_type")
+  }
+
+  val partitionedRoundTripSql: String =
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_c,
+      |       min(epoch_us(ts))::BIGINT AS min_ts_us,
+      |       max(event_id)::BIGINT AS max_event_id
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_orc_roundtrip" -> orcRoundTrip,
+    "x_jsonl_roundtrip" -> jsonlRoundTrip,
+    "x_csv_gzip_roundtrip" -> csvGzipRoundTrip,
+    "x_partitioned_roundtrip" -> partitionedRoundTrip)
+
+  val oracles: Map[String, String] = Map(
+    "x_orc_roundtrip" -> aggregateSql,
+    "x_jsonl_roundtrip" -> aggregateSql,
+    "x_csv_gzip_roundtrip" -> aggregateSql,
+    "x_partitioned_roundtrip" -> partitionedRoundTripSql)
+}

@@ -77,13 +77,45 @@ object Sketches {
       |       min(l_quantity) AS qty_lo, max(l_quantity) AS qty_hi
       |FROM lineitem GROUP BY 1 ORDER BY rf""".stripMargin
 
+  /** Sketch REAGGREGATION — the pattern that matters at 100 TB: build
+    * per-(day, event_type) Apache DataSketches HLL sketches ONCE, then roll
+    * them up to event_type with `hll_union_agg` — no rescan of the raw
+    * stream, mergeable across any dimension slice (daily → monthly → all
+    * time). The estimate is gated against the exact distinct count (±5%,
+    * HLL lgk=12 gives ~1.6% rsd) with the literal-boolean oracle trick;
+    * the exact side is the verification yardstick, not the scale path.
+    */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "user_id", "ts div 86400000000000L AS day")
+    val daily = ev.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val rolled = daily.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"),
+        count(lit(1)).as("n_daily_sketches"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    rolled.join(exact, "event_type")
+      .selectExpr("event_type", "exact_users", "n_daily_sketches",
+        s"abs(CAST(approx_users AS DOUBLE) - exact_users) <= $DistinctTol * exact_users AS approx_ok")
+      .orderBy("event_type")
+  }
+
+  val hllRollupSql: String =
+    """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+      |       count(DISTINCT epoch_ns(ts) // 86400000000000)::BIGINT AS n_daily_sketches,
+      |       true AS approx_ok
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sketch_stats" -> approxStats,
-    "x_bounds_agg" -> boundsAgg)
+    "x_bounds_agg" -> boundsAgg,
+    "x_hll_rollup" -> hllRollup)
 
   val oracles: Map[String, String] = Map(
     "x_sketch_stats" -> approxStatsSql,
-    "x_bounds_agg" -> boundsAggSql)
+    "x_bounds_agg" -> boundsAggSql,
+    "x_hll_rollup" -> hllRollupSql)
 }
 
 /** Typed `Aggregator` for a per-QID (min, max) interval — SURVEY §4.2's
