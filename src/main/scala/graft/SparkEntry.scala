@@ -139,6 +139,9 @@ object SparkEntry {
       // recursive-CTE oracle (streaming==batch, now beyond spec-only)
       "stream_fads_region_sharded" -> ((s: SparkSession, dir: String) =>
         streaming.FadsStream.regionShardedQuery(s, dir)),
+      // O7's partitioned foreachBatch sink end-to-end (was spec-only)
+      "stream_partitioned_sink" -> ((s: SparkSession, dir: String) =>
+        streaming.Sinks.partitionedSinkQuery(s, dir)),
       // reference-parity replay: quirk Q2 (distance precedence bug) + Q4
       // (PID filter disabled) enabled. NOTE: Q3 (the :355 raw-field index
       // bug) is not replayable — the engine sees extracted QID values only
@@ -215,6 +218,7 @@ object SparkEntry {
         "stream_interval_join" -> streaming.StreamJoin.intervalJoinSql,
         "stream_static_enrich" -> streaming.StaticEnrich.staticEnrichSql,
         "pipeline_clean_corpus" -> pipeline.CleanCorpus.sql,
+        "stream_partitioned_sink" -> streaming.Sinks.partitionedSinkSql,
         "taxi_parse" -> sources.TaxiRideSource.parseQuerySql,
         "x_csv_permissive" -> sources.CsvParser.permissiveSql)
 }

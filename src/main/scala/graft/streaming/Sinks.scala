@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Output sinks (reference O7: the only observable output was println of
@@ -84,6 +84,52 @@ object Sinks {
         fs.delete(old, true)
         ()
       }
+
+  /** Driver entry for the partitioned foreachBatch sink (O7's last
+    * spec-only surface): stream `events` through [[partitionedParquet]]
+    * (dynamic-partition-overwrite, idempotent under at-least-once replay),
+    * then read the written hive layout back and aggregate one partition —
+    * the oracle aggregates the same slice from the raw table, so a lost
+    * batch, a double-applied batch, or a broken partition layout all break
+    * the hash.
+    */
+  def partitionedSinkQuery(spark: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val evEnc: org.apache.spark.sql.Encoder[Event] =
+      org.apache.spark.sql.Encoders.product[Event]
+    val events = graft.Tables.load(spark, dir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event]
+    val out = java.nio.file.Files.createTempDirectory("psink").toString + "/data"
+    val ckpt = java.nio.file.Files.createTempDirectory("psink-ckpt").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = partitionedParquet(src.toDS().toDF(), out, ckpt,
+      partitionCols = Seq("event_type")).start()
+    try {
+      // two micro-batches so the dynamic overwrite proves per-batch isolation
+      val rows = events.collect().toIndexedSeq
+      src.addData(rows.take(rows.length / 2))
+      q.processAllAvailable()
+      src.addData(rows.drop(rows.length / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(out)
+      .where("event_type = 'purchase'")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_value_c"),
+        max("event_id").as("max_event_id"))
+      .orderBy("event_type")
+  }
+
+  val partitionedSinkSql: String =
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_c,
+      |       max(event_id)::BIGINT AS max_event_id
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** fs.rename signals failure by RETURNING false (e.g. destination exists,
     * object-store semantics), not by throwing — an unchecked rename would let
