@@ -282,6 +282,15 @@ object ExtendedQueries {
 
   /** Aggregation flavors: distinct counts, conditional aggregation,
     * exact-decimal average re-derived as double.
+    *
+    * PLAN NOTE: two count(DISTINCT ...) in one agg plan as Spark's Expand
+    * strategy (input replicated ×3, then two-phase aggregate) — the
+    * canonical exact-multi-distinct plan, kept as the honest demonstration
+    * of the operator. It is shuffle-partial-aggregated and spillable, just
+    * wider than a plain agg; the SCALE paths for distinct cardinality are
+    * the sketches ([[Sketches.approxStats]] HLL++, [[Sketches.hllRollup]]
+    * mergeable DataSketches) — exact distincts at 100 TB are a deliberate,
+    * priced decision, not a default.
     */
   def aggStats(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")

@@ -233,6 +233,11 @@ object FadsStream {
     * shard, so the replay equals the batch per-shard sequential order.
     * Normalization uses the true domain bounds (globalNorm), computed by the
     * same pre-pass aggregation as [[graft.ops.FadsBatch.anonymizeByKey]].
+    *
+    * COST NOTE: the `collect()` feeds MemoryStream — a driver-resident TEST
+    * source chosen for deterministic batch boundaries; the distributed
+    * surface under test is the sharded transformWithState operator. The
+    * production source is [[PacedReplay]] (files), as Bench runs it.
     */
   def regionShardedQuery(spark: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {

@@ -92,6 +92,12 @@ object Sinks {
     * the oracle aggregates the same slice from the raw table, so a lost
     * batch, a double-applied batch, or a broken partition layout all break
     * the hash.
+    *
+    * COST NOTE: the `collect()` feeds MemoryStream, which is by definition
+    * a driver-resident TEST source (~15 MB at sf0.1) — the system under
+    * test is the distributed foreachBatch WRITE path, not the source. A
+    * production pipeline pairs this sink with a real source (files/Kafka);
+    * nothing in the sink touches the driver.
     */
   def partitionedSinkQuery(spark: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
