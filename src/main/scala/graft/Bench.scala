@@ -202,8 +202,10 @@ object Bench {
       s"""{"dedup_jaccard":${graft.pipeline.Dedup.JaccardSampleCap},"dedup_simhash_pairs":${graft.pipeline.Dedup.SimhashPairsCap}}"""
     val streamRps = if (streamSec > 0) streamRows / streamSec else 0.0
     val shardedRps = if (streamShardedSec > 0) streamRows / streamShardedSec else 0.0
+    val excludedArr = declaredSurfaces.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","total_production_sec":${num(totalProduction, 3)},"excluded_declared_surfaces":["dedup_jaccard","dedup_simhash_pairs"],"queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"stream_sharded_rows_per_sec":${num(shardedRps, 1)},"n_queries":${queryTimes.size},"protocol":"median-of-3-interleaved","query_stats_min_med_max":$stats,"calibration_sec":$calArr,"load_warning":$loadWarning,"contended_queries":$contendedArr,"capped_query_doc_ids":$capped}""")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","total_production_sec":${num(totalProduction, 3)},"excluded_declared_surfaces":$excludedArr,"queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"stream_sharded_rows_per_sec":${num(shardedRps, 1)},"n_queries":${queryTimes.size},"protocol":"median-of-3-interleaved","query_stats_min_med_max":$stats,"calibration_sec":$calArr,"load_warning":$loadWarning,"contended_queries":$contendedArr,"capped_query_doc_ids":$capped}""")
     spark.stop()
   }
 }

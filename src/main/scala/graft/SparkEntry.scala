@@ -29,7 +29,7 @@ object SparkEntry {
     * DuckDB oracle reads TIMESTAMP(NANOS) parquet at microsecond precision.
     */
   private def reportTsUs(df: DataFrame): DataFrame =
-    df.withColumn("ts_us", expr("ts div 1000L")).drop("ts")
+    df.withColumn("ts_us", Tables.tsNanosToMicros("ts")).drop("ts")
 
   def fadsReplay(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")

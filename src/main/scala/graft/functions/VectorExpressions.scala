@@ -164,11 +164,16 @@ object VectorExpressions {
   private def arity(name: String, sig: String, n: Int)(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
     if (exprs.length != n)
+      // the signature rides in functionName (the template has no signature
+      // slot); docroot must stay a real docs root or the rendered message
+      // points at a mangled URL (code review r6)
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
         messageParameters = Map(
-          "functionName" -> s"`$name`", "expectedNum" -> n.toString,
-          "actualNum" -> exprs.length.toString, "docroot" -> sig))
+          "functionName" -> s"`$name` (expected signature: $sig)",
+          "expectedNum" -> n.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

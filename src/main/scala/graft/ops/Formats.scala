@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,9 +22,9 @@ object Formats {
   /** Deterministic round-trip payload: integer-quantized, ordered. */
   private def payload(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
-      .selectExpr("event_id", "event_type",
-        "CAST(round(value * 100) AS BIGINT) AS value_c",
-        "ts div 1000L AS ts_us")
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_c"),
+        Tables.tsNanosToMicros("ts").as("ts_us"))
 
   private def aggregate(df: DataFrame): DataFrame =
     df.groupBy("event_type")
@@ -45,7 +43,7 @@ object Formats {
 
   private def roundTrip(spark: SparkSession, dir: String, format: String,
       writeOpts: Map[String, String] = Map.empty): DataFrame = {
-    val out = Files.createTempDirectory(s"fmt-$format").toString + "/data"
+    val out = graft.TempDirs.scoped(s"fmt-$format") + "/data"
     val src = payload(spark, dir)
     src.write.options(writeOpts).format(format).mode("overwrite").save(out)
     // explicit schema on read: text formats must not re-infer types
@@ -80,23 +78,16 @@ object Formats {
     * broken layout (extra rows) both break the hash.
     */
   def partitionedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("fmt-partitioned").toString + "/data"
+    val out = graft.TempDirs.scoped("fmt-partitioned") + "/data"
     payload(spark, dir).write.mode("overwrite")
       .partitionBy("event_type").parquet(out)
-    val pruned = spark.read.parquet(out).where("event_type = 'click'")
-    pruned.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("value_c").as("sum_value_c"),
-        min("ts_us").as("min_ts_us"), max("event_id").as("max_event_id"))
-      .orderBy("event_type")
+    aggregate(spark.read.parquet(out).where("event_type = 'click'"))
   }
 
-  val partitionedRoundTripSql: String =
-    """SELECT event_type, count(*)::BIGINT AS n,
-      |       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_c,
-      |       min(epoch_us(ts))::BIGINT AS min_ts_us,
-      |       max(event_id)::BIGINT AS max_event_id
-      |FROM events WHERE event_type = 'click'
-      |GROUP BY 1 ORDER BY event_type""".stripMargin
+  // single source of truth: the shared aggregate SQL with the partition
+  // predicate inserted (keeps Spark and oracle sides from drifting)
+  val partitionedRoundTripSql: String = aggregateSql.replace(
+    "FROM events GROUP BY 1", "FROM events WHERE event_type = 'click' GROUP BY 1")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_orc_roundtrip" -> orcRoundTrip,

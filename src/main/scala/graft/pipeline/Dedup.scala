@@ -504,11 +504,16 @@ object Dedup {
   private val wideMix = "h + ((h * 2654435761) % 1073741824) * 1073741824"
 
   def simhashWide(spark: SparkSession, dir: String): DataFrame = {
+    // size guard mirrors shinglesDF: sequence(2, 1) would DESCEND on a
+    // single-token doc and element_at(t, 0)/out-of-bounds throws under ANSI
+    // mode; the DuckDB range(2, len+1) is empty for the same doc
     val toks = Tables.load(spark, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS t")
       .selectExpr("doc_id",
-        """explode(array_distinct(transform(sequence(2, size(t)),
-          |  i -> concat(element_at(t, i - 1), ' ', element_at(t, i))))) AS w""".stripMargin)
+        """explode(array_distinct(CASE WHEN size(t) >= 2
+          |  THEN transform(sequence(2, size(t)),
+          |       i -> concat(element_at(t, i - 1), ' ', element_at(t, i)))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END)) AS w""".stripMargin)
       .selectExpr("doc_id", s"${polyHashExpr("w")} AS h")
       .selectExpr("doc_id", s"$wideMix AS h")
     val bitSums = (0 until WideBits).map(j =>

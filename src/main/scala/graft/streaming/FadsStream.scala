@@ -242,6 +242,7 @@ object FadsStream {
   def regionShardedQuery(spark: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val events = graft.Tables.load(spark, dir, "events")
       .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
       .as[Event]
@@ -253,17 +254,20 @@ object FadsStream {
     val cfg = graft.SparkEntry.eventsFadsConfig.copy(
       fixedLo = Some(Array(b.getDouble(0), b.getDouble(2))),
       fixedHi = Some(Array(b.getDouble(1), b.getDouble(3))))
-    def shardOf(e: Event): Long = math.min((e.value / 64.0).toLong, 7L)
+    // floor, not toLong truncation: truncation rounds toward zero, so a
+    // negative value would land in a different shard than the batch twin's
+    // least(floor(value / 64.0), 7) and the shared oracle (code review r6)
+    def shardOf(e: Event): Long = math.min(math.floor(e.value / 64.0).toLong, 7L)
 
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set("spark.sql.shuffle.partitions", "8") // 8 shards = 8 state stores
+    val table = s"stream_fads_region_${System.nanoTime()}"
     try {
       implicit val sqlCtx = spark.sqlContext
       val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-      val table = s"stream_fads_region_${System.nanoTime()}"
       val query = anonymizeSharded(src.toDS(), cfg, shardOf)
         .writeStream.format("memory").queryName(table).outputMode("append")
         .start()
@@ -275,22 +279,29 @@ object FadsStream {
           Event(-1L, 0L, 0L, "", s * 64.0, "")))
         query.processAllAvailable()
       } finally query.stop()
-      // materialize before the memory table goes away; ts_us reporting
+      // materialize before the memory table is dropped; ts_us reporting
       // convention (DuckDB reads TIMESTAMP(NANOS) at micros)
-      val out = spark.table(table)
-        .selectExpr("event_id", "ts div 1000L AS ts_us", "user_id_lo",
-          "user_id_hi", "event_type", "value_lo", "value_hi", "props",
-          "suppressed")
-        .collect()
+      val projected = spark.table(table)
+        .select(col("event_id"), graft.Tables.tsNanosToMicros("ts").as("ts_us"),
+          col("user_id_lo"), col("user_id_hi"), col("event_type"),
+          col("value_lo"), col("value_hi"), col("props"), col("suppressed"))
+      val out = projected.collect()
       spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
-        spark.table(table).selectExpr("event_id", "ts div 1000L AS ts_us",
-          "user_id_lo", "user_id_hi", "event_type", "value_lo", "value_hi",
-          "props", "suppressed").schema)
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1), projected.schema)
     } finally {
+      // drop the memory-sink view: each invocation otherwise pins its full
+      // collected output in driver memory for the session lifetime
+      spark.catalog.dropTempView(table)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProvider.foreach(p =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      // restore-or-UNSET: leaving the RocksDB override in a session that
+      // never set a provider would silently change every later streaming
+      // query's state store (code review r6)
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 }

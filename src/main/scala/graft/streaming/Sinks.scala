@@ -108,8 +108,8 @@ object Sinks {
     val events = graft.Tables.load(spark, dir, "events")
       .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
       .as[Event]
-    val out = java.nio.file.Files.createTempDirectory("psink").toString + "/data"
-    val ckpt = java.nio.file.Files.createTempDirectory("psink-ckpt").toString
+    val out = graft.TempDirs.scoped("psink") + "/data"
+    val ckpt = graft.TempDirs.scoped("psink-ckpt")
     val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
     val q = partitionedParquet(src.toDS().toDF(), out, ckpt,
       partitionCols = Seq("event_type")).start()

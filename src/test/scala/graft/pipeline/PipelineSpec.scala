@@ -172,6 +172,23 @@ class PipelineSpec extends AnyFunSuite {
       s"pair graph must be sparse: ${pairs.length} of ${docs * docs / 2} possible")
   }
 
+  test("wide simhash survives single-token and empty documents") {
+    // the uncapped production entry must not throw on degenerate docs:
+    // sequence(2, size(t)) DESCENDS for size(t)=1 and element_at(t, 0)
+    // throws under ANSI mode without the size guard (code review r6)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("wide-docs").toString
+    Seq((0L, "lonely"), (1L, ""), (2L, "two words"),
+        (3L, "a b c d e f g h"), (4L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.simhashWide(spark, tmp).collect()
+    // the two identical multi-token docs pair up; degenerate docs just
+    // contribute nothing
+    assert(pairs.exists(r => r.getLong(0) == 3L && r.getLong(1) == 4L
+      && r.getLong(2) == 0L))
+  }
+
   test("duplicate clusters: transitive closure matches a union-find oracle") {
     val pairs = Dedup.jaccardLshGated(spark, dir)
       .select("doc_a", "doc_b").collect()
