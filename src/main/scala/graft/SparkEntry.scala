@@ -104,6 +104,7 @@ object SparkEntry {
       ops.EventAnalytics.all ++
       ops.BloomJoin.all ++
       ops.TpchQueries.all ++
+      ops.TpchQueries2.all ++
       ops.Formats.all ++
       pipeline.CorpusOps.all ++
       pipeline.TextAnalysis.all ++
@@ -203,6 +204,7 @@ object SparkEntry {
       ops.EventAnalytics.oracles ++
       ops.BloomJoin.oracles ++
       ops.TpchQueries.oracles ++
+      ops.TpchQueries2.oracles ++
       ops.Formats.oracles ++
       pipeline.CorpusOps.oracles ++
       pipeline.TextAnalysis.oracles ++
