@@ -379,7 +379,53 @@ object ExtendedQueries {
        |       count(*)::BIGINT AS n_rows, sum(c)::BIGINT AS sum_cents
        |FROM bucketed GROUP BY bucket, lo_cents, hi_cents ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------ equi-depth bins
+
+  /** Equi-depth bin count. */
+  val DepthBins = 10
+
+  /** Equi-DEPTH (equal-frequency) histogram over `events.value` — the
+    * complement of [[histogram]]'s equi-width bins and the profiling step
+    * behind range partitioners and monotone feature binning. Bin
+    * assignment is exact global-rank arithmetic, `bin = rank·K div N`, on
+    * [[Ids.contiguous]]'s distributed rank (quantile probe + per-bucket
+    * offsets + ONE keyed window — no unpartitioned window, no
+    * zipWithIndex), with (value, event_id) as the total order so tie
+    * assignment is deterministic cross-engine. The per-bin aggregate is
+    * map-side combinable; values quantize to 1e-6 BIGINTs so min/max/sum
+    * are exact. The oracle recomputes the same rank formula with a plain
+    * row_number — single-node DuckDB can afford the global window that
+    * the distributed plan exists to avoid.
+    */
+  def equidepthBins(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.load(spark, dir, "events")
+      .selectExpr("event_id", "value",
+        "CAST(round(value * 1000000) AS BIGINT) AS v_u")
+    val ranked = Ids.contiguous(vals, Seq("value", "event_id"), idCol = "rk")
+    val total = vals.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(total))
+      .selectExpr(s"rk * $DepthBins div n_total AS bin", "v_u")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"), min("v_u").as("min_v_u"),
+        max("v_u").as("max_v_u"), sum("v_u").as("sum_v_u"))
+      .orderBy("bin")
+  }
+
+  val equidepthBinsSql: String =
+    s"""WITH v AS (
+       |  SELECT event_id, value, CAST(round(value * 1000000) AS BIGINT) AS v_u
+       |  FROM events),
+       |r AS (SELECT v_u,
+       |             (row_number() OVER (ORDER BY value, event_id) - 1)::BIGINT AS rk
+       |      FROM v),
+       |n AS (SELECT count(*)::BIGINT AS n_total FROM v)
+       |SELECT rk * $DepthBins // n_total AS bin, count(*)::BIGINT AS n_rows,
+       |       min(v_u)::BIGINT AS min_v_u, max(v_u)::BIGINT AS max_v_u,
+       |       sum(v_u)::BIGINT AS sum_v_u
+       |FROM r, n GROUP BY 1 ORDER BY bin""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_equidepth_bins" -> equidepthBins,
     "x_histogram" -> histogram,
     "x_json_parse" -> jsonParse,
     "x_window_frames" -> windowFrames,
@@ -395,6 +441,7 @@ object ExtendedQueries {
     "x_agg_stats" -> aggStats)
 
   val oracles: Map[String, String] = Map(
+    "x_equidepth_bins" -> equidepthBinsSql,
     "x_histogram" -> histogramSql,
     "x_json_parse" -> jsonParseSql,
     "x_window_frames" -> windowFramesSql,

@@ -276,6 +276,103 @@ object CorpusOps {
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- chunking
+
+  /** Chunk window size / stride in characters (overlap = size − stride). */
+  val ChunkSize = 200
+  val ChunkStride = 150
+
+  /** Overlapping sliding-window chunking — the retrieval/pretraining prep
+    * step that cuts each document into fixed-size windows with overlap so
+    * boundary context appears in two adjacent chunks. Window starts are
+    * 0, stride, 2·stride, … while start < n_chars, so every non-empty doc
+    * emits ≥1 chunk and consecutive chunks share size − stride chars.
+    * Pure per-row generate-and-explode: a map-only pass with NO shuffle
+    * (the output orderBy is the driver hash contract, not the operator) —
+    * at 100 TB the output is ~size/stride × input, streamed straight to
+    * the sink. Char windows, not tokens, keep it deterministic
+    * cross-engine; a token-budget variant is [[packSequences]].
+    */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .where("n_chars > 0")
+      .selectExpr("doc_id", "text",
+        s"explode(sequence(CAST(0 AS BIGINT), (n_chars - 1) div $ChunkStride)) AS chunk_idx")
+      .selectExpr("doc_id", "chunk_idx",
+        s"chunk_idx * $ChunkStride AS chunk_start",
+        s"substring(text, CAST(chunk_idx * $ChunkStride + 1 AS INT), $ChunkSize) AS chunk_text")
+      .withColumn("chunk_len", expr("CAST(length(chunk_text) AS BIGINT)"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkDocumentsSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |         unnest(generate_series(0, (n_chars - 1) // $ChunkStride)) AS chunk_idx
+       |  FROM documents WHERE n_chars > 0)
+       |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       |       (chunk_idx * $ChunkStride)::BIGINT AS chunk_start,
+       |       substring(text, (chunk_idx * $ChunkStride + 1)::INT, $ChunkSize) AS chunk_text,
+       |       length(substring(text, (chunk_idx * $ChunkStride + 1)::INT, $ChunkSize))::BIGINT AS chunk_len
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --------------------------------------------------------- filter funnel
+
+  /** Per-stage retention accounting for a 4-stage document quality filter
+    * — the observability every production data-pipeline run ships next to
+    * its output (how many docs each gate dropped, cumulatively): language
+    * keep, minimum length, distinct-word ratio (repetition gate), minimum
+    * word count. One scan computes all stage booleans, one map-side-
+    * combinable aggregate folds them into cumulative survivor counts, and
+    * `stack` unpivots the single row into the 4-stage report — the
+    * retention ratio is the only double, derived from two exact BIGINTs.
+    * Unlike [[CleanCorpus]] (which EMITS the surviving docs), this emits
+    * the funnel itself, so a threshold regression shows up as a changed
+    * count, not a silently different corpus.
+    */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.load(spark, dir, "documents").selectExpr(
+      "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS s1",
+      "CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS s2",
+      "CASE WHEN CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)" +
+        " / size(split(text, ' ')) > 0.5 THEN 1 ELSE 0 END AS s3",
+      "CASE WHEN size(split(text, ' ')) >= 30 THEN 1 ELSE 0 END AS s4")
+    flags
+      .agg(count(lit(1)).as("n0"), sum("s1").as("n1"),
+        sum(expr("s1 * s2")).as("n2"),
+        sum(expr("s1 * s2 * s3")).as("n3"),
+        sum(expr("s1 * s2 * s3 * s4")).as("n4"))
+      .selectExpr(
+        """stack(4,
+          |  1, 'lang_en',        n0, n1,
+          |  2, 'min_chars',      n1, n2,
+          |  3, 'distinct_ratio', n2, n3,
+          |  4, 'min_words',      n3, n4) AS (stage, filter, n_in, n_out)""".stripMargin)
+      .selectExpr("CAST(stage AS BIGINT) AS stage", "filter", "n_in", "n_out",
+        "CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE) AS retained")
+      .orderBy("stage")
+  }
+
+  val filterFunnelSql: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS s1,
+      |         CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS s2,
+      |         CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |              / len(string_split(text, ' ')) > 0.5 THEN 1 ELSE 0 END AS s3,
+      |         CASE WHEN len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END AS s4
+      |  FROM documents),
+      |a AS (SELECT count(*)::BIGINT AS n0, sum(s1)::BIGINT AS n1,
+      |             sum(s1 * s2)::BIGINT AS n2, sum(s1 * s2 * s3)::BIGINT AS n3,
+      |             sum(s1 * s2 * s3 * s4)::BIGINT AS n4
+      |      FROM f),
+      |u AS (
+      |  SELECT 1::BIGINT AS stage, 'lang_en' AS filter, n0 AS n_in, n1 AS n_out FROM a
+      |  UNION ALL SELECT 2, 'min_chars', n1, n2 FROM a
+      |  UNION ALL SELECT 3, 'distinct_ratio', n2, n3 FROM a
+      |  UNION ALL SELECT 4, 'min_words', n3, n4 FROM a)
+      |SELECT stage, filter, n_in, n_out,
+      |       CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE) AS retained
+      |FROM u ORDER BY stage""".stripMargin
+
   // ---------------------------------------------------------------- entry
 
   // --------------------------------------------------------------- vocab
@@ -326,6 +423,8 @@ object CorpusOps {
     "pipeline_stratified_sample" -> stratifiedSample,
     "pipeline_decontaminate" -> decontaminate,
     "pipeline_pack_sequences" -> packSequences,
+    "pipeline_chunk_documents" -> chunkDocuments,
+    "pipeline_filter_funnel" -> filterFunnel,
     "text_pii_redact" -> piiRedact,
     "text_bigrams" -> bigramStats,
     "text_vocab" -> vocab,
@@ -336,6 +435,8 @@ object CorpusOps {
     "pipeline_stratified_sample" -> stratifiedSampleSql,
     "pipeline_decontaminate" -> decontaminateSql,
     "pipeline_pack_sequences" -> packSequencesSql,
+    "pipeline_chunk_documents" -> chunkDocumentsSql,
+    "pipeline_filter_funnel" -> filterFunnelSql,
     "text_pii_redact" -> piiRedactSql,
     "text_bigrams" -> bigramStatsSql,
     "text_vocab" -> vocabSql,

@@ -66,4 +66,20 @@ class AggFamiliesSpec extends AnyFunSuite {
       assert(math.abs(v - want) <= 1e-9 * math.abs(want))
     }
   }
+
+  test("equidepth bins: exhaustive, balanced, value-ordered") {
+    val rows = ExtendedQueries.equidepthBins(spark, dir).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    val n = graft.Tables.load(spark, dir, "events").count()
+    assert(rows.map(_.getAs[Long]("bin")).toSeq ==
+      (0L until ExtendedQueries.DepthBins.toLong))
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == n) // every row binned once
+    // equal frequency: rank arithmetic bounds bin-size spread by 1
+    val sizes = rows.map(_.getAs[Long]("n_rows"))
+    assert(sizes.max - sizes.min <= 1, s"sizes=${sizes.toSeq}")
+    // bins partition the value axis in order: ranges never overlap
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_v_u") <= b.getAs[Long]("min_v_u"))
+    }
+  }
 }

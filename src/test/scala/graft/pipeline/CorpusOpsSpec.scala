@@ -136,4 +136,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(c >= -1.001 && c <= 1.001) // unit-ish embedding components
     }
   }
+
+  test("chunkDocuments: stride starts, exact substrings, full coverage") {
+    val docs = graft.Tables.load(spark, dir, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val byDoc = CorpusOps.chunkDocuments(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.filter(_._2.nonEmpty).keySet)
+    byDoc.foreach { case (id, cs) =>
+      val text = docs(id)
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("chunk_idx") == i.toLong) // dense, 0-based
+        val start = c.getAs[Long]("chunk_start").toInt
+        assert(start == i * CorpusOps.ChunkStride)
+        assert(c.getAs[String]("chunk_text") == text.substring(
+          start, math.min(start + CorpusOps.ChunkSize, text.length)))
+      }
+      // coverage: the last chunk reaches the end of the document
+      val last = sorted.last
+      assert(last.getAs[Long]("chunk_start") + last.getAs[Long]("chunk_len")
+        >= text.length)
+    }
+  }
+
+  test("filterFunnel: stages chain and only shrink") {
+    val rows = CorpusOps.filterFunnel(spark, dir).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(rows.length == 4)
+    assert(rows.head.getAs[Long]("n_in") ==
+      graft.Tables.load(spark, dir, "documents").count())
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_in")))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_out")) // chained gates
+    }
+  }
 }
