@@ -33,8 +33,13 @@ object TpchQueries2 {
     * min is order-free and cross-engine exact (no summation involved).
     * The defining pattern stands: for every size-15 part, the EUROPE
     * supplier(s) achieving the region-wide minimum cost (correlated scalar
-    * min). Dimension chains broadcast; the one shuffle is the per-(part,
-    * supplier) aggregate; the per-part min is a window over tiny groups.
+    * min). Both dimension filters ride their broadcast joins BELOW the
+    * aggregate (a per-pair min only sees that pair's lines, so
+    * pre-filtering by part/supplier attributes is lossless), leaving the
+    * one shuffle carrying only the selected-parts × region-suppliers
+    * lines (~2% of the fact table here) — the same
+    * correlation-key-restriction argument as [[q17SmallQuantity]]. The
+    * per-part min is then a window over tiny groups.
     */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.load(spark, dir, "region").where("r_name = 'EUROPE'")
@@ -47,12 +52,12 @@ object TpchQueries2 {
         "CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_c", "n_name")
     val parts = Tables.load(spark, dir, "part")
       .where("p_size = 15").select("p_partkey", "p_name")
-    val ps = li(spark, dir)
-      .groupBy("l_partkey", "l_suppkey")
-      .agg(min(expr("l_extendedprice / l_quantity")).as("unit_cost"))
-    val offers = ps
+    val offers = li(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_partkey", "p_name", "s_name", "acctbal_c", "n_name")
+      .agg(min(expr("l_extendedprice / l_quantity")).as("unit_cost"))
     offers
       .withColumn("min_cost", min("unit_cost").over(Window.partitionBy("p_partkey")))
       .where(col("unit_cost") === col("min_cost"))
@@ -118,12 +123,17 @@ object TpchQueries2 {
     * with a year + discount-band + quantity filter, no joins, map-side
     * partial aggregation to a single row. Revenue = price × discount in
     * exact 1e-4 dollar units. At 100 TB this is the query that proves
-    * filters reach the parquet scan (all three predicates push down).
+    * filters reach the parquet scan: date and quantity push down as-is,
+    * and the discount band gets a REDUNDANT raw-column bracket
+    * (`l_discount BETWEEN 0.04 AND 0.08`, strictly wider than the exact
+    * integer band that decides semantics) so discount pruning also
+    * happens at the scan instead of only after the cents cast.
     */
   def q6Forecast(spark: SparkSession, dir: String): DataFrame =
     li(spark, dir)
       .where("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
-        "l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_quantity < 24")
+        "l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_quantity < 24 AND " +
+        "l_discount BETWEEN 0.04 AND 0.08")
       .selectExpr(
         "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c",
         "CAST(round(l_discount * 100) AS BIGINT) AS disc_pct")
@@ -139,6 +149,7 @@ object TpchQueries2 {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_quantity < 24
+      |  AND l_discount BETWEEN 0.04 AND 0.08
       |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin
 
   /** Q8 national market share: of the ASIA market's STANDARD-part revenue

@@ -285,8 +285,13 @@ object CorpusOps {
   /** Overlapping sliding-window chunking — the retrieval/pretraining prep
     * step that cuts each document into fixed-size windows with overlap so
     * boundary context appears in two adjacent chunks. Window starts are
-    * 0, stride, 2·stride, … while start < n_chars, so every non-empty doc
-    * emits ≥1 chunk and consecutive chunks share size − stride chars.
+    * 0, stride, 2·stride, …, stopping at the FIRST window that reaches
+    * the document end (`ceil((n_chars − size) / stride)`, floored at 0):
+    * every non-empty doc emits ≥1 chunk, consecutive chunks share
+    * size − stride chars, the final char is always covered, and no tail
+    * chunk is ever a pure duplicate of its predecessor's suffix (a
+    * "while start < n" rule would emit one whenever n_chars mod stride
+    * lands inside the overlap — wasted index/training tokens at scale).
     * Pure per-row generate-and-explode: a map-only pass with NO shuffle
     * (the output orderBy is the driver hash contract, not the operator) —
     * at 100 TB the output is ~size/stride × input, streamed straight to
@@ -297,7 +302,8 @@ object CorpusOps {
     Tables.load(spark, dir, "documents")
       .where("n_chars > 0")
       .selectExpr("doc_id", "text",
-        s"explode(sequence(CAST(0 AS BIGINT), (n_chars - 1) div $ChunkStride)) AS chunk_idx")
+        s"explode(sequence(CAST(0 AS BIGINT), (greatest(n_chars - $ChunkSize, 0)" +
+          s" + $ChunkStride - 1) div $ChunkStride)) AS chunk_idx")
       .selectExpr("doc_id", "chunk_idx",
         s"chunk_idx * $ChunkStride AS chunk_start",
         s"substring(text, CAST(chunk_idx * $ChunkStride + 1 AS INT), $ChunkSize) AS chunk_text")
@@ -307,7 +313,8 @@ object CorpusOps {
   val chunkDocumentsSql: String =
     s"""WITH c AS (
        |  SELECT doc_id, text,
-       |         unnest(generate_series(0, (n_chars - 1) // $ChunkStride)) AS chunk_idx
+       |         unnest(generate_series(0,
+       |           (greatest(n_chars - $ChunkSize, 0) + $ChunkStride - 1) // $ChunkStride)) AS chunk_idx
        |  FROM documents WHERE n_chars > 0)
        |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
        |       (chunk_idx * $ChunkStride)::BIGINT AS chunk_start,

@@ -630,7 +630,50 @@ object Similarity {
        |ORDER BY method""".stripMargin
   }
 
+  /** Filtered ANN — exact top-k restricted to a metadata predicate (same
+    * label as the query): the production vector-search shape where the
+    * filter must live INSIDE the search, not after it (post-filtering an
+    * approximate candidate list silently returns fewer than k). The label
+    * equality rides the join condition, so the candidate set is
+    * label-local before any scoring happens — at 100 TB the predicate
+    * PRUNES the scan ~|labels|-fold instead of discarding scored results,
+    * and composing it with the LSH/IVF bucket key (join on
+    * (bucket, label)) is the same one-line change in those entries.
+    */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embDouble(spark, dir)
+    val queries = corpus.where(s"vec_id < $QuerySetSize")
+      .selectExpr("vec_id AS q_id", "label AS q_label",
+        "emb AS q_emb", "nrm AS q_nrm")
+    corpus.join(broadcast(queries),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  val filteredTopKSql: String =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb, nrm AS q_nrm
+       |      FROM emb WHERE vec_id < $QuerySetSize),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |         round(${cosineSql("q.q_emb", "e.emb", "q.q_nrm", "e.nrm")}, 6) AS sim
+       |  FROM emb e, q
+       |  WHERE e.label = q.q_label AND e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_filtered_topk" -> filteredTopK,
     "sim_bruteforce_topk" -> bruteForceTopK,
     "sim_lsh_topk" -> lshTopK,
     "sim_ivf_topk" -> ivfTopK,
@@ -640,6 +683,7 @@ object Similarity {
     "dedup_embedding_cosine" -> embeddingNearDup)
 
   val oracles: Map[String, String] = Map(
+    "sim_filtered_topk" -> filteredTopKSql,
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     "sim_lsh_topk" -> lshTopKSql,
     "sim_ivf_topk" -> ivfTopKSql,

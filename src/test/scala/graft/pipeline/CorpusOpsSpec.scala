@@ -157,6 +157,12 @@ class CorpusOpsSpec extends AnyFunSuite {
       val last = sorted.last
       assert(last.getAs[Long]("chunk_start") + last.getAs[Long]("chunk_len")
         >= text.length)
+      // no pure-duplicate tails: every chunk ends strictly beyond the
+      // previous one, i.e. contributes at least one new character
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(b.getAs[Long]("chunk_start") + b.getAs[Long]("chunk_len") >
+          a.getAs[Long]("chunk_start") + a.getAs[Long]("chunk_len"))
+      }
     }
   }
 
