@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.optimizer.BuildRight
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan linter: machine-enforces the 100 TB design rules that PLANS.md
+  * documents by hand, over EVERY declared query — so a regression that
+  * re-introduces a cartesian product, an unvetted nested-loop join, or an
+  * unpartitioned window fails the suite instead of waiting for a human
+  * plan audit. (Correctness is the driver oracle's job; this is the
+  * scale-shape gate.)
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Entries whose single-partition window is bounded BY CONSTRUCTION:
+    * text_vocab ranks only the VocabK=50 rows surviving a
+    * TakeOrderedAndProject, so its global window never sees more than K
+    * rows regardless of corpus size (CorpusOps.vocab scaladoc).
+    */
+  private val globalWindowOk = Set("text_vocab")
+
+  /** ANN entries whose nested-loop join broadcasts the QUERY BATCH (a
+    * `vec_id < QuerySetSize` filter — bounded by a constant, not by data;
+    * the non-equi `vec_id =!= q_id` condition forces BNLJ) or the IVF
+    * probe/centroid frame. Brute force is the DECLARED O(N·Q) baseline;
+    * the bucketed paths (sim_lsh_topk, sim_filtered_topk) join on equi
+    * keys and are correctly NOT in this list — the label predicate riding
+    * the join is exactly what turns filtered search into a hash join.
+    */
+  private val bnljQueryBatchOk = Set(
+    "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
+    "sim_recall_gate")
+
+  /** A nested-loop/cross join is otherwise vetted iff its BROADCAST side
+    * is an aggregate frame (the 1-to-16-row stats/bounds/total rows every
+    * crossJoin site in this repo broadcasts) or a literal local relation —
+    * never a scan-shaped input that could grow with the data.
+    */
+  private def vettedBuild(p: SparkPlan): Boolean =
+    p.collectWithSubqueries {
+      case n if n.nodeName.contains("Aggregate") => n
+      case n if n.nodeName.contains("LocalTableScan") => n
+    }.nonEmpty
+
+  test("no cartesian products, unvetted nested-loop joins, or unpartitioned windows") {
+    val dir = "/root/testdata/sf0.001"
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    // audit the prepared plan with AQE off: subqueries are then PHYSICAL
+    // (sparkPlan still holds logical subquery plans, which would defeat
+    // the lint), and no AdaptiveSparkPlanExec wrapper hides the tree
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan
+      plan.collectWithSubqueries { case p => p }.foreach {
+        case _: CartesianProductExec =>
+          violations += s"$name: CartesianProduct"
+        case j: BroadcastNestedLoopJoinExec if !bnljQueryBatchOk(name) =>
+          val build = if (j.buildSide == BuildRight) j.right else j.left
+          if (!vettedBuild(build))
+            violations += s"$name: BroadcastNestedLoopJoin with scan-shaped build side"
+        case w: WindowExec if w.partitionSpec.isEmpty && !globalWindowOk(name) =>
+          violations += s"$name: unpartitioned Window"
+        case _ => ()
+      }
+      spark.catalog.clearCache()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    assert(violations.isEmpty,
+      s"100TB plan-shape violations:\n${violations.mkString("\n")}")
+  }
+}
