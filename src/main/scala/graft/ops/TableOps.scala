@@ -168,7 +168,79 @@ object TableOps {
 
   // ---------------------------------------------------------------- entry
 
+  // ------------------------------------------------------- snapshot diff
+
+  /** Snapshot window bounds (µs since epoch, UTC): old = 2024-01-01..04,
+    * new = 2024-01-25..28 — two 3-day key-presence windows far enough
+    * apart that all four diff classes occur in the fixture.
+    */
+  val SnapOldLoUs = 1704067200000000L
+  val SnapOldHiUs = 1704326400000000L
+  val SnapNewLoUs = 1706140800000000L
+  val SnapNewHiUs = 1706400000000000L
+
+  /** CDC snapshot reconciliation — the diff every lake maintenance job
+    * runs between two table versions: latest state per (user_id,
+    * event_type) in each window, full-outer joined and classified
+    * added / removed / changed / unchanged, with the exact value delta.
+    * Each snapshot is the [[latestByKey]] WindowGroupLimit shape (rank-1
+    * per key, one hash shuffle); both sides then shuffle on the SAME
+    * (user_id, event_type) key, so the full-outer join is co-partitioned
+    * — at 100 TB this is two scans + three same-key exchanges, no
+    * broadcast of anything unbounded. Values compare as 1e-6-quantized
+    * BIGINTs, so 'changed' is exact, not an FP-tolerance call.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def snap(loUs: Long, hiUs: Long, vAlias: String): DataFrame = {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(desc("ts_us"), desc("event_id"))
+      Tables.load(spark, dir, "events")
+        .withColumn("ts_us", Tables.tsNanosToMicros("ts"))
+        .where(col("ts_us") >= loUs && col("ts_us") < hiUs)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .selectExpr("user_id", "event_type",
+          s"CAST(round(value * 1000000) AS BIGINT) AS $vAlias")
+    }
+    snap(SnapOldLoUs, SnapOldHiUs, "old_v_u")
+      .join(snap(SnapNewLoUs, SnapNewHiUs, "new_v_u"),
+        Seq("user_id", "event_type"), "full_outer")
+      .selectExpr("user_id", "event_type",
+        """CASE WHEN old_v_u IS NULL THEN 'added'
+          |     WHEN new_v_u IS NULL THEN 'removed'
+          |     WHEN old_v_u <> new_v_u THEN 'changed'
+          |     ELSE 'unchanged' END AS status""".stripMargin,
+        "old_v_u", "new_v_u", "new_v_u - old_v_u AS delta_v_u")
+      .orderBy("user_id", "event_type")
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+       |         CAST(round(value * 1000000) AS BIGINT) AS v_u
+       |  FROM events),
+       |o AS (SELECT user_id, event_type, v_u AS old_v_u FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |                    ORDER BY ts_us DESC, event_id DESC) AS rn
+       |        FROM e WHERE ts_us >= $SnapOldLoUs AND ts_us < $SnapOldHiUs)
+       |      WHERE rn = 1),
+       |n AS (SELECT user_id, event_type, v_u AS new_v_u FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |                    ORDER BY ts_us DESC, event_id DESC) AS rn
+       |        FROM e WHERE ts_us >= $SnapNewLoUs AND ts_us < $SnapNewHiUs)
+       |      WHERE rn = 1)
+       |SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       |       COALESCE(o.event_type, n.event_type) AS event_type,
+       |       CASE WHEN old_v_u IS NULL THEN 'added'
+       |            WHEN new_v_u IS NULL THEN 'removed'
+       |            WHEN old_v_u <> new_v_u THEN 'changed'
+       |            ELSE 'unchanged' END AS status,
+       |       old_v_u, new_v_u, new_v_u - old_v_u AS delta_v_u
+       |FROM o FULL JOIN n ON o.user_id = n.user_id AND o.event_type = n.event_type
+       |ORDER BY user_id, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_snapshot_diff" -> snapshotDiff,
     "x_latest_by_key" -> latestByKey,
     "x_data_quality" -> dataQuality,
     "x_window_distribution" -> windowDistribution,
@@ -176,6 +248,7 @@ object TableOps {
     "x_dense_ids" -> denseIds)
 
   val oracles: Map[String, String] = Map(
+    "x_snapshot_diff" -> snapshotDiffSql,
     "x_latest_by_key" -> latestByKeySql,
     "x_data_quality" -> dataQualitySql,
     "x_window_distribution" -> windowDistributionSql,

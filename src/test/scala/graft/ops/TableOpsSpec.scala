@@ -80,4 +80,24 @@ class TableOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum ==
       graft.Tables.load(spark, dir, "events").count())
   }
+
+  test("snapshot diff: status matches null shape, keys unique, delta iff retained") {
+    val rows = TableOps.snapshotDiff(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val o = Option(r.get(r.fieldIndex("old_v_u")))
+      val n = Option(r.get(r.fieldIndex("new_v_u")))
+      r.getAs[String]("status") match {
+        case "added"     => assert(o.isEmpty && n.nonEmpty)
+        case "removed"   => assert(o.nonEmpty && n.isEmpty)
+        case "changed"   => assert(o.nonEmpty && n.nonEmpty && o != n)
+        case "unchanged" => assert(o.nonEmpty && o == n)
+        case other       => fail(s"unknown status $other")
+      }
+      assert(Option(r.get(r.fieldIndex("delta_v_u"))).nonEmpty ==
+        (o.nonEmpty && n.nonEmpty))
+    }
+    val keys = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    assert(keys.distinct.length == keys.length) // one verdict per key
+  }
 }
