@@ -322,6 +322,37 @@ object CorpusOps {
        |       length(substring(text, (chunk_idx * $ChunkStride + 1)::INT, $ChunkSize))::BIGINT AS chunk_len
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ------------------------------------------------------ weighted sample
+
+  /** Deterministic importance sampling — inclusion probability
+    * proportional to a per-doc quality weight (here: length, capped at
+    * 400 chars ⇒ weight 1.0), the data-mixing primitive for upweighting
+    * high-quality sources in a training blend. The accept test is pure
+    * integer arithmetic: a Knuth multiplicative hash of doc_id folded to
+    * 1024 buckets, kept iff below the weight expressed in 1024ths — no
+    * RNG state, no doubles, reproducible on any engine and any
+    * partitioning ((doc_id % 2^31−1) bounds the product under 2^63 at any
+    * corpus size). One scan, zero shuffles (the output sort is the driver
+    * hash contract); the uniform-rate twin is [[split]]'s md5 bucketing.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "lang", "n_chars",
+        "least(CAST(1024 AS BIGINT), (n_chars * 1024) div 400) AS w_buckets",
+        "((doc_id % 2147483647) * 2654435761) % 2147483647 % 1024 AS u_bucket")
+      .where("u_bucket < w_buckets")
+      .orderBy("doc_id")
+
+  val weightedSampleSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         least(1024, (n_chars * 1024) // 400) AS w_buckets,
+      |         ((doc_id % 2147483647) * 2654435761) % 2147483647 % 1024 AS u_bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars, w_buckets, u_bucket
+      |FROM w WHERE u_bucket < w_buckets
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- filter funnel
 
   /** Per-stage retention accounting for a 4-stage document quality filter
@@ -432,6 +463,7 @@ object CorpusOps {
     "pipeline_pack_sequences" -> packSequences,
     "pipeline_chunk_documents" -> chunkDocuments,
     "pipeline_filter_funnel" -> filterFunnel,
+    "pipeline_weighted_sample" -> weightedSample,
     "text_pii_redact" -> piiRedact,
     "text_bigrams" -> bigramStats,
     "text_vocab" -> vocab,
@@ -444,6 +476,7 @@ object CorpusOps {
     "pipeline_pack_sequences" -> packSequencesSql,
     "pipeline_chunk_documents" -> chunkDocumentsSql,
     "pipeline_filter_funnel" -> filterFunnelSql,
+    "pipeline_weighted_sample" -> weightedSampleSql,
     "text_pii_redact" -> piiRedactSql,
     "text_bigrams" -> bigramStatsSql,
     "text_vocab" -> vocabSql,

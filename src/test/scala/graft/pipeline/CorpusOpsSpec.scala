@@ -166,6 +166,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample: threshold respected, selective, deterministic") {
+    val rows = CorpusOps.weightedSample(spark, dir).collect()
+    val total = graft.Tables.load(spark, dir, "documents").count()
+    assert(rows.nonEmpty && rows.length < total) // samples, not a pass-through
+    rows.foreach { r =>
+      assert(r.getAs[Long]("u_bucket") < r.getAs[Long]("w_buckets"))
+      assert(r.getAs[Long]("w_buckets") <= 1024L)
+    }
+    val again = CorpusOps.weightedSample(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("filterFunnel: stages chain and only shrink") {
     val rows = CorpusOps.filterFunnel(spark, dir).collect()
       .sortBy(_.getAs[Long]("stage"))
