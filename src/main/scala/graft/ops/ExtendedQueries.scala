@@ -424,7 +424,44 @@ object ExtendedQueries {
        |       sum(v_u)::BIGINT AS sum_v_u
        |FROM r, n GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // -------------------------------------------------------- grouping ids
+
+  /** Grouping indicator functions over a CUBE — how a consumer of mixed
+    * grouping-set output distinguishes a genuine NULL group key from a
+    * super-aggregate row: `grouping(col)` per column plus a composite id.
+    * The id is EXPLICIT arithmetic (2·g_rf + g_ls) in both engines rather
+    * than the native `grouping_id()` — bit order of the native bitmask is
+    * an engine convention, the arithmetic is not. Same two-phase Expand
+    * aggregate as [[cubeAgg]]; the flags are metadata, not extra passes.
+    */
+  def groupingIds(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_returnflag AS rf", "l_linestatus AS ls",
+        "CAST(round(l_quantity * 100) AS BIGINT) AS qty_c")
+      .cube("rf", "ls")
+      .agg(
+        expr("CAST(grouping(rf) AS BIGINT)").as("g_rf"),
+        expr("CAST(grouping(ls) AS BIGINT)").as("g_ls"),
+        expr("CAST(2 * grouping(rf) + grouping(ls) AS BIGINT)").as("gid"),
+        sum("qty_c").as("sum_qty_c"),
+        count(lit(1)).as("n"))
+      .selectExpr("COALESCE(rf, 'ALL') AS rf_l", "COALESCE(ls, 'ALL') AS ls_l",
+        "g_rf", "g_ls", "gid", "sum_qty_c", "n")
+      .orderBy("gid", "rf_l", "ls_l")
+
+  val groupingIdsSql: String =
+    """SELECT COALESCE(rf, 'ALL') AS rf_l, COALESCE(ls, 'ALL') AS ls_l,
+      |       GROUPING(rf)::BIGINT AS g_rf, GROUPING(ls)::BIGINT AS g_ls,
+      |       (2 * GROUPING(rf) + GROUPING(ls))::BIGINT AS gid,
+      |       sum(qty_c)::BIGINT AS sum_qty_c, count(*)::BIGINT AS n
+      |FROM (SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |             CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+      |      FROM lineitem)
+      |GROUP BY CUBE(rf, ls)
+      |ORDER BY gid, rf_l, ls_l""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_grouping_id" -> groupingIds,
     "x_equidepth_bins" -> equidepthBins,
     "x_histogram" -> histogram,
     "x_json_parse" -> jsonParse,
@@ -441,6 +478,7 @@ object ExtendedQueries {
     "x_agg_stats" -> aggStats)
 
   val oracles: Map[String, String] = Map(
+    "x_grouping_id" -> groupingIdsSql,
     "x_equidepth_bins" -> equidepthBinsSql,
     "x_histogram" -> histogramSql,
     "x_json_parse" -> jsonParseSql,
