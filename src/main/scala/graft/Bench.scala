@@ -204,8 +204,15 @@ object Bench {
     val shardedRps = if (streamShardedSec > 0) streamRows / streamShardedSec else 0.0
     val excludedArr = declaredSurfaces.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","total_production_sec":${num(totalProduction, 3)},"excluded_declared_surfaces":$excludedArr,"queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"stream_sharded_rows_per_sec":${num(shardedRps, 1)},"n_queries":${queryTimes.size},"protocol":"median-of-3-interleaved","query_stats_min_med_max":$stats,"calibration_sec":$calArr,"load_warning":$loadWarning,"contended_queries":$contendedArr,"capped_query_doc_ids":$capped}""")
+    val jsonLine =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","total_production_sec":${num(totalProduction, 3)},"excluded_declared_surfaces":$excludedArr,"queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"stream_sharded_rows_per_sec":${num(shardedRps, 1)},"n_queries":${queryTimes.size},"protocol":"median-of-3-interleaved","query_stats_min_med_max":$stats,"calibration_sec":$calArr,"load_warning":$loadWarning,"contended_queries":$contendedArr,"capped_query_doc_ids":$capped}"""
+    println(jsonLine)
+    // ALSO write the line to a file: sbt prefixes stdout with "[info] ",
+    // which the driver's JSON parser chokes on (every BENCH_r*.json carried
+    // "parsed": null through round 6) — a plain file sidesteps the prefix
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.write(java.nio.file.Paths.get(outFile),
+      (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

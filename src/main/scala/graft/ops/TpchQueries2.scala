@@ -39,7 +39,10 @@ object TpchQueries2 {
     * one shuffle carrying only the selected-parts × region-suppliers
     * lines (~2% of the fact table here) — the same
     * correlation-key-restriction argument as [[q17SmallQuantity]]. The
-    * per-part min is then a window over tiny groups.
+    * per-part min is then a window over tiny groups. Grouping (and the
+    * LIMIT tiebreak) is keyed on `s_suppkey` — the true supplier identity
+    * — so two suppliers sharing name/acctbal/nation stay distinct rows,
+    * exactly as the oracle's (l_partkey, l_suppkey) CTE keeps them.
     */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.load(spark, dir, "region").where("r_name = 'EUROPE'")
@@ -56,13 +59,14 @@ object TpchQueries2 {
       .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
-      .groupBy("p_partkey", "p_name", "s_name", "acctbal_c", "n_name")
+      .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "acctbal_c", "n_name")
       .agg(min(expr("l_extendedprice / l_quantity")).as("unit_cost"))
     offers
       .withColumn("min_cost", min("unit_cost").over(Window.partitionBy("p_partkey")))
       .where(col("unit_cost") === col("min_cost"))
-      .select("acctbal_c", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
-      .orderBy(desc("acctbal_c"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+      .select("acctbal_c", "s_name", "n_name", "p_partkey", "p_name", "s_suppkey", "unit_cost")
+      .orderBy(desc("acctbal_c"), asc("n_name"), asc("s_name"), asc("p_partkey"),
+        asc("s_suppkey"))
       .limit(100)
   }
 
@@ -76,7 +80,7 @@ object TpchQueries2 {
       |  JOIN nation ON s_nationkey = n_nationkey
       |  JOIN region ON n_regionkey = r_regionkey
       |  WHERE r_name = 'EUROPE')
-      |SELECT acctbal_c, s_name, n_name, p_partkey, p_name, unit_cost
+      |SELECT acctbal_c, s_name, n_name, p_partkey, p_name, s_suppkey, unit_cost
       |FROM ps
       |JOIN part ON l_partkey = p_partkey
       |JOIN eu ON l_suppkey = s_suppkey
@@ -84,7 +88,7 @@ object TpchQueries2 {
       |  AND unit_cost = (SELECT min(ps2.unit_cost)
       |                   FROM ps ps2 JOIN eu e2 ON ps2.l_suppkey = e2.s_suppkey
       |                   WHERE ps2.l_partkey = part.p_partkey)
-      |ORDER BY acctbal_c DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+      |ORDER BY acctbal_c DESC, n_name, s_name, p_partkey, s_suppkey LIMIT 100""".stripMargin
 
   /** Q4 order-priority checking (adapted lateness: shipped > 60 days after
     * order date, as in [[TpchQueries.q12Lateness]]): orders in a quarter

@@ -292,6 +292,10 @@ object CorpusOps {
     * chunk is ever a pure duplicate of its predecessor's suffix (a
     * "while start < n" rule would emit one whenever n_chars mod stride
     * lands inside the overlap — wasted index/training tokens at scale).
+    * Per-document length bound: the substring position is an INT, so a
+    * single document is bounded at 2^31−1 chars (~2 GiB) — the corpus is
+    * unbounded, only one row isn't; engines' own string/row limits bind
+    * far earlier, and a longer blob belongs in a binary column anyway.
     * Pure per-row generate-and-explode: a map-only pass with NO shuffle
     * (the output orderBy is the driver hash contract, not the operator) —
     * at 100 TB the output is ~size/stride × input, streamed straight to
@@ -386,7 +390,11 @@ object CorpusOps {
           |  3, 'distinct_ratio', n2, n3,
           |  4, 'min_words',      n3, n4) AS (stage, filter, n_in, n_out)""".stripMargin)
       .selectExpr("CAST(stage AS BIGINT) AS stage", "filter", "n_in", "n_out",
-        "CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE) AS retained")
+        // n_in = 0 → NULL on BOTH engines: Spark (non-ANSI) nulls the
+        // division but DuckDB's IEEE double division yields NaN, so an
+        // explicit guard keeps the hash stable if a stage ever empties
+        "CASE WHEN n_in = 0 THEN NULL" +
+          " ELSE CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE) END AS retained")
       .orderBy("stage")
   }
 
@@ -408,7 +416,8 @@ object CorpusOps {
       |  UNION ALL SELECT 3, 'distinct_ratio', n2, n3 FROM a
       |  UNION ALL SELECT 4, 'min_words', n3, n4 FROM a)
       |SELECT stage, filter, n_in, n_out,
-      |       CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE) AS retained
+      |       CASE WHEN n_in = 0 THEN NULL
+      |            ELSE CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE) END AS retained
       |FROM u ORDER BY stage""".stripMargin
 
   // ---------------------------------------------------------------- entry

@@ -43,15 +43,31 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_recall_gate")
 
   /** A nested-loop/cross join is otherwise vetted iff its BROADCAST side
-    * is an aggregate frame (the 1-to-16-row stats/bounds/total rows every
+    * IS an aggregate frame (the 1-to-16-row stats/bounds/total rows every
     * crossJoin site in this repo broadcasts) or a literal local relation —
-    * never a scan-shaped input that could grow with the data.
+    * never a scan-shaped input that could grow with the data. "Is" means
+    * the build side's ROOT, walked through row-count-preserving (or
+    * row-count-reducing) single-child wrappers — exchange, codegen,
+    * project, filter, sort, limit, coalesce — must be the Aggregate /
+    * LocalTableScan. Merely CONTAINING an aggregate somewhere in the
+    * subtree (e.g. a scan joined with a small aggregate) does NOT vet:
+    * such a build is data-proportional and fails the lint.
     */
-  private def vettedBuild(p: SparkPlan): Boolean =
-    p.collectWithSubqueries {
-      case n if n.nodeName.contains("Aggregate") => n
-      case n if n.nodeName.contains("LocalTableScan") => n
-    }.nonEmpty
+  @annotation.tailrec
+  private def vettedBuild(p: SparkPlan): Boolean = {
+    val name = p.nodeName
+    val bounded =
+      name.contains("Aggregate") || name.contains("LocalTableScan")
+    val rowPreservingWrapper =
+      name.contains("Exchange") || name.contains("WholeStageCodegen") ||
+        name.contains("InputAdapter") || name.contains("Project") ||
+        name.contains("Filter") || name.contains("Sort") ||
+        name.contains("Limit") || name.contains("Coalesce") ||
+        name.contains("Subquery")
+    if (bounded) true
+    else if (rowPreservingWrapper && p.children.size == 1) vettedBuild(p.children.head)
+    else false
+  }
 
   test("no cartesian products, unvetted nested-loop joins, or unpartitioned windows") {
     val dir = "/root/testdata/sf0.001"
