@@ -628,6 +628,166 @@ object Dedup {
        |       n_dup_spans::DOUBLE / n_spans::DOUBLE AS dup_ratio
        |FROM per ORDER BY doc_id""".stripMargin
 
+  // ---- incremental (cross-run) dedup against a persisted MinHash index ----
+
+  /** Historical/incoming split for the incremental entries: a deterministic
+    * doc_id mod — 3/4 of the corpus is the "already-ingested" history, 1/4
+    * is the incoming batch. Both engines compute the same split, so the
+    * oracle can replay the whole flow from the base table.
+    */
+  val IncrSplitMod = 4
+
+  /** Signature-agreement threshold for calling an incoming doc a duplicate:
+    * ≥ 8 of the 16 minhash components equal ⇒ estimated Jaccard ≥ 0.5.
+    * The estimate needs NO historical text — only the signatures already
+    * in the index — which is what makes the batch pass rescan-free.
+    */
+  val EstDupMatches = 8
+
+  /** All B band hashes of a signature row as one array expression. */
+  private def bandArrayExpr: String =
+    (0 until B).map { b =>
+      bandFold((0 until R).map(r => s"m${b * R + r}"))
+    }.mkString("array(", ", ", ")")
+
+  /** Persisted-index location, keyed by the corpus directory so different
+    * scale factors never share an index. /tmp is the stand-in for the
+    * warehouse path a deployment would use.
+    */
+  def indexPath(dir: String): String =
+    "/tmp/graft_minhash_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Build-once: write the historical corpus's MinHash band index —
+    * (doc_id, band, bh) plus the full 16-component signature (i0..i15) —
+    * partitioned by band, iff no committed index (`_SUCCESS`) exists.
+    * The signature travels WITH the band rows so the probe can estimate
+    * Jaccard from the index alone; the ×B signature duplication is 16
+    * BIGINTs against the band row it already pays for. At 100 TB the
+    * index would additionally be bucketed by `bh` inside each band
+    * partition so a probe prunes to matching buckets at the STORAGE
+    * layer; Spark-side the probe below already joins on (band, bh), so
+    * swapping the parquet dir for a bucketed table changes no query code.
+    */
+  def ensureMinhashIndex(spark: SparkSession, dir: String): String = {
+    val path = indexPath(dir)
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      val hist = Tables.load(spark, dir, "documents")
+        .where(s"doc_id % $IncrSplitMod <> 0")
+      val sig = minhashSignatures(hist)
+      sig
+        .selectExpr(Seq("doc_id") ++ (0 until H).map(i => s"m$i AS i$i")
+          :+ s"posexplode($bandArrayExpr) AS (band, bh)": _*)
+        .write.mode("overwrite").partitionBy("band").parquet(path)
+    }
+    path
+  }
+
+  /** The persisted index, read back (the driver-checkable surface of the
+    * build): one (band, bh) row per historical doc per band. Runs the
+    * build only when the committed index is absent — a second invocation
+    * is a pure read, which is the cross-run reuse contract
+    * ([[IncrementalDedupSpec]] proves the files are not rewritten).
+    */
+  def incrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureMinhashIndex(spark, dir)
+    spark.read.parquet(path)
+      .select("doc_id", "band", "bh")
+      .orderBy("doc_id", "band")
+  }
+
+  val incrementalIndexSql: String = {
+    val mins = (0 until H).map(i =>
+      s"min((${As(i)} * h + ${Bs(i)}) % $FpMod) AS m$i").mkString(", ")
+    val bandSelects = (0 until B).map { b =>
+      val ms = (0 until R).map(r => s"m${b * R + r}")
+      s"SELECT doc_id, $b AS band, ${bandFold(ms)} AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $hashedShinglesCte,
+       |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |)
+       |SELECT doc_id, band, bh FROM bands
+       |WHERE doc_id % $IncrSplitMod <> 0
+       |ORDER BY doc_id, band""".stripMargin
+  }
+
+  /** Incremental dedup: the production cross-run operation at 100 TB —
+    * "which incoming docs duplicate something ALREADY INGESTED" — without
+    * re-shingling or re-scanning historical text. The incoming batch (1/4
+    * of the corpus here) is signed fresh; the historical side is ONLY the
+    * persisted index: an equi join on (band, bh) finds bucket collisions,
+    * and the duplicate call is the signature-agreement estimate
+    * (matches/16) computed from index columns. Batch cost is
+    * O(batch + colliding buckets) plus one column-pruned index scan for
+    * the join build — with the batch side broadcast (it is the small
+    * side; AQE picks this at runtime), the index never shuffles, and
+    * with the storage bucketed by (band, bh) (see [[ensureMinhashIndex]])
+    * the scan itself prunes to touched buckets, making the probe
+    * independent of index size. Output: every candidate collision with
+    * its match count, estimate, and is_dup verdict — unthresholded so
+    * the oracle checks the whole candidate surface, not just survivors.
+    */
+  def incrementalBatch(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureMinhashIndex(spark, dir)
+    val incoming = Tables.load(spark, dir, "documents")
+      .where(s"doc_id % $IncrSplitMod = 0")
+    incrementalProbe(spark, incoming, path)
+  }
+
+  /** The probe alone, against an ALREADY-BUILT index at `indexPath` —
+    * factored out so the scale harness can hold the incoming batch fixed
+    * while swapping 1×/10× indexes under it (the cost-independence
+    * measurement the design claims).
+    */
+  def incrementalProbe(spark: SparkSession, incoming: DataFrame,
+      indexPath: String): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+      .selectExpr(Seq("doc_id AS hist_id", "band", "bh")
+        ++ (0 until H).map(i => s"i$i"): _*)
+    val newBands = minhashSignatures(incoming)
+      .selectExpr(Seq("doc_id") ++ (0 until H).map(i => s"m$i")
+        :+ s"posexplode($bandArrayExpr) AS (band, bh)": _*)
+    val matchExpr = (0 until H)
+      .map(i => s"CASE WHEN m$i = i$i THEN 1 ELSE 0 END").mkString(" + ")
+    newBands.join(idx, Seq("band", "bh"))
+      .withColumn("mt", expr(s"CAST($matchExpr AS BIGINT)"))
+      .groupBy("doc_id", "hist_id")
+      .agg(max("mt").as("matches")) // same value in every colliding band
+      .selectExpr("doc_id", "hist_id", "matches",
+        s"CAST(matches AS DOUBLE) / $H AS jaccard_est",
+        s"CASE WHEN matches >= $EstDupMatches THEN CAST(1 AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END AS is_dup")
+      .orderBy("doc_id", "hist_id")
+  }
+
+  val incrementalBatchSql: String = {
+    val mins = (0 until H).map(i =>
+      s"min((${As(i)} * h + ${Bs(i)}) % $FpMod) AS m$i").mkString(", ")
+    val bandSelects = (0 until B).map { b =>
+      val ms = (0 until R).map(r => s"m${b * R + r}")
+      s"SELECT doc_id, $b AS band, ${bandFold(ms)} AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val matchSum = (0 until H)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $hashedShinglesCte,
+       |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (SELECT DISTINCT n.doc_id AS doc_id, h.doc_id AS hist_id
+       |         FROM bands n JOIN bands h ON n.band = h.band AND n.bh = h.bh
+       |         WHERE n.doc_id % $IncrSplitMod = 0
+       |           AND h.doc_id % $IncrSplitMod <> 0)
+       |SELECT c.doc_id, c.hist_id, ($matchSum)::BIGINT AS matches,
+       |       ($matchSum)::DOUBLE / $H AS jaccard_est,
+       |       (CASE WHEN ($matchSum) >= $EstDupMatches THEN 1 ELSE 0 END)::BIGINT AS is_dup
+       |FROM cand c
+       |JOIN sig a ON c.doc_id = a.doc_id
+       |JOIN sig b ON c.hist_id = b.doc_id
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,
     "dedup_jaccard" -> jaccard,
@@ -638,6 +798,8 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_simhash_wide" -> simhashWide,
     "dedup_substring_spans" -> substringSpans,
+    "dedup_incremental_index" -> incrementalIndex,
+    "dedup_incremental_batch" -> incrementalBatch,
     "dedup_components" -> ((s: SparkSession, dir: String) => duplicateClusters(s, dir)))
 
   val oracles: Map[String, String] = Map(
@@ -650,5 +812,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_simhash_wide" -> simhashWideSql,
     "dedup_substring_spans" -> substringSpansSql,
+    "dedup_incremental_index" -> incrementalIndexSql,
+    "dedup_incremental_batch" -> incrementalBatchSql,
     "dedup_components" -> duplicateClustersSql)
 }
