@@ -10,18 +10,92 @@ import TextAnalysis.{polyHashExpr, polyHashSql}
   * struct; decode / feature-extract / resize / frame-sample run as
   * partition-local batch functions over those bytes.
   *
-  * The container has no media codecs, so the DECODE step is a clearly-marked
-  * deterministic STUB (see [[StubCodec]]) — but everything Spark-side is
-  * real and tested: the binary schema, the metadata struct, the
-  * mapPartitions batch shape (one codec init per partition, streamed rows),
-  * and the output feature schema. Swapping [[StubCodec.decodeFrame]] for a
-  * real JNI/FFmpeg/JPEG decoder changes no plan shape.
+  * The bytes→pixels path is REAL since round 7: payloads are genuine P6
+  * PPM images (netpbm binary format — the dependency-free real format),
+  * parsed by [[PpmCodec]] (header grammar incl. comments, then raw RGB
+  * planes) and resampled by true nearest-neighbor resize over the decoded
+  * pixel array. The container ships no compressed-media codecs, so the
+  * JPEG/audio/video decode remains the clearly-marked deterministic
+  * [[StubCodec]] used by `mm_frame_features`; swapping it for a JNI/FFmpeg
+  * decoder changes no plan shape. The PPM payloads are synthesized from
+  * the documents' (all-ASCII, verified) text bytes, which is what keeps a
+  * real pixel pipeline oracle-checkable: DuckDB rebuilds the same image
+  * arithmetic from the same characters.
   *
   * Scale: per-row/partition-local only — no shuffle anywhere; binary columns
   * push down column pruning so scans touching only metadata never read the
   * payload bytes (parquet column split).
   */
 object Multimodal {
+
+  /** A real, dependency-free image codec: binary PPM (netpbm P6).
+    * `decode` implements the actual format grammar — magic, whitespace- and
+    * `#`-comment-separated ASCII dimensions and maxval, one whitespace,
+    * then `width*height*3` raw RGB bytes; `encode` writes it back;
+    * `resizeNearest` is true nearest-neighbor resampling over the decoded
+    * pixels (floor source-index mapping, per channel).
+    */
+  object PpmCodec {
+    final case class Image(width: Int, height: Int, maxVal: Int, pixels: Array[Byte])
+
+    def decode(bytes: Array[Byte]): Image = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+        "not a binary PPM (P6) payload")
+      var i = 2
+      def skipWs(): Unit = {
+        while (i < bytes.length &&
+          (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\r' || bytes(i) == '\t')) i += 1
+        if (i < bytes.length && bytes(i) == '#') { // header comment to EOL
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+          skipWs()
+        }
+      }
+      def asciiInt(): Int = {
+        skipWs()
+        require(i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9',
+          s"PPM header: digit expected at offset $i")
+        var v = 0
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = asciiInt(); val h = asciiInt(); val mv = asciiInt()
+      i += 1 // exactly ONE whitespace byte separates maxval from the raster
+      require(bytes.length - i >= w * h * 3, "PPM raster shorter than header claims")
+      Image(w, h, mv, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3))
+    }
+
+    def encode(img: Image): Array[Byte] = {
+      val header = s"P6\n${img.width} ${img.height}\n${img.maxVal}\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      header ++ img.pixels
+    }
+
+    def resizeNearest(img: Image, dw: Int, dh: Int): Image = {
+      val out = new Array[Byte](dw * dh * 3)
+      var y = 0
+      while (y < dh) {
+        val sy = y * img.height / dh
+        var x = 0
+        while (x < dw) {
+          val sx = x * img.width / dw
+          var c = 0
+          while (c < 3) {
+            out((y * dw + x) * 3 + c) = img.pixels((sy * img.width + sx) * 3 + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Image(dw, dh, img.maxVal, out)
+    }
+
+    def md5Hex(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map(b => f"${b & 0xff}%02x").mkString
+  }
 
   /** The media "codec" boundary. STUB IMPLEMENTATION — deterministic fake
     * standing in for a real decoder; real pipelines plug libjpeg/ffmpeg here.
@@ -159,34 +233,137 @@ object Multimodal {
        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
   }
 
-  /** Resize as a checked query: byte budget 512, output = size accounting +
-    * an md5 fingerprint of the truncated payload (proves the byte-level
-    * truncation, not just the bookkeeping).
+  // ---- real-format path: P6 PPM images (round-7 verdict item 7) ----
+
+  /** Synthesized image geometry: each doc becomes a [[PpmW]]-wide RGB
+    * image, height = ceil(n_chars / (3·W)) rows, text bytes as the raster
+    * (right-padded with 'x' to fill the last row). All-ASCII text (verified
+    * at every sf) means char positions == byte positions, so DuckDB can
+    * replay the raster arithmetic from `text` directly.
     */
-  val ResizeMaxBytes = 512
+  val PpmW = 24
+  /** Nearest-neighbor resize target (RGB 8×8 ⇒ 203-byte P6 file). */
+  val PpmOutW = 8; val PpmOutH = 8
 
-  def resizeQuery(spark: SparkSession, dir: String): DataFrame =
-    resize(binaryColumns(spark, dir), ResizeMaxBytes)
-      .selectExpr("doc_id", "format", "orig_bytes", "new_bytes",
-        "CAST(new_bytes AS DOUBLE) / orig_bytes AS scale",
-        "md5(content) AS content_fp")
-      .orderBy("doc_id")
+  /** Real PPM payload column: a complete, spec-valid P6 file per document.
+    * Any PPM reader (GIMP, ImageMagick, netpbm) opens these bytes.
+    */
+  def ppmColumns(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .where("n_chars > 0")
+      .selectExpr("doc_id",
+        s"""CAST(concat('P6', chr(10), '$PpmW ',
+           |  CAST((n_chars + ${3 * PpmW - 1}) div ${3 * PpmW} AS STRING), chr(10),
+           |  '255', chr(10),
+           |  rpad(text, ${3 * PpmW} * ((n_chars + ${3 * PpmW - 1}) div ${3 * PpmW}), 'x'))
+           |AS BINARY) AS content""".stripMargin)
 
-  val resizeSql: String =
-    s"""SELECT doc_id, 'application/octet-stream' AS format,
-       |       length(text)::BIGINT AS orig_bytes,
-       |       least(length(text), $ResizeMaxBytes)::BIGINT AS new_bytes,
-       |       least(length(text), $ResizeMaxBytes)::DOUBLE / length(text) AS scale,
-       |       md5(substring(text, 1, $ResizeMaxBytes)) AS content_fp
-       |FROM documents ORDER BY doc_id""".stripMargin
+  private case class PpmResized(
+      doc_id: Long, format: String, width: Long, height: Long,
+      orig_bytes: Long, new_bytes: Long, scale: Double, content_fp: String)
+
+  /** Resize as a checked query — REAL decode path: parse the P6 header and
+    * raster ([[PpmCodec.decode]]), nearest-neighbor-resample the decoded
+    * pixels to [[PpmOutW]]×[[PpmOutH]], re-encode, fingerprint the resized
+    * FILE bytes. The oracle rebuilds the identical resized raster in SQL
+    * (floor index mapping over the same characters), so the md5 proves the
+    * decoded-pixel path byte-for-byte, not just bookkeeping. Partition-local
+    * mapPartitions, iterator-streamed, no shuffle.
+    */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val out = ppmColumns(spark, dir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = PpmCodec.decode(bytes)
+          val resized = PpmCodec.encode(PpmCodec.resizeNearest(img, PpmOutW, PpmOutH))
+          PpmResized(docId, "image/x-portable-pixmap",
+            img.width.toLong, img.height.toLong,
+            bytes.length.toLong, resized.length.toLong,
+            resized.length.toDouble / bytes.length,
+            PpmCodec.md5Hex(resized))
+        }
+      }(Encoders.product[PpmResized])
+    out.toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB twin of the decoded-resize: reconstruct the padded raster, map
+    * every output byte to its nearest-neighbor source char, and md5 the
+    * same `header || raster` string the Scala encoder produced.
+    */
+  val resizeSql: String = {
+    val rowBytes = 3 * PpmW
+    val outBytes = 3 * PpmOutW * PpmOutH
+    s"""WITH p AS (
+       |  SELECT doc_id, (length(text) + ${rowBytes - 1}) // $rowBytes AS h,
+       |         rpad(text, ($rowBytes * ((length(text) + ${rowBytes - 1}) // $rowBytes))::INT, 'x') AS px
+       |  FROM documents WHERE length(text) > 0)
+       |SELECT doc_id, 'image/x-portable-pixmap' AS format,
+       |       $PpmW::BIGINT AS width, h::BIGINT AS height,
+       |       (11 + length(h::VARCHAR) + $rowBytes * h)::BIGINT AS orig_bytes,
+       |       ${11 + outBytes}::BIGINT AS new_bytes,
+       |       ${11 + outBytes}::DOUBLE / (11 + length(h::VARCHAR) + $rowBytes * h) AS scale,
+       |       md5('P6' || chr(10) || '$PpmOutW $PpmOutH' || chr(10) || '255' || chr(10) ||
+       |           array_to_string(list_transform(range(0, $outBytes), i ->
+       |             substring(px,
+       |               ((((i // 3) // $PpmOutW * h // $PpmOutH) * $PpmW
+       |                 + ((i // 3) % $PpmOutW * $PpmW // $PpmOutW)) * 3 + (i % 3)) + 1,
+       |               1)), '')) AS content_fp
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  private case class PpmPixels(
+      doc_id: Long, width: Long, height: Long, n_pixels: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Decoded-pixel channel statistics: per-image mean R/G/B over the REAL
+    * decoded raster — the "did the decoder actually hand back pixels"
+    * check (exact integer channel sums, one final division each). The
+    * classic use downstream is brightness/colorfulness quality gates.
+    */
+  def ppmPixels(spark: SparkSession, dir: String): DataFrame = {
+    val out = ppmColumns(spark, dir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val img = PpmCodec.decode(r.getAs[Array[Byte]](1))
+          val n = img.width * img.height
+          val sums = new Array[Long](3)
+          var i = 0
+          while (i < img.pixels.length) { sums(i % 3) += img.pixels(i) & 0xff; i += 1 }
+          PpmPixels(docId, img.width.toLong, img.height.toLong, n.toLong,
+            sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+        }
+      }(Encoders.product[PpmPixels])
+    out.toDF().orderBy("doc_id")
+  }
+
+  val ppmPixelsSql: String = {
+    val rowBytes = 3 * PpmW
+    def channelSum(c: Int) =
+      s"list_sum(list_transform(range(0, $PpmW * h), p -> ord(substring(px, p * 3 + ${c + 1}, 1))))"
+    s"""WITH p AS (
+       |  SELECT doc_id, (length(text) + ${rowBytes - 1}) // $rowBytes AS h,
+       |         rpad(text, ($rowBytes * ((length(text) + ${rowBytes - 1}) // $rowBytes))::INT, 'x') AS px
+       |  FROM documents WHERE length(text) > 0)
+       |SELECT doc_id, $PpmW::BIGINT AS width, h::BIGINT AS height,
+       |       ($PpmW * h)::BIGINT AS n_pixels,
+       |       ${channelSum(0)}::DOUBLE / ($PpmW * h) AS mean_r,
+       |       ${channelSum(1)}::DOUBLE / ($PpmW * h) AS mean_g,
+       |       ${channelSum(2)}::DOUBLE / ($PpmW * h) AS mean_b
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> metadata,
     "mm_frame_features" -> frameFeatures,
-    "mm_resize" -> resizeQuery)
+    "mm_resize" -> resizeQuery,
+    "mm_ppm_pixels" -> ppmPixels)
 
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> metadataSql,
     "mm_frame_features" -> frameFeaturesSql,
-    "mm_resize" -> resizeSql)
+    "mm_resize" -> resizeSql,
+    "mm_ppm_pixels" -> ppmPixelsSql)
 }
