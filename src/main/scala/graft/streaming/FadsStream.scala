@@ -239,6 +239,36 @@ object FadsStream {
     * surface under test is the sharded transformWithState operator. The
     * production source is [[PacedReplay]] (files), as Bench runs it.
     */
+  /** Typed twin of `SparkEntry.regionShard` — floor, not toLong truncation:
+    * truncation rounds toward zero, so a negative value would land in a
+    * different shard than the batch twin's least(floor(value / 64.0), 7)
+    * and the shared oracle (code review r6). A capture-free FUNCTION VALUE,
+    * not a method: an eta-expanded method here would close over the
+    * non-serializable FadsStream module and fail task serialization inside
+    * groupByKey.
+    */
+  val regionShardOf: Event => Long =
+    e => math.min(math.floor(e.value / 64.0).toLong, 7L)
+
+  /** The region-sharded pipeline's config: reference parameters with
+    * normalization FIXED to the true domain bounds (globalNorm), computed by
+    * the same pre-pass aggregation as [[graft.ops.FadsBatch.anonymizeByKey]].
+    * Shared by the driver entry below and the checkpoint-restart spec so
+    * both provably run the identical pipeline.
+    */
+  def regionCfg(spark: SparkSession, dir: String): Fads.Config = {
+    import spark.implicits._
+    val b = graft.Tables.load(spark, dir, "events")
+      .agg(
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.expr("CAST(user_id AS DOUBLE)")),
+        org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.expr("CAST(user_id AS DOUBLE)")),
+        org.apache.spark.sql.functions.min($"value"),
+        org.apache.spark.sql.functions.max($"value")).head()
+    graft.SparkEntry.eventsFadsConfig.copy(
+      fixedLo = Some(Array(b.getDouble(0), b.getDouble(2))),
+      fixedHi = Some(Array(b.getDouble(1), b.getDouble(3))))
+  }
+
   def regionShardedQuery(spark: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
@@ -246,18 +276,8 @@ object FadsStream {
     val events = graft.Tables.load(spark, dir, "events")
       .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
       .as[Event]
-    val b = events.agg(
-      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.expr("CAST(user_id AS DOUBLE)")),
-      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.expr("CAST(user_id AS DOUBLE)")),
-      org.apache.spark.sql.functions.min($"value"),
-      org.apache.spark.sql.functions.max($"value")).head()
-    val cfg = graft.SparkEntry.eventsFadsConfig.copy(
-      fixedLo = Some(Array(b.getDouble(0), b.getDouble(2))),
-      fixedHi = Some(Array(b.getDouble(1), b.getDouble(3))))
-    // floor, not toLong truncation: truncation rounds toward zero, so a
-    // negative value would land in a different shard than the batch twin's
-    // least(floor(value / 64.0), 7) and the shared oracle (code review r6)
-    def shardOf(e: Event): Long = math.min(math.floor(e.value / 64.0).toLong, 7L)
+    val cfg = regionCfg(spark, dir)
+    val shardOf = regionShardOf
 
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")

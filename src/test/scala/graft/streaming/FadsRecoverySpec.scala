@@ -185,4 +185,77 @@ class FadsRecoverySpec extends AnyFunSuite {
       !fs.exists(new org.apache.hadoop.fs.Path(s"$path.old-6")),
       "orphans cleaned up after promotion")
   }
+
+  test("region-sharded stream restarted from checkpoint matches the batch twin") {
+    // the round-7 exactly-once proof for the DRIVER-CHECKED pipeline: the
+    // same cfg (globalNorm fixed bounds) + shard fn as
+    // FadsStream.regionShardedQuery / stream_fads_region_sharded, killed
+    // mid-stream, restarted from its checkpoint, then drained — the file
+    // sink's combined output must EXACTLY equal the clean-run batch twin
+    // (q9_fads_region_sharded's computation), which is only possible if the
+    // 8 shards' RocksDB state (buffer/bounds/clusters/seq) restored
+    // faithfully at the restart point.
+    import spark.implicits._
+    val input = loadEvents()
+    val events = Tables.load(spark, sfDir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val stageDir = Files.createTempDirectory("fads-region-stage").toString
+    PacedReplay.stage(events, Seq("ts", "event_id"), rowsPerFile = 100, stageDir)
+    val ckpt = Files.createTempDirectory("fads-region-ckpt").toString
+    val outDir = Files.createTempDirectory("fads-region-out").toString
+    val cfg = FadsStream.regionCfg(spark, sfDir)
+
+    def startQuery() = FadsStream.anonymizeSharded(
+        PacedReplay.stream(spark, stageDir, events.schema, filesPerTrigger = 1)
+          .as[Event],
+        cfg, FadsStream.regionShardOf)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .start()
+
+    def sunk(): Long =
+      scala.util.Try(spark.read.parquet(outDir).count()).getOrElse(0L)
+
+    // phase 1: kill mid-stream with buffered per-shard state outstanding
+    val q1 = startQuery()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (sunk() < 150 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(sunk() >= 150, "phase 1 made progress")
+    } finally q1.stop()
+    assert(sunk() < input.length, "stopped mid-stream")
+
+    // phase 2: restart from the SAME checkpoint; after all data files are
+    // consumed, append one sentinel PER SHARD (routed by value) to drain
+    val q2 = startQuery()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (sunk() < input.length - 8 * cfg.bufferConstraint &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+      (0 until 8).map(s => Event(-1L, Long.MaxValue, 0L, "", s * 64.0, "{}"))
+        .toDS()
+        .withColumn("__chunk", org.apache.spark.sql.functions.lit("99999"))
+        .write.mode("append").partitionBy("__chunk").parquet(stageDir)
+      while (sunk() < input.length && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+    } finally q2.stop()
+
+    val got = spark.read.parquet(outDir).as[GenEvent].collect()
+      .map(g => (g.event_id, g.user_id_lo, g.user_id_hi, g.value_lo, g.value_hi, g.suppressed))
+      .sortBy(_._1)
+    val want = SparkEntry.fadsReplayRegionSharded(spark, sfDir).collect().map { r =>
+      val u = r.getStruct(r.fieldIndex("user_id"))
+      val v = r.getStruct(r.fieldIndex("value"))
+      (r.getLong(r.fieldIndex("event_id")),
+        u.getDouble(0), u.getDouble(1), v.getDouble(0), v.getDouble(1),
+        r.getBoolean(r.fieldIndex("suppressed")))
+    }.sortBy(_._1)
+    assert(got.length == input.length, s"cardinality after drain: ${got.length}")
+    assert(got.toSeq == want.toSeq,
+      "restarted region-sharded stream must equal the batch twin exactly")
+  }
 }
