@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.optimizer.BuildRight
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
@@ -69,16 +69,26 @@ class PlanAuditSpec extends AnyFunSuite {
     else false
   }
 
-  test("no cartesian products, unvetted nested-loop joins, or unpartitioned windows") {
+  /** Every entry's prepared physical plan, computed ONCE (AQE off:
+    * subqueries are then PHYSICAL — `sparkPlan` still holds logical
+    * subquery plans, which would defeat the lints — and no
+    * AdaptiveSparkPlanExec wrapper hides the tree) and shared by all
+    * three lint passes below.
+    */
+  private lazy val plans: Seq[(String, SparkPlan)] = {
     val dir = "/root/testdata/sf0.001"
-    val violations = scala.collection.mutable.ArrayBuffer[String]()
-    // audit the prepared plan with AQE off: subqueries are then PHYSICAL
-    // (sparkPlan still holds logical subquery plans, which would defeat
-    // the lint), and no AdaptiveSparkPlanExec wrapper hides the tree
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan
+      spark.catalog.clearCache()
+      name -> plan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("no cartesian products, unvetted nested-loop joins, or unpartitioned windows") {
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    plans.foreach { case (name, plan) =>
       plan.collectWithSubqueries { case p => p }.foreach {
         case _: CartesianProductExec =>
           violations += s"$name: CartesianProduct"
@@ -90,9 +100,78 @@ class PlanAuditSpec extends AnyFunSuite {
           violations += s"$name: unpartitioned Window"
         case _ => ()
       }
-      spark.catalog.clearCache()
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
     assert(violations.isEmpty,
       s"100TB plan-shape violations:\n${violations.mkString("\n")}")
+  }
+
+  /** Entries whose defining predicate MUST reach the parquet scan: a data
+    * filter pushed into `PushedFilters` (comparison, not the bare
+    * IsNotNull every join emits), or — for the partition-layout entry —
+    * a partition filter that actually prunes directories. A regression
+    * that re-plans the filter above the scan (e.g. wrapping the column in
+    * a non-pushable expression) fails here even though results stay
+    * correct.
+    */
+  private val pushdownSensitive = Map(
+    "tpch_q6_forecast" -> "data",
+    "tpch_q14_promo_revenue" -> "data",
+    "tpch_q19_banded_revenue" -> "data",
+    "x_partitioned_roundtrip" -> "partition")
+
+  test("pushdown-sensitive entries keep their filters at the scan") {
+    val comparison =
+      "(GreaterThan|LessThan|EqualTo|StringStartsWith|StringContains|In\\()".r
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    val byName = plans.toMap
+    pushdownSensitive.foreach { case (name, kind) =>
+      val scans = byName(name).collectWithSubqueries {
+        case s: FileSourceScanExec => s
+      }
+      kind match {
+        case "data" =>
+          val pushed = scans.flatMap(_.metadata.get("PushedFilters"))
+          if (!pushed.exists(f => comparison.findFirstIn(f).isDefined))
+            violations += s"$name: no comparison filter reached any scan " +
+              s"(PushedFilters = ${pushed.mkString("; ")})"
+        case "partition" =>
+          val parts = scans.flatMap(_.metadata.get("PartitionFilters"))
+          if (!parts.exists(f => f.contains("=")))
+            violations += s"$name: no partition-pruning filter at the scan " +
+              s"(PartitionFilters = ${parts.mkString("; ")})"
+      }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  /** Per-entry SHUFFLE budget: the exact number of ShuffleExchangeExec
+    * nodes each entry's plan carries today (reused exchanges count once at
+    * definition — ReusedExchangeExec is a different node). An accidental
+    * extra shuffle — a lost co-partitioning, a filter that stopped
+    * aligning with an existing exchange, an orderBy that crept in — now
+    * fails the suite with the per-entry diff instead of surfacing as a
+    * silent bench regression. Entries not pinned yet get
+    * [[defaultShuffleBudget]]; pin them when they land.
+    */
+  private val defaultShuffleBudget = 3
+  private val shuffleBudget: Map[String, Int] = Map(
+    PlanAuditBudgets.shuffles.toSeq: _*)
+
+  test("no entry exceeds its pinned shuffle-exchange budget") {
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    val observed = plans.map { case (name, plan) =>
+      name -> plan.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+    }
+    observed.foreach { case (name, n) =>
+      val budget = shuffleBudget.getOrElse(name, defaultShuffleBudget)
+      if (n > budget) violations += s"$name: $n shuffles > budget $budget"
+    }
+    assert(violations.isEmpty,
+      "shuffle budget exceeded (if the extra exchange is DELIBERATE, " +
+        "re-pin it in PlanAuditBudgets.shuffles with a rationale):\n" +
+        violations.mkString("\n") + "\nfull observed counts:\n" +
+        observed.map { case (n, c) => s"""    "$n" -> $c,""" }.mkString("\n"))
   }
 }
