@@ -144,9 +144,8 @@ object SparkEntry {
       "stream_partitioned_sink" -> ((s: SparkSession, dir: String) =>
         streaming.Sinks.partitionedSinkQuery(s, dir)),
       // reference-parity replay: quirk Q2 (distance precedence bug) + Q4
-      // (PID filter disabled) enabled. NOTE: Q3 (the :355 raw-field index
-      // bug) is not replayable — the engine sees extracted QID values only
-      // (see Fads.Quirks scaladoc) — so this is partial, not full, parity
+      // (PID filter disabled) enabled; Q3 stays OFF here (the established
+      // partial-parity surface, kept for continuity)
       "q9_fads_replay_refmode" -> ((s: SparkSession, dir: String) => {
         val refCfg = eventsFadsConfig.copy(quirks =
           graft.fads.Fads.Quirks(referenceDistance = true, uniquePid = false))
@@ -156,6 +155,22 @@ object SparkEntry {
             qidCols = Seq("user_id", "value"), pidCol = "user_id",
             orderCols = Seq("ts", "event_id"),
             clockCol = Tables.tsNanosToMillis("ts"), cfg = refCfg),
+          Seq("user_id", "value")))
+      }),
+      // FULL reference parity (round-7 verdict item 8): Q2 + Q4 + Q3 — the
+      // :355 raw-field-index bug, emulated by carrying the tuple's leading
+      // raw numeric fields (event_id, ts-nanos) into the kNN distance while
+      // bounds/containment/loss stay QID-based (Fads.Quirks scaladoc)
+      "q9_fads_replay_refmode_raw" -> ((s: SparkSession, dir: String) => {
+        val refCfg = eventsFadsConfig.copy(quirks = graft.fads.Fads.Quirks(
+          referenceDistance = true, rawFieldDistance = true, uniquePid = false))
+        reportTsUs(FadsBatch.flattenIntervals(
+          ops.FadsBatch.anonymize(
+            Tables.load(s, dir, "events"),
+            qidCols = Seq("user_id", "value"), pidCol = "user_id",
+            orderCols = Seq("ts", "event_id"),
+            clockCol = Tables.tsNanosToMillis("ts"), cfg = refCfg,
+            rawCols = Seq("event_id", "ts")),
           Seq("user_id", "value")))
       }),
       "pipeline_clean_corpus" -> ((s: SparkSession, dir: String) =>

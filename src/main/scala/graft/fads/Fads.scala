@@ -22,19 +22,28 @@ object Fads {
   /** Quirk switches; defaults are paper-correct (SURVEY.md §2.4).
     *
     * @param referenceDistance reproduce Generalizer.java:356's precedence bug
-    *        (`abs(d)/gmax - gmin`). PARTIAL parity only: the :355 index bug
-    *        (reading raw tuple fields 0..nQid-1 instead of the configured QID
-    *        indices) is NOT reproducible here — the engine only ever sees the
-    *        extracted QID values, never the raw row — and a 0-width global
-    *        range yields contribution 0 where the reference produces
-    *        Inf/NaN (Q8). Off by default — the correct formula is
-    *        avg_i |d_i| / (gmax_i - gmin_i) over the configured QIDs.
+    *        (`abs(d)/gmax - gmin`). A 0-width global range yields
+    *        contribution 0 where the reference produces Inf/NaN (Q8). Off by
+    *        default — the correct formula is avg_i |d_i| / (gmax_i - gmin_i)
+    *        over the configured QIDs.
+    * @param rawFieldDistance reproduce Generalizer.java:355's INDEX bug:
+    *        `averageDistance` reads `t.getField(i)` for i = 0..nQid-1 — the
+    *        raw tuple's LEADING fields — instead of `t.getField(keys[i])`,
+    *        the configured QID fields, while still normalizing by the true
+    *        QIDs' global bounds. Emulated by carrying the leading raw
+    *        numeric fields in [[In.raw]] and using them ONLY in the kNN
+    *        distance (bounds, containment, info loss, and the released
+    *        intervals all stay QID-based, exactly as in the reference —
+    *        the bug is confined to the DistanceComparator). When enabled,
+    *        callers must populate [[In.raw]]; a null raw falls back to the
+    *        extracted QIDs.
     * @param uniquePid enforce the paper's distinct-PID constraint in kNN
     *        search (the reference comments it out, Generalizer.java:212-216).
     *        On by default.
     */
   final case class Quirks(
       referenceDistance: Boolean = false,
+      rawFieldDistance: Boolean = false,
       uniquePid: Boolean = true)
 
   /** Algorithm parameters (mirrors Generalizer ctor, Generalizer.java:76-89).
@@ -77,7 +86,12 @@ object Fads {
       pid: Long,
       payload: AnyRef,
       arrivalMs: Long,
-      seq: Long)
+      seq: Long,
+      /** Leading raw numeric fields 0..nQid-1 of the source tuple — used
+        * ONLY by the [[Quirks.rawFieldDistance]] replay (Generalizer.java:355
+        * reads these instead of the extracted QIDs). Null elsewhere.
+        */
+      raw: Array[Double] = null)
 
   /** A released record: the payload plus per-QID generalization intervals
     * [lo_i, hi_i] (reference emits Tuple2<Double,Double> in each QID slot,
@@ -310,10 +324,14 @@ object Fads {
       */
     def distance(st: State, a: In, b: In): Double = {
       val lo = normLo(st); val hi = normHi(st)
+      // Q3 raw-field-index replay: compare the tuple's LEADING raw fields
+      // while keeping the QID-bound normalizers (Generalizer.java:355)
+      val av = if (cfg.quirks.rawFieldDistance && a.raw != null) a.raw else a.qids
+      val bv = if (cfg.quirks.rawFieldDistance && b.raw != null) b.raw else b.qids
       var s = 0.0
       var i = 0
       while (i < cfg.nQid) {
-        val d = math.abs(a.qids(i) - b.qids(i))
+        val d = math.abs(av(i) - bv(i))
         if (cfg.quirks.referenceDistance) {
           if (hi(i) != 0) s += d / hi(i) - lo(i) else s -= lo(i)
         } else {

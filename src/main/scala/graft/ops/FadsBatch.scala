@@ -61,18 +61,23 @@ object FadsBatch {
     * @param clockCol LONG column supplying the deterministic processing-time
     *                 instant (ms) for each row — normally `unix_millis(ts)`.
     */
+  /** @param rawCols columns whose doubles feed [[Fads.In.raw]] — only for
+    *        the [[Fads.Quirks.rawFieldDistance]] reference-parity replay
+    *        (the raw tuple's leading numeric fields); Nil elsewhere.
+    */
   def anonymize(
       df: DataFrame,
       qidCols: Seq[String],
       pidCol: String,
       orderCols: Seq[String],
       clockCol: org.apache.spark.sql.Column,
-      cfg: Fads.Config): DataFrame = {
+      cfg: Fads.Config,
+      rawCols: Seq[String] = Nil): DataFrame = {
     val prepared = df
       .withColumn("__clock_ms", clockCol.cast(LongType))
       .repartition(1)
       .sortWithinPartitions(orderCols.map(col): _*)
-    runPartitions(prepared, df.schema, qidCols, pidCol, cfg)
+    runPartitions(prepared, df.schema, qidCols, pidCol, cfg, rawCols = rawCols)
   }
 
   /** Scale-out variant: an independent FADS stream per `shardCol` value.
@@ -123,10 +128,12 @@ object FadsBatch {
       qidCols: Seq[String],
       pidCol: String,
       cfg: Fads.Config,
-      shardCol: Option[String] = None): DataFrame = {
+      shardCol: Option[String] = None,
+      rawCols: Seq[String] = Nil): DataFrame = {
     val schema = prepared.schema
     val outSchema = generalizedSchema(outBase, qidCols)
     val qidIdx = qidCols.map(schema.fieldIndex).toArray
+    val rawIdx = if (rawCols.isEmpty) null else rawCols.map(schema.fieldIndex).toArray
     val pidIdx = schema.fieldIndex(pidCol)
     val clockIdx = schema.fieldIndex("__clock_ms")
     val shardIdx = shardCol.map(schema.fieldIndex)
@@ -176,7 +183,8 @@ object FadsBatch {
             val in = Fads.In(
               qidIdx.map(i => numeric(r.get(i))),
               numeric(r.get(pidIdx)).toLong,
-              r, now, seqNo)
+              r, now, seqNo,
+              raw = if (rawIdx == null) null else rawIdx.map(i => numeric(r.get(i))))
             seqNo += 1
             val emitted = engine.step(st, in, now)
             pending = if (pending.hasNext) pending ++ emitted.map(toOutRow).iterator

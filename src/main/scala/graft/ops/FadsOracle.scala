@@ -49,6 +49,11 @@ object FadsOracle {
     * @param refDist     reference distance quirk (Generalizer.java:356)
     * @param uniquePid   paper's distinct-PID kNN constraint
     * @param globalNorm  normalize by fixed whole-input domain bounds
+    * @param rawExprs    when non-empty: nq DOUBLE exprs over `src` supplying
+    *                    the RAW leading tuple fields the Q3 index bug reads
+    *                    in the kNN distance (Generalizer.java:355) — carried
+    *                    in the buffered struct and used ONLY in the distance
+    *                    sort; bounds/containment/loss stay QID-based
     */
   def replaySql(
       nq: Int, k: Int, b: Int, ttlMs: Long,
@@ -56,12 +61,14 @@ object FadsOracle {
       pidExpr: String, clockExpr: String, orderBy: String,
       payloadSelect: String,
       refDist: Boolean = false, uniquePid: Boolean = true,
-      globalNorm: Boolean = false): String = {
+      globalNorm: Boolean = false, rawExprs: Seq[String] = Nil): String = {
     val km1 = k - 1
     val R = 1 to nq
+    val rawDist = rawExprs.nonEmpty
 
     val inT = "STRUCT(a BIGINT, s BIGINT, p BIGINT, " +
-      R.map(i => s"q$i DOUBLE").mkString(", ") + ")"
+      R.map(i => s"q$i DOUBLE").mkString(", ") +
+      (if (rawDist) ", " + R.map(i => s"r$i DOUBLE").mkString(", ") else "") + ")"
     val clT = "STRUCT(cr BIGINT, cs BIGINT, " +
       R.map(i => s"lo$i DOUBLE, hi$i DOUBLE").mkString(", ") + ")"
 
@@ -135,13 +142,20 @@ object FadsOracle {
           ", " + R.map(i => s"fx.flo_$i, fx.fhi_$i").mkString(", "))
       else ("", "", "")
 
-    val qidSel = qidExprs.zip(R).map { case (e, i) => s"$e AS q$i" }.mkString(", ")
+    val qidSel = qidExprs.zip(R).map { case (e, i) => s"$e AS q$i" }.mkString(", ") +
+      (if (rawDist)
+        ", " + rawExprs.zip(R).map { case (e, i) => s"$e AS r$i" }.mkString(", ")
+      else "")
     val inListElem = "{'a': now, 's': seq, 'p': pid, " +
-      R.map(i => s"'q$i': q$i").mkString(", ") + "}"
+      R.map(i => s"'q$i': q$i").mkString(", ") +
+      (if (rawDist) ", " + R.map(i => s"'r$i': r$i").mkString(", ") else "") + "}"
 
+    // Q3 replay: the kNN sort distance reads the raw leading fields; every
+    // other use of tuple values (bounds folds, containment, loss) stays q
+    val distPfx = if (rawDist) ("pv.r", "t.r") else ("pv.q", "t.q")
     val candSort =
       s"""list_sort(list_transform(rest,
-         |                    t -> {'d': ${dist("pv.q", "t.q")}, 'a': t.a, 's': t.s, 't': t}))""".stripMargin
+         |                    t -> {'d': ${dist(distPfx._1, distPfx._2)}, 'a': t.a, 's': t.s, 't': t}))""".stripMargin
     val candExpr =
       if (uniquePid) s"list_filter($candSort, t -> t.t.p != pv.p)"
       else s"($candSort)"
@@ -274,7 +288,8 @@ $payloadSelect
 
   private def eventsSql(shardExpr: String, refDist: Boolean = false,
       uniquePid: Boolean = true, globalNorm: Boolean = false,
-      payloadShard: Option[Boolean] = None): String = {
+      payloadShard: Option[Boolean] = None,
+      rawExprs: Seq[String] = Nil): String = {
     val cfg = graft.SparkEntry.eventsFadsConfig
     replaySql(
       nq = cfg.nQid, k = cfg.k, b = cfg.bufferConstraint, ttlMs = cfg.reuseTtlMs,
@@ -286,7 +301,8 @@ $payloadSelect
       orderBy = "src.ts, src.event_id",
       payloadSelect =
         eventsPayload(withShard = payloadShard.getOrElse(shardExpr != "0")),
-      refDist = refDist, uniquePid = uniquePid, globalNorm = globalNorm)
+      refDist = refDist, uniquePid = uniquePid, globalNorm = globalNorm,
+      rawExprs = rawExprs)
   }
 
   /** Ride construction mirrors TaxiRideSource.parseQuerySql (same integer
@@ -336,6 +352,15 @@ $payloadSelect
   val oracles: Map[String, String] = Map(
     "q9_fads_replay" -> eventsSql("0"),
     "q9_fads_replay_refmode" -> eventsSql("0", refDist = true, uniquePid = false),
+    // FULL reference parity: Q2 (precedence) + Q3 (raw-field index:
+    // distance reads fields 0..1 = event_id, ts-nanos, normalized by the
+    // true QID bounds) + Q4 (PID filter disabled). int64→double conversion
+    // rounds identically in both engines (IEEE nearest), so the huge nanos
+    // values stay bit-comparable.
+    "q9_fads_replay_refmode_raw" -> eventsSql("0", refDist = true,
+      uniquePid = false,
+      rawExprs = Seq("CAST(src.event_id AS DOUBLE)",
+        "CAST(epoch_ns(src.ts) AS DOUBLE)")),
     "q9_fads_sharded" -> eventsSql("src.user_id % 8"),
     "q9_fads_region_sharded" -> eventsSql(
       "least(floor(src.value / 64.0), 7)::BIGINT", globalNorm = true),

@@ -16,7 +16,8 @@ CFG = dict(k=10, buffer_constraint=30, reuse_ttl_ms=60000, nqid=2)
 
 def load_events(con, sf_dir):
     return con.sql(f"""
-        SELECT event_id, user_id, value, epoch_ns(ts) // 1000000 AS clock_ms
+        SELECT event_id, user_id, value, epoch_ns(ts) // 1000000 AS clock_ms,
+               epoch_ns(ts) AS ts_ns
         FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id""").fetchall()
 
 
@@ -72,7 +73,8 @@ def main(sf_dir, out_dir):
     import os
     con = duckdb.connect()
     ev = load_events(con, sf_dir)
-    rows = [((float(u), v), u, eid, c) for eid, u, v, c in ev]
+    rows = [((float(u), v), u, eid, c, (float(eid), float(ns)))
+            for eid, u, v, c, ns in ev]
     ok = True
 
     def expected_map(out, id_of_seq):
@@ -80,7 +82,8 @@ def main(sf_dir, out_dir):
                 for s, lo, hi, sup in out}
 
     id_of = {eid: eid for eid, *_ in ev}
-    seq_rows = [(q, p, eid, c) for (q, p, eid, c) in rows]
+    seq_rows = [(q, p, eid, c) for (q, p, eid, c, _raw) in rows]
+    raw_rows = [(q, p, eid, c, raw) for (q, p, eid, c, raw) in rows]
 
     def present(name):
         return os.path.isdir(f"{out_dir}/{name}")
@@ -95,6 +98,12 @@ def main(sf_dir, out_dir):
                                  unique_pid=False, **CFG)
         ok &= compare("q9_fads_replay_refmode", expected_map(out, id_of),
                       spark_out(con, out_dir, "q9_fads_replay_refmode",
+                                "event_id", ["user_id", "value"]))
+    if present("q9_fads_replay_refmode_raw"):
+        out = fads_replay.replay(raw_rows, ref_distance=True,
+                                 raw_distance=True, unique_pid=False, **CFG)
+        ok &= compare("q9_fads_replay_refmode_raw", expected_map(out, id_of),
+                      spark_out(con, out_dir, "q9_fads_replay_refmode_raw",
                                 "event_id", ["user_id", "value"]))
     if present("q9_fads_sharded"):
         sharded = [(p % 8, q, p, s, c) for q, p, s, c in seq_rows]

@@ -22,13 +22,16 @@ import bisect
 
 class Engine:
     def __init__(self, k, buffer_constraint, reuse_ttl_ms, nqid,
-                 ref_distance=False, unique_pid=True,
+                 ref_distance=False, raw_distance=False, unique_pid=True,
                  fixed_lo=None, fixed_hi=None):
         self.k = k
         self.B = buffer_constraint
         self.ttl = reuse_ttl_ms
         self.nqid = nqid
         self.ref_distance = ref_distance
+        # Q3 raw-field-index bug: kNN distance reads the tuple's leading
+        # raw fields (Generalizer.java:355); everything else stays QID
+        self.raw_distance = raw_distance
         self.unique_pid = unique_pid
         self.fixed_lo = fixed_lo
         self.fixed_hi = fixed_hi
@@ -45,9 +48,10 @@ class Engine:
     def _norm_hi(self):
         return self.fixed_hi if self.fixed_hi is not None else self.ghi
 
-    def step(self, qids, pid, seq, now):
+    def step(self, qids, pid, seq, now, raw=None):
         """Process one arrival; yields (seq, lo, hi, suppressed) releases."""
-        bisect.insort(self.buffer, (now, seq, qids, pid))
+        bisect.insort(self.buffer,
+                      (now, seq, qids, pid, raw if raw is not None else qids))
         for i in range(self.nqid):
             if qids[i] < self.glo[i]:
                 self.glo[i] = qids[i]
@@ -107,9 +111,12 @@ class Engine:
         return best
 
     def _knn(self, pivot):
-        _, pseq, pq, ppid = pivot
-        ranked = sorted(self.buffer,
-                        key=lambda t: (self._distance(pq, t[2]), t[0], t[1]))
+        _, pseq, pq, ppid, praw = pivot
+        if self.raw_distance:
+            key = lambda t: (self._distance(praw, t[4]), t[0], t[1])
+        else:
+            key = lambda t: (self._distance(pq, t[2]), t[0], t[1])
+        ranked = sorted(self.buffer, key=key)
         picked = []
         if self.unique_pid:
             seen = {ppid}
@@ -124,14 +131,14 @@ class Engine:
         return picked if len(picked) >= self.k - 1 else None
 
     def _reuse_or_suppress(self, pivot):
-        _, seq, qids, _ = pivot
+        seq, qids = pivot[1], pivot[2]
         best = self._best_fitting(qids)
         if best is not None:
             return [(seq, list(best[2]), list(best[3]), False)]
         return [(seq, list(self._norm_lo()), list(self._norm_hi()), True)]
 
     def _generalize(self, pivot, now):
-        arrival, seq, qids, pid = pivot
+        arrival, seq, qids, pid = pivot[0], pivot[1], pivot[2], pivot[3]
         if len(self.buffer) < self.k - 1:
             return self._reuse_or_suppress(pivot)
         neighbors = self._knn(pivot)
@@ -152,14 +159,16 @@ class Engine:
 
 
 def replay(rows, **cfg):
-    """rows: iterable of (qids, pid, seq, clock_ms) in processing order.
-    Returns list of (seq, lo, hi, suppressed)."""
+    """rows: iterable of (qids, pid, seq, clock_ms[, raw]) in processing
+    order. Returns list of (seq, lo, hi, suppressed)."""
     eng = Engine(**cfg)
     out = []
     last = 0
-    for qids, pid, seq, now in rows:
+    for row in rows:
+        qids, pid, seq, now = row[:4]
+        raw = row[4] if len(row) > 4 else None
         last = now
-        out.extend(eng.step(qids, pid, seq, now))
+        out.extend(eng.step(qids, pid, seq, now, raw=raw))
     out.extend(eng.drain(last))
     return out
 
