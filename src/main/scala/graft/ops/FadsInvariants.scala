@@ -97,7 +97,8 @@ object FadsInvariants {
   private def anonymizeEvents(
       spark: SparkSession,
       dir: String,
-      cfg: Fads.Config): DataFrame = {
+      cfg: Fads.Config,
+      rawCols: Seq[String] = Nil): DataFrame = {
     val events = withOrig(Tables.load(spark, dir, "events"), Seq("user_id", "value"))
     FadsBatch.flattenIntervals(
       FadsBatch.anonymize(
@@ -106,7 +107,8 @@ object FadsInvariants {
         pidCol = "user_id",
         orderCols = Seq("ts", "event_id"),
         clockCol = Tables.tsNanosToMillis("ts"),
-        cfg = cfg),
+        cfg = cfg,
+        rawCols = rawCols),
       Seq("user_id", "value"))
   }
 
@@ -213,6 +215,23 @@ object FadsInvariants {
 
   val refmodeInvariantsSql: String = invariantRowSql
 
+  /** Full-parity replay (Q2 + Q3 raw-field distance + Q4) — the kNN metric
+    * is deliberately wrong in three reference-faithful ways, but the
+    * RELEASE CONTRACT must still hold: every tuple released exactly once,
+    * intervals contain their originals, suppression bounded. A quirk that
+    * broke anything beyond neighbor CHOICE would trip this row.
+    */
+  def refmodeRawInvariants(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = eventsCfg.copy(quirks = Fads.Quirks(
+      referenceDistance = true, rawFieldDistance = true, uniquePid = false))
+    invariantRow(
+      anonymizeEvents(spark, dir, cfg, rawCols = Seq("event_id", "ts")),
+      Seq("user_id", "value"), "orig_user_id",
+      cfg.k, usePids = false, suppFracBound = 0.5)
+  }
+
+  val refmodeRawInvariantsSql: String = invariantRowSql
+
   /** End-to-end taxi replay (the reference's own pipeline and parameters,
     * TransactionGeneralizationJob.java:66-71). rideId is both a QID and the
     * PID — generalization destroys it in the output, which is exactly why the
@@ -246,6 +265,7 @@ object FadsInvariants {
     "q9_inv_sharded" -> shardedInvariants,
     "q9_inv_region" -> regionInvariants,
     "q9_inv_refmode" -> refmodeInvariants,
+    "q9_inv_refmode_raw" -> refmodeRawInvariants,
     "taxi_inv_replay" -> taxiInvariants)
 
   val oracles: Map[String, String] = Map(
@@ -254,5 +274,6 @@ object FadsInvariants {
     "q9_inv_sharded" -> shardedInvariantsSql,
     "q9_inv_region" -> regionInvariantsSql,
     "q9_inv_refmode" -> refmodeInvariantsSql,
+    "q9_inv_refmode_raw" -> refmodeRawInvariantsSql,
     "taxi_inv_replay" -> taxiInvariantsSql)
 }

@@ -788,6 +788,93 @@ object Dedup {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- streaming probe core (stream-static incremental dedup) ----
+
+  /** Per-ROW MinHash signature columns — the same 16 minima as
+    * [[minhashSignatures]] but computed inside one row (`array_min` over
+    * the row's own shingle-hash array) with NO shuffle. That is what makes
+    * the probe STREAMABLE: an unbounded stream cannot groupBy without
+    * state, but it can evaluate expressions. Bit-identical to the grouped
+    * form (a min over the same multiset, and the distinct-shingle set is
+    * per-row to begin with). Docs with no shingle (<3 tokens) drop out,
+    * matching the grouped form's empty-group behavior.
+    */
+  def rowSignatures(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", "graft_token_hashes(text) AS th")
+      .selectExpr("doc_id",
+        s"""array_distinct(CASE WHEN size(th) >= 3
+           |  THEN transform(sequence(1, size(th) - 2),
+           |       i -> ((((element_at(th, i) * 31 + element_at(th, i + 1)) % $FpMod) * 31)
+           |             + element_at(th, i + 2)) % $FpMod)
+           |  ELSE CAST(array() AS ARRAY<BIGINT>) END) AS hs""".stripMargin)
+      .where("size(hs) > 0")
+      .selectExpr(Seq("doc_id") ++ (0 until H).map(i =>
+        s"array_min(transform(hs, h -> (${As(i)} * h + ${Bs(i)}) % $FpMod)) AS m$i"): _*)
+
+  /** Stream-static incremental dedup core: the streaming twin of
+    * [[incrementalProbe]] — incoming docs as an (unbounded) stream, the
+    * persisted index as the STATIC join side. Per-row signatures + a
+    * stateless posexplode + a stream-static equi join = an append-mode
+    * query with NO watermark and NO state store. The output keeps the
+    * `band` column (one row per colliding band) precisely so the plan
+    * stays stateless — the batch entry and the DuckDB oracle replicate
+    * the same band-level rows; `StreamingIncrementalSpec` proves
+    * streaming == batch across micro-batches.
+    */
+  def streamProbeBands(incoming: DataFrame, idx: DataFrame): DataFrame = {
+    val matchExpr = (0 until H)
+      .map(i => s"CASE WHEN m$i = i$i THEN 1 ELSE 0 END").mkString(" + ")
+    rowSignatures(incoming)
+      .selectExpr(Seq("doc_id") ++ (0 until H).map(i => s"m$i")
+        :+ s"posexplode($bandArrayExpr) AS (band, bh)": _*)
+      .join(idx.selectExpr(Seq("doc_id AS hist_id", "band", "bh")
+        ++ (0 until H).map(i => s"i$i"): _*), Seq("band", "bh"))
+      .selectExpr("doc_id", "hist_id", "CAST(band AS BIGINT) AS band",
+        s"CAST($matchExpr AS BIGINT) AS matches",
+        s"CAST($matchExpr AS DOUBLE) / $H AS jaccard_est",
+        s"CASE WHEN $matchExpr >= $EstDupMatches THEN CAST(1 AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END AS is_dup")
+  }
+
+  /** Driver entry: the same core over the batch incoming split (the
+    * stream_static_enrich convention — batch core checked by the oracle,
+    * streaming equivalence spec-proven).
+    */
+  def streamIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureMinhashIndex(spark, dir)
+    val incoming = Tables.load(spark, dir, "documents")
+      .where(s"doc_id % $IncrSplitMod = 0")
+    streamProbeBands(incoming, spark.read.parquet(path))
+      .orderBy("doc_id", "hist_id", "band")
+  }
+
+  val streamIncrementalSql: String = {
+    val mins = (0 until H).map(i =>
+      s"min((${As(i)} * h + ${Bs(i)}) % $FpMod) AS m$i").mkString(", ")
+    val bandSelects = (0 until B).map { b =>
+      val ms = (0 until R).map(r => s"m${b * R + r}")
+      s"SELECT doc_id, $b AS band, ${bandFold(ms)} AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val matchSum = (0 until H)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $hashedShinglesCte,
+       |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |)
+       |SELECT n.doc_id, h.doc_id AS hist_id, n.band::BIGINT AS band,
+       |       ($matchSum)::BIGINT AS matches,
+       |       ($matchSum)::DOUBLE / $H AS jaccard_est,
+       |       (CASE WHEN ($matchSum) >= $EstDupMatches THEN 1 ELSE 0 END)::BIGINT AS is_dup
+       |FROM bands n JOIN bands h ON n.band = h.band AND n.bh = h.bh
+       |JOIN sig a ON n.doc_id = a.doc_id
+       |JOIN sig b ON h.doc_id = b.doc_id
+       |WHERE n.doc_id % $IncrSplitMod = 0
+       |  AND h.doc_id % $IncrSplitMod <> 0
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,
     "dedup_jaccard" -> jaccard,
@@ -800,6 +887,7 @@ object Dedup {
     "dedup_substring_spans" -> substringSpans,
     "dedup_incremental_index" -> incrementalIndex,
     "dedup_incremental_batch" -> incrementalBatch,
+    "stream_incremental_dedup" -> streamIncrementalQuery,
     "dedup_components" -> ((s: SparkSession, dir: String) => duplicateClusters(s, dir)))
 
   val oracles: Map[String, String] = Map(
@@ -814,5 +902,6 @@ object Dedup {
     "dedup_substring_spans" -> substringSpansSql,
     "dedup_incremental_index" -> incrementalIndexSql,
     "dedup_incremental_batch" -> incrementalBatchSql,
+    "stream_incremental_dedup" -> streamIncrementalSql,
     "dedup_components" -> duplicateClustersSql)
 }

@@ -258,7 +258,7 @@ object Multimodal {
            |  rpad(text, ${3 * PpmW} * ((n_chars + ${3 * PpmW - 1}) div ${3 * PpmW}), 'x'))
            |AS BINARY) AS content""".stripMargin)
 
-  private case class PpmResized(
+  case class PpmResized(
       doc_id: Long, format: String, width: Long, height: Long,
       orig_bytes: Long, new_bytes: Long, scale: Double, content_fp: String)
 
@@ -313,7 +313,7 @@ object Multimodal {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
-  private case class PpmPixels(
+  case class PpmPixels(
       doc_id: Long, width: Long, height: Long, n_pixels: Long,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
