@@ -61,8 +61,10 @@ object Scale {
       run(session(), dir, label, names)
     case "probe" :: batchDir :: indexDir :: Nil =>
       probe(session(), batchDir, indexDir)
+    case "stream" :: dir :: Nil =>
+      stream(dir)
     case other =>
-      sys.error(s"usage: gen <base> <out> <k> [corpusOnly] | run <dir> <label> <q...> | probe <batchDir> <indexDir>; got $other")
+      sys.error(s"usage: gen <base> <out> <k> [corpusOnly] | run <dir> <label> <q...> | probe <batchDir> <indexDir> | stream <dir>; got $other")
   }
 
   def gen(spark: SparkSession, base: String, out: String, k: Int,
@@ -151,6 +153,62 @@ object Scale {
         else -1L
       println(f"""[scale] {"label":"$label","query":"$name","sec":$best%.3f,"rows":$rows}""")
     }
+    spark.stop()
+  }
+
+  /** Streaming FADS throughput at scale: unthrottled paced replay of the
+    * given dir's `events` through the transformWithState operator (the
+    * graft.Bench streaming leg, parameterized by corpus) — single-stream
+    * and 8-shard, best-of-2. At 10× events per trigger the per-batch
+    * RocksDB commit floor amortizes (NOTES_r2 predicted streaming shards
+    * converge to the batch ratio at production batch sizes; this measures
+    * it).
+    */
+  def stream(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.streaming.FadsStream.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.streaming.{Event, FadsStream, PacedReplay}
+
+    val events = Tables.load(spark, dir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+    val nRows = events.count()
+    val stageDir = java.nio.file.Files.createTempDirectory("scale-stage").toString
+    val rowsPerFile = math.max(5000, (nRows / 10).toInt)
+    PacedReplay.stage(events, Seq("ts", "event_id"), rowsPerFile, stageDir)
+
+    def streamOnce(parts: String,
+        wire: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[_]): Double = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val ckpt = java.nio.file.Files.createTempDirectory("scale-ckpt").toString
+      val t = timed {
+        val q = wire(PacedReplay.stream(spark, stageDir, events.schema).as[Event])
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(PacedReplay.trigger(0))
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      t
+    }
+
+    val cfg = graft.SparkEntry.eventsFadsConfig
+    def single() = streamOnce("2", ds => FadsStream.anonymize(ds, cfg))
+    def sharded() = streamOnce("8",
+      ds => FadsStream.anonymizeSharded(ds, cfg, e => e.user_id % 8))
+    val s1 = math.min(single(), single())
+    val s8 = math.min(sharded(), sharded())
+    println(f"""[scale] {"stream_dir":"$dir","rows":$nRows,"single_sec":$s1%.3f,"single_rps":${nRows / s1}%.1f,"sharded_sec":$s8%.3f,"sharded_rps":${nRows / s8}%.1f}""")
     spark.stop()
   }
 
