@@ -558,6 +558,172 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** ADC candidates kept per query for the exact re-rank — 10·[[TopK]],
+    * the usual production refine factor: PQ is deliberately lossy (its
+    * solo recall here is ~36%), so the ADC pre-cut must keep enough
+    * candidates that the exact re-rank can recover the true neighbors the
+    * codes mis-rank. Measured on this corpus: recall@5 44% at 3·TopK vs
+    * 84% at 10·TopK — the re-rank budget, not the codebook, is the
+    * quality knob, and 50·Q full-vector reads stay negligible.
+    */
+  val RerankK = 50
+
+  /** IVF-PQ with exact re-rank — the billion-scale production composition
+    * (what FAISS's IndexIVFPQ + refine does): the coarse quantizer prunes
+    * the corpus to [[NProbe]]/[[NCentroids]] inverted lists, PQ codes
+    * approximate distances WITHIN the probed lists from the compact
+    * code+LUT representation (no full-vector reads), the top-[[RerankK]]
+    * ADC candidates are then re-scored with exact cosine and the final
+    * top-[[TopK]] re-ranked. At 100 TB the full vectors are touched only
+    * for RerankK·Q rows (a key join against candidate ids) — everything
+    * before that moves 4-byte-per-subspace codes through one list-id
+    * shuffle. Both quantizers reuse the entries' deterministic seeded
+    * codebooks, so the oracle replays the identical index.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    // coarse quantizer (g_ prefix: inverted-list id; shared w/ ivfTopK)
+    val gcent = emb.where(s"vec_id < $NCentroids")
+      .selectExpr("vec_id AS g_id", "emb AS g_emb", "nrm AS g_nrm")
+    def nearestCoarse(src: DataFrame, idAs: String, keep: Int): DataFrame =
+      src.crossJoin(broadcast(gcent))
+        .selectExpr(s"vec_id AS $idAs", "emb", "nrm", "g_id",
+          s"round(${cosineExpr("emb", "g_emb", "nrm", "g_nrm")}, 6) AS gsim")
+        .withColumn("grk", expr(
+          s"row_number() OVER (PARTITION BY $idAs ORDER BY gsim DESC, g_id)"))
+        .where(s"grk <= $keep")
+    val lists = nearestCoarse(emb, "vec_id", 1).select("vec_id", "g_id")
+    // PQ encode (same construction as pqTopK: seeded sub-codebooks)
+    val subSlices = (0 until PqM)
+      .map(m => s"slice(emb, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+    val subs = emb.selectExpr("vec_id", "nrm",
+      s"posexplode(array($subSlices)) AS (m, sub)")
+    val cent = subs.where(s"vec_id < $PqK")
+      .selectExpr("m", "vec_id AS c_id", "sub AS c_sub",
+        s"CAST(floor(graft_dot(sub, sub) * $QScale.0 + 0.5) AS BIGINT) AS cq")
+    val codes = subs.join(broadcast(cent), "m")
+      .selectExpr("vec_id", "m", "c_id",
+        s"""round(graft_dot(sub, sub) - 2 * graft_dot(sub, c_sub)
+           |  + graft_dot(c_sub, c_sub), 6) AS d2""".stripMargin)
+      .withColumn("crk", expr(
+        "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, c_id ASC)"))
+      .where("crk = 1").select("vec_id", "m", "c_id")
+    val lut = subs.where(s"vec_id < $QuerySetSize")
+      .selectExpr("vec_id AS q_id", "nrm AS q_nrm", "m", "sub AS q_sub")
+      .join(broadcast(cent), "m")
+      .selectExpr("q_id", "q_nrm", "m", "c_id",
+        s"CAST(floor(graft_dot(q_sub, c_sub) * $QScale.0 + 0.5) AS BIGINT) AS pq",
+        "cq")
+    // candidate set = probed lists only; ADC-score candidates from codes
+    val probes = nearestCoarse(emb.where(s"vec_id < $QuerySetSize"), "q_id", NProbe)
+      .select("q_id", "g_id")
+    val cand = probes.join(lists, "g_id")
+      .where(col("vec_id") =!= col("q_id")).select("q_id", "vec_id")
+    val adc = cand
+      .join(codes, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "m", "c_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(max("q_nrm").as("q_nrm"), sum("pq").as("adcq"), sum("cq").as("rq"))
+      .selectExpr("q_id", "vec_id",
+        s"""round((CAST(adcq AS DOUBLE) / $QScale.0)
+           |  / (q_nrm * sqrt(CAST(rq AS DOUBLE) / $QScale.0)), 6) AS adc_sim""".stripMargin)
+      .withColumn("ark", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id ASC)"))
+      .where(s"ark <= $RerankK")
+    // exact re-rank of the RerankK survivors (the only full-vector reads)
+    val qv = emb.where(s"vec_id < $QuerySetSize")
+      .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm")
+    adc.select("q_id", "vec_id")
+      .join(emb.select("vec_id", "emb", "nrm"), "vec_id")
+      .join(broadcast(qv), "q_id")
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  val ivfPqTopKSql: String = {
+    val subSelects = (0 until PqM)
+      .map(m => s"SELECT vec_id, nrm, $m AS m, emb[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS sub FROM emb")
+      .mkString("\n  UNION ALL ")
+    def dotSub(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i]))"
+    def normSq(a: String): String =
+      s"list_sum(list_transform($a, v -> v * v))"
+    s"""WITH $embCte,
+       |gcent AS (SELECT vec_id AS g_id, emb AS g_emb, nrm AS g_nrm FROM emb
+       |          WHERE vec_id < $NCentroids),
+       |lists AS (
+       |  SELECT vec_id, g_id FROM (
+       |    SELECT e.vec_id, g.g_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(${cosineSql("e.emb", "g.g_emb", "e.nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM emb e, gcent g)
+       |  WHERE grk = 1),
+       |probes AS (
+       |  SELECT q_id, g_id FROM (
+       |    SELECT e.vec_id AS q_id, g.g_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(${cosineSql("e.emb", "g.g_emb", "e.nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM emb e, gcent g WHERE e.vec_id < $QuerySetSize)
+       |  WHERE grk <= $NProbe),
+       |subs AS (
+       |  $subSelects),
+       |cent AS (SELECT m, vec_id AS c_id, sub AS c_sub,
+       |                floor(${normSq("sub")} * $QScale.0 + 0.5)::BIGINT AS cq
+       |         FROM subs WHERE vec_id < $PqK),
+       |codes AS (
+       |  SELECT vec_id, m, c_id FROM (
+       |    SELECT s.vec_id, s.m, c.c_id,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |             round(${normSq("s.sub")} - 2 * ${dotSub("s.sub", "c.c_sub")}
+       |               + ${normSq("c.c_sub")}, 6) ASC, c.c_id ASC) AS crk
+       |    FROM subs s JOIN cent c USING (m))
+       |  WHERE crk = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.nrm AS q_nrm, s.m, c.c_id,
+       |         floor(${dotSub("s.sub", "c.c_sub")} * $QScale.0 + 0.5)::BIGINT AS pq,
+       |         c.cq
+       |  FROM subs s JOIN cent c USING (m) WHERE s.vec_id < $QuerySetSize),
+       |cand AS (
+       |  SELECT p.q_id, l.vec_id
+       |  FROM probes p JOIN lists l USING (g_id) WHERE l.vec_id <> p.q_id),
+       |adc AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT s.q_id, s.vec_id,
+       |           row_number() OVER (PARTITION BY s.q_id ORDER BY
+       |             round((s.adcq::DOUBLE / $QScale.0)
+       |               / (s.q_nrm * sqrt(s.rq::DOUBLE / $QScale.0)), 6) DESC,
+       |             s.vec_id ASC) AS ark
+       |    FROM (
+       |      SELECT n.q_id, n.vec_id, max(l.q_nrm) AS q_nrm,
+       |             sum(l.pq)::BIGINT AS adcq, sum(l.cq)::BIGINT AS rq
+       |      FROM cand n
+       |      JOIN codes c ON c.vec_id = n.vec_id
+       |      JOIN lut l ON l.q_id = n.q_id AND l.m = c.m AND l.c_id = c.c_id
+       |      GROUP BY n.q_id, n.vec_id) s)
+       |  WHERE ark <= $RerankK),
+       |reranked AS (
+       |  SELECT a.q_id, a.vec_id,
+       |         round(${cosineSql("q.emb", "e.emb", "q.nrm", "e.nrm")}, 6) AS sim
+       |  FROM adc a
+       |  JOIN emb e ON e.vec_id = a.vec_id
+       |  JOIN emb q ON q.vec_id = a.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM reranked)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+  }
+
   // -------------------------------------------------------- recall gate
 
   /** Minimum recall@[[TopK]] (percent) of each approximate index vs the
@@ -568,7 +734,8 @@ object Similarity {
     * item 4).
     */
   val RecallGatePct: Seq[(String, Int)] = Seq(
-    "lsh" -> 8, "ivf" -> 80, "ivf_trained" -> 80, "pq" -> 24)
+    "lsh" -> 8, "ivf" -> 80, "ivf_trained" -> 80, "pq" -> 24,
+    "ivfpq" -> 72) // measured 84% (RerankK=50); margin matches ivf's ratio
 
   /** Retrieval-quality gate: recall of every approximate ANN entry against
     * [[bruteForceTopK]] truth, as EXACT integers (hits, truth) plus a
@@ -584,7 +751,8 @@ object Similarity {
       "lsh" -> lshTopK(spark, dir),
       "ivf" -> ivfTopK(spark, dir),
       "ivf_trained" -> ivfTrainedTopK(spark, dir),
-      "pq" -> pqTopK(spark, dir))
+      "pq" -> pqTopK(spark, dir),
+      "ivfpq" -> ivfPqTopK(spark, dir))
     val tagged = RecallGatePct.map { case (name, thr) =>
       approx(name).selectExpr(s"'$name' AS method", "q_id", "vec_id",
         s"CAST($thr AS BIGINT) AS thr_pct")
@@ -607,7 +775,8 @@ object Similarity {
   def recallGateSql: String = {
     val methodCtes = Seq(
       "lsh" -> lshTopKSql, "ivf" -> ivfTopKSql,
-      "ivf_trained" -> ivfTrainedTopKSql, "pq" -> pqTopKSql)
+      "ivf_trained" -> ivfTrainedTopKSql, "pq" -> pqTopKSql,
+      "ivfpq" -> ivfPqTopKSql)
       .map { case (n, sql) => s"ap_$n AS (SELECT q_id, vec_id FROM ($sql))" }
       .mkString(",\n")
     val thrRows = RecallGatePct
@@ -679,6 +848,7 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_trained_topk" -> ivfTrainedTopK,
     "sim_pq_topk" -> pqTopK,
+    "sim_ivfpq_topk" -> ivfPqTopK,
     "sim_recall_gate" -> recallGate,
     "dedup_embedding_cosine" -> embeddingNearDup)
 
@@ -689,6 +859,7 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_ivf_trained_topk" -> ivfTrainedTopKSql,
     "sim_pq_topk" -> pqTopKSql,
+    "sim_ivfpq_topk" -> ivfPqTopKSql,
     "sim_recall_gate" -> recallGateSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql)
 }

@@ -40,6 +40,7 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val bnljQueryBatchOk = Set(
     "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
+    "sim_ivfpq_topk", // coarse codebook broadcast: vec_id < NCentroids (16)
     "sim_recall_gate")
 
   /** A nested-loop/cross join is otherwise vetted iff its BROADCAST side
