@@ -235,6 +235,45 @@ object CorpusOps {
        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Bloom sketch sizing for [[decontaminateBloom]]: ~8 bits/gram at the
+    * 4M-gram estimate ⇒ ~2% false positives, sketch ≈ 4 MB — broadcast-size
+    * no matter how large the corpus side grows.
+    */
+  val DecontamBloomItems = 4000000L
+  val DecontamBloomBits = 1L << 25
+
+  /** Bloom-gated decontamination — [[decontaminate]]'s 100 TB form. The
+    * exact version broadcasts the eval set's RAW 5-grams; once the eval
+    * suite outgrows a broadcast, the production move is to ship only a
+    * Bloom sketch of the gram hashes and pre-filter the corpus grams with
+    * `might_contain` BEFORE the exact confirm join (the same explicit
+    * `graft_bloom_agg`/`graft_might_contain` pair as
+    * [[graft.ops.BloomJoin]]). Correctness is structural: Bloom filters
+    * have no false negatives, so bloom-prefilter ∘ exact-join ≡
+    * exact-join — the oracle runs the PLAIN exact join and must
+    * hash-match bit-for-bit. At scale the pre-filter drops ~all clean
+    * grams at the scan, so the confirm join's shuffle carries only
+    * (suspect ∪ false-positive) grams.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""WITH t AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+         |g AS (SELECT doc_id, explode(${gramExpr(DecontamN)}) AS gram FROM t),
+         |e AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % $EvalEvery = 0),
+         |c AS (SELECT doc_id, gram FROM g WHERE doc_id % $EvalEvery != 0),
+         |pruned AS (
+         |  SELECT doc_id, gram FROM c
+         |  WHERE graft_might_contain(
+         |          (SELECT graft_bloom_agg(xxhash64(gram),
+         |                    ${DecontamBloomItems}L, ${DecontamBloomBits}L) FROM e),
+         |          xxhash64(gram)))
+         |SELECT p.doc_id, count(DISTINCT p.gram) AS n_shared_grams,
+         |       count(DISTINCT e.eval_id) AS n_eval_docs
+         |FROM pruned p JOIN e ON p.gram = e.gram
+         |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   // ------------------------------------------------------------- packing
 
   /** Sequence packing — the concat-and-chunk layout pretraining data takes:
@@ -469,6 +508,7 @@ object CorpusOps {
     "pipeline_split" -> split,
     "pipeline_stratified_sample" -> stratifiedSample,
     "pipeline_decontaminate" -> decontaminate,
+    "pipeline_decontaminate_bloom" -> decontaminateBloom,
     "pipeline_pack_sequences" -> packSequences,
     "pipeline_chunk_documents" -> chunkDocuments,
     "pipeline_filter_funnel" -> filterFunnel,
@@ -482,6 +522,7 @@ object CorpusOps {
     "pipeline_split" -> splitSql,
     "pipeline_stratified_sample" -> stratifiedSampleSql,
     "pipeline_decontaminate" -> decontaminateSql,
+    "pipeline_decontaminate_bloom" -> decontaminateSql, // exact join: bloom admits a superset, confirm restores it
     "pipeline_pack_sequences" -> packSequencesSql,
     "pipeline_chunk_documents" -> chunkDocumentsSql,
     "pipeline_filter_funnel" -> filterFunnelSql,
