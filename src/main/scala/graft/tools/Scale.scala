@@ -56,7 +56,8 @@ object Scale {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: base :: out :: k :: rest =>
-      gen(session(), base, out, k.toInt, corpusOnly = rest.contains("corpusOnly"))
+      gen(session(), base, out, k.toInt, corpusOnly = rest.contains("corpusOnly"),
+        eventsOnly = rest.contains("eventsOnly"))
     case "run" :: dir :: label :: names if names.nonEmpty =>
       run(session(), dir, label, names)
     case "probe" :: batchDir :: indexDir :: Nil =>
@@ -68,7 +69,7 @@ object Scale {
   }
 
   def gen(spark: SparkSession, base: String, out: String, k: Int,
-      corpusOnly: Boolean): Unit = {
+      corpusOnly: Boolean, eventsOnly: Boolean = false): Unit = {
 
     def copies(df: DataFrame): DataFrame =
       df.selectExpr(s"explode(sequence(0, ${k - 1})) AS c", "*")
@@ -76,6 +77,17 @@ object Scale {
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scale] wrote $out/$name.parquet")
+    }
+
+    if (eventsOnly) {
+      val e = Tables.load(spark, base, "events").agg(org.apache.spark.sql.functions
+        .max("event_id")).head().getLong(0) + 1
+      write(copies(Tables.load(spark, base, "events"))
+        .withColumn("event_id",
+          org.apache.spark.sql.functions.expr(s"event_id + c * ${e}L"))
+        .drop("c"), "events")
+      spark.stop()
+      return
     }
 
     val d = Tables.load(spark, base, "documents").agg(org.apache.spark.sql.functions
