@@ -190,4 +190,13 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_out")) // chained gates
     }
   }
+
+  test("bloom-gated decontamination equals the exact join row-for-row") {
+    // the structural guarantee stated in decontaminateBloom's scaladoc,
+    // machine-checked: no false negatives means the Bloom pre-filter can
+    // only ADD confirm-join probe rows, never change the result
+    val exact = CorpusOps.decontaminate(spark, dir).collect().map(_.toSeq)
+    val gated = CorpusOps.decontaminateBloom(spark, dir).collect().map(_.toSeq)
+    assert(gated.toSeq == exact.toSeq)
+  }
 }
