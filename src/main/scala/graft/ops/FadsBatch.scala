@@ -60,10 +60,10 @@ object FadsBatch {
     *
     * @param clockCol LONG column supplying the deterministic processing-time
     *                 instant (ms) for each row — normally `unix_millis(ts)`.
-    */
-  /** @param rawCols columns whose doubles feed [[Fads.In.raw]] — only for
-    *        the [[Fads.Quirks.rawFieldDistance]] reference-parity replay
-    *        (the raw tuple's leading numeric fields); Nil elsewhere.
+    * @param rawCols  columns whose doubles feed [[Fads.In.raw]] — only for
+    *                 the [[Fads.Quirks.rawFieldDistance]] reference-parity
+    *                 replay (the raw tuple's leading numeric fields); Nil
+    *                 elsewhere.
     */
   def anonymize(
       df: DataFrame,

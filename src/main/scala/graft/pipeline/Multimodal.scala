@@ -62,8 +62,15 @@ object Multimodal {
       }
       val w = asciiInt(); val h = asciiInt(); val mv = asciiInt()
       i += 1 // exactly ONE whitespace byte separates maxval from the raster
-      require(bytes.length - i >= w * h * 3, "PPM raster shorter than header claims")
-      Image(w, h, mv, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3))
+      // Size math in Long: a hostile header (65536×65536) overflows Int so
+      // `w * h * 3` can go negative and pass the length require spuriously.
+      require(w > 0 && h > 0 && w <= 1 << 20 && h <= 1 << 20,
+        s"PPM dimensions out of bounds: ${w}x$h")
+      require(mv > 0 && mv <= 65535, s"PPM maxval out of bounds: $mv")
+      val rasterLen = w.toLong * h * 3
+      require(rasterLen <= Int.MaxValue && bytes.length - i >= rasterLen,
+        "PPM raster shorter than header claims")
+      Image(w, h, mv, java.util.Arrays.copyOfRange(bytes, i, i + rasterLen.toInt))
     }
 
     def encode(img: Image): Array[Byte] = {
