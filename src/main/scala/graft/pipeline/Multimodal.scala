@@ -36,6 +36,9 @@ object Multimodal {
     * pixels (floor source-index mapping, per channel).
     */
   object PpmCodec {
+    /** Upper bound on any single header value (width, height, maxval). */
+    final val MaxDim: Int = 1 << 20
+
     final case class Image(width: Int, height: Int, maxVal: Int, pixels: Array[Byte])
 
     def decode(bytes: Array[Byte]): Image = {
@@ -54,19 +57,25 @@ object Multimodal {
         skipWs()
         require(i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9',
           s"PPM header: digit expected at offset $i")
-        var v = 0
+        // Accumulate in Long: a hostile digit string like "4294967297" wraps
+        // an Int accumulator to a small positive value and would pass the
+        // bounds checks below with a misdecoded size instead of a rejection.
+        var v = 0L
         while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
           v = v * 10 + (bytes(i) - '0'); i += 1
+          require(v <= MaxDim, s"PPM header value too large: $v")
         }
-        v
+        v.toInt
       }
       val w = asciiInt(); val h = asciiInt(); val mv = asciiInt()
       i += 1 // exactly ONE whitespace byte separates maxval from the raster
       // Size math in Long: a hostile header (65536×65536) overflows Int so
       // `w * h * 3` can go negative and pass the length require spuriously.
-      require(w > 0 && h > 0 && w <= 1 << 20 && h <= 1 << 20,
+      require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim,
         s"PPM dimensions out of bounds: ${w}x$h")
-      require(mv > 0 && mv <= 65535, s"PPM maxval out of bounds: $mv")
+      // maxval > 255 means 2 bytes/sample per the netpbm spec; this decoder
+      // only implements 1-byte samples, so reject rather than misdecode.
+      require(mv > 0 && mv <= 255, s"PPM maxval out of bounds: $mv")
       val rasterLen = w.toLong * h * 3
       require(rasterLen <= Int.MaxValue && bytes.length - i >= rasterLen,
         "PPM raster shorter than header claims")

@@ -48,4 +48,41 @@ class PpmCodecSpec extends AnyFunSuite {
     val src = img(3, 3)
     assert(PpmCodec.resizeNearest(src, 3, 3).pixels.toSeq == src.pixels.toSeq)
   }
+
+  private def hostile(header: String): Array[Byte] =
+    header.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ Array.fill[Byte](16)(0)
+
+  test("decode rejects a hostile 65536x65536 header (Int raster overflow)") {
+    // 65536*65536*3 overflows Int to a small/negative value; the Long-math
+    // bounds check must reject it rather than attempt a copy.
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode(hostile("P6\n65536 65536\n255\n"))
+    }
+  }
+
+  test("decode rejects dimensions above MaxDim") {
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode(hostile(s"P6\n${PpmCodec.MaxDim + 1} 1\n255\n"))
+    }
+  }
+
+  test("decode rejects Int-wrapping header digit strings") {
+    // 4294967297 = 2^32 + 1 wraps an Int accumulator to 1 and would decode
+    // as a 1-pixel-wide image; the Long accumulator must reject it instead.
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode(hostile("P6\n4294967297 1\n255\n"))
+    }
+  }
+
+  test("decode rejects 2-byte-sample maxval (>255) rather than misdecode") {
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode(hostile("P6\n1 1\n65535\n"))
+    }
+  }
+
+  test("decode rejects zero dimensions") {
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode(hostile("P6\n0 5\n255\n"))
+    }
+  }
 }
