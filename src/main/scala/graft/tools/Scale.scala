@@ -57,11 +57,15 @@ object Scale {
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: base :: out :: k :: rest =>
       gen(session(), base, out, k.toInt, corpusOnly = rest.contains("corpusOnly"),
-        eventsOnly = rest.contains("eventsOnly"))
+        eventsOnly = rest.contains("eventsOnly"),
+        relOnly = rest.contains("relOnly"))
     case "run" :: dir :: label :: names if names.nonEmpty =>
       run(session(), dir, label, names)
-    case "probe" :: batchDir :: indexDir :: Nil =>
-      probe(session(), batchDir, indexDir)
+    case "show" :: dir :: names if names.nonEmpty =>
+      show(session(), dir, names)
+    case "probe" :: batchDir :: indexDir :: rest if rest.size <= 1 =>
+      probe(session(), batchDir, indexDir,
+        rest.headOption.map(_.toInt).getOrElse(1))
     case "stream" :: dir :: Nil =>
       stream(dir)
     case other =>
@@ -69,7 +73,8 @@ object Scale {
   }
 
   def gen(spark: SparkSession, base: String, out: String, k: Int,
-      corpusOnly: Boolean, eventsOnly: Boolean = false): Unit = {
+      corpusOnly: Boolean, eventsOnly: Boolean = false,
+      relOnly: Boolean = false): Unit = {
 
     def copies(df: DataFrame): DataFrame =
       df.selectExpr(s"explode(sequence(0, ${k - 1})) AS c", "*")
@@ -90,6 +95,7 @@ object Scale {
       return
     }
 
+    if (!relOnly) {
     val d = Tables.load(spark, base, "documents").agg(org.apache.spark.sql.functions
       .max("doc_id")).head().getLong(0) + 1
     write(copies(Tables.load(spark, base, "documents"))
@@ -116,6 +122,7 @@ object Scale {
         "transform(embedding, x -> CAST(x + c * 0.001 AS FLOAT)) AS embedding",
         "label"),
       "embeddings")
+    }
 
     if (!corpusOnly) {
       val o = Tables.load(spark, base, "orders").agg(org.apache.spark.sql.functions
@@ -168,6 +175,19 @@ object Scale {
     spark.stop()
   }
 
+  /** Print an entry's full result rows at a scale dir — for small quality
+    * surfaces whose VALUES are the evidence (e.g. `sim_recall_gate` at
+    * ×100: recall per ANN construction), not their wall time.
+    */
+  def show(spark: SparkSession, dir: String, names: Seq[String]): Unit = {
+    names.foreach { name =>
+      val rows = SparkEntry.queries(name)(spark, dir).collect()
+      println(s"[scale] $name @ $dir (${rows.length} rows):")
+      rows.foreach(r => println("  " + r.toString))
+    }
+    spark.stop()
+  }
+
   /** Streaming FADS throughput at scale: unthrottled paced replay of the
     * given dir's `events` through the transformWithState operator (the
     * graft.Bench streaming leg, parameterized by corpus) — single-stream
@@ -216,31 +236,76 @@ object Scale {
 
     val cfg = graft.SparkEntry.eventsFadsConfig
     def single() = streamOnce("2", ds => FadsStream.anonymize(ds, cfg))
-    def sharded() = streamOnce("8",
-      ds => FadsStream.anonymizeSharded(ds, cfg, e => e.user_id % 8))
+    def sharded(n: Int) = streamOnce(n.toString,
+      ds => FadsStream.anonymizeSharded(ds, cfg, e => e.user_id % n))
     val s1 = math.min(single(), single())
-    val s8 = math.min(sharded(), sharded())
-    println(f"""[scale] {"stream_dir":"$dir","rows":$nRows,"single_sec":$s1%.3f,"single_rps":${nRows / s1}%.1f,"sharded_sec":$s8%.3f,"sharded_rps":${nRows / s8}%.1f}""")
+    val shardWalls = Seq(8, 16, 32).map { n =>
+      n -> math.min(sharded(n), sharded(n))
+    }
+
+    // Checkpoint-restart cost at this state size (round-7 verdict item 4):
+    // run the widest sharded config to ~half its micro-batches, hard-stop,
+    // then TIME the restart draining the remainder from the checkpoint —
+    // the wall covers offset-log replay + per-shard RocksDB state reload +
+    // the second half of the data. Reported beside the same config's
+    // uninterrupted wall so the recovery overhead is the difference.
+    val restartShards = 32
+    val restartSec = {
+      spark.conf.set("spark.sql.shuffle.partitions", restartShards.toString)
+      val ckpt = java.nio.file.Files.createTempDirectory("scale-ckpt").toString
+      def wired() = FadsStream.anonymizeSharded(
+        PacedReplay.stream(spark, stageDir, events.schema).as[Event], cfg,
+        e => e.user_id % restartShards)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(PacedReplay.trigger(0))
+      val q1 = wired().start()
+      while (q1.isActive && Option(q1.lastProgress).forall(_.batchId < 4))
+        Thread.sleep(50)
+      q1.stop(); q1.awaitTermination()
+      val t = timed {
+        val q2 = wired().start()
+        q2.processAllAvailable()
+        q2.stop()
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      t
+    }
+
+    val shardJson = shardWalls.map { case (n, s) =>
+      s""""$n":{"sec":${f"$s%.3f"},"rps":${f"${nRows / s}%.1f"}}"""
+    }.mkString("{", ",", "}")
+    println(f"""[scale] {"stream_dir":"$dir","rows":$nRows,"single_sec":$s1%.3f,"single_rps":${nRows / s1}%.1f,"shards":$shardJson,"restart_shards":$restartShards,"restart_half_sec":$restartSec%.3f}""")
     spark.stop()
   }
 
-  def probe(spark: SparkSession, batchDir: String, indexDir: String): Unit = {
+  /** Probe-vs-index-size measurement. `batchDivisor` > 1 thins the fixed
+    * incoming batch deterministically (doc_id % (IncrSplitMod·divisor) = 0)
+    * to the small-batch production shape where bucket pruning pays; both
+    * the full-scan and the bucket-pruned probe are timed so the pruning
+    * win is itself measured, not asserted.
+    */
+  def probe(spark: SparkSession, batchDir: String, indexDir: String,
+      batchDivisor: Int = 1): Unit = {
     import graft.pipeline.Dedup
     val indexPath = Dedup.ensureMinhashIndex(spark, indexDir)
     val indexRows = spark.read.parquet(indexPath).count()
     val incoming = Tables.load(spark, batchDir, "documents")
-      .where(s"doc_id % ${Dedup.IncrSplitMod} = 0")
+      .where(s"doc_id % ${Dedup.IncrSplitMod * batchDivisor} = 0")
     val batchRows = incoming.count()
-    def once(): Double = {
-      val t = timed(Dedup.incrementalProbe(spark, incoming, indexPath)
+    def once(prune: Boolean): Double = {
+      val t = timed(Dedup.incrementalProbe(spark, incoming, indexPath, prune)
         .write.format("noop").mode("overwrite").save())
       spark.catalog.clearCache()
       t
     }
-    once() // untimed warmup
-    val best = math.min(once(), once())
+    once(prune = false) // untimed warmup
+    val full = math.min(once(prune = false), once(prune = false))
+    once(prune = true)
+    val pruned = math.min(once(prune = true), once(prune = true))
     val cand = Dedup.incrementalProbe(spark, incoming, indexPath).count()
-    println(f"""[scale] {"probe_batch":"$batchDir","index":"$indexDir","index_rows":$indexRows,"batch_rows":$batchRows,"sec":$best%.3f,"candidates":$cand}""")
+    spark.catalog.clearCache()
+    println(f"""[scale] {"probe_batch":"$batchDir","index":"$indexDir","buckets":${Dedup.IndexBuckets},"index_rows":$indexRows,"batch_rows":$batchRows,"sec_full":$full%.3f,"sec_pruned":$pruned%.3f,"candidates":$cand}""")
     spark.stop()
   }
 }

@@ -83,4 +83,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } yield (nd, hd, ns.zip(hs).count { case (a, b) => a == b }.toLong)).toSet
     assert(viaIndex == expected)
   }
+
+  test("pruned probe scans only touched (band,bhp) buckets and matches the full scan") {
+    val path = Dedup.ensureMinhashIndex(spark, dir)
+    // tiny fixed batch — the production probe shape where pruning pays
+    val tiny = graft.Tables.load(spark, dir, "documents")
+      .where(s"doc_id % ${Dedup.IncrSplitMod} = 0")
+      .orderBy("doc_id").limit(4)
+
+    val pruned = Dedup.incrementalProbe(spark, tiny, path, prune = true)
+    val full = Dedup.incrementalProbe(spark, tiny, path)
+    assert(pruned.collect().toSeq == full.collect().toSeq,
+      "bucket pruning must not change the candidate surface")
+
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths
+          .exists(_.toString.contains("graft_minhash_index")) => f
+    }
+    assert(scans.nonEmpty, "index file scan not found in the probe plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "pruned probe must carry a partition filter on the index scan")
+    val allParts = scan.relation.location.listFiles(Nil, Nil).length
+    val selParts =
+      scan.relation.location.listFiles(scan.partitionFilters, Nil).length
+    // 4 docs × B bands touch at most 16 buckets of the B×IndexBuckets dirs
+    assert(selParts <= 4 * Dedup.B,
+      s"probe must prune to ≤${4 * Dedup.B} touched buckets, read $selParts")
+    assert(selParts < allParts,
+      s"probe must scan fewer dirs than the full index ($selParts/$allParts)")
+    spark.catalog.clearCache()
+  }
 }
