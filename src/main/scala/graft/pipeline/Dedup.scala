@@ -767,38 +767,40 @@ object Dedup {
     *
     * With `prune = true` the probe first computes the batch's touched
     * bucket set — distinct (band, pmod(bh, buckets)) of its OWN band
-    * hashes, at most B × IndexBuckets values, collected to the driver as
-    * a partition-pruning predicate (metadata-scale, never data-scale) —
-    * and restricts the index scan to exactly those dirs. Any index row
-    * outside a touched bucket cannot equi-join the batch on (band, bh),
-    * so the result is identical; only the scanned byte count changes:
-    * batch-proportional instead of index-proportional, which with
-    * buckets ∝ index rows makes the probe wall independent of index
-    * size. Costs one extra pass over the (small) incoming batch to
-    * learn the bucket set, so the default entry path leaves it off and
-    * stays single-pass lazy; [[IncrementalDedupSpec]] proves result
-    * equality and actual dir-level pruning.
+    * hashes, at most B × IndexBuckets values, collected to the driver
+    * (metadata-scale, never data-scale) — and opens the index reader
+    * over ONLY those `band=/bhp=` dirs (basePath-rooted point lookups).
+    * Any index row outside a touched bucket cannot equi-join the batch
+    * on (band, bh), so the result is identical; what changes is the
+    * probe's ENTIRE metadata+IO footprint: both the dir listing and the
+    * scanned bytes are batch-proportional instead of index-proportional
+    * (filtering after a root-dir read still lists every bucket dir up
+    * front — measured 40+ s of pure listing at 25,600 dirs — which is
+    * why the pruning selects paths rather than pushing a partition
+    * predicate). With buckets ∝ index rows the probe wall is then
+    * independent of index size. Costs one extra pass over the (small)
+    * incoming batch to learn the bucket set, so the default entry path
+    * leaves it off and stays single-pass lazy; [[IncrementalDedupSpec]]
+    * proves result equality and the batch-bounded scan footprint.
     */
   def incrementalProbe(spark: SparkSession, incoming: DataFrame,
       indexPath: String, prune: Boolean = false): DataFrame = {
     val newBands = minhashSignatures(incoming)
       .selectExpr(Seq("doc_id") ++ (0 until H).map(i => s"m$i")
         :+ s"posexplode($bandArrayExpr) AS (band, bh)": _*)
-    val idxRaw = spark.read.parquet(indexPath)
     val idxPruned =
-      if (!prune) idxRaw
+      if (!prune) spark.read.parquet(indexPath)
       else {
         val p = bucketsOf(indexPath)
         val cached = newBands.cache()
-        val touched = cached
+        val touchedDirs = cached
           .selectExpr("band", s"CAST(pmod(bh, $p) AS INT) AS bhp").distinct()
           .collect()
-          .groupBy(_.getInt(0)).view
-          .mapValues(_.map(_.getInt(1)).toSeq).toMap
-        val pred = touched.toSeq.sortBy(_._1).map { case (b, bhps) =>
-          col("band") === b && col("bhp").isin(bhps: _*)
-        }.reduceOption(_ || _).getOrElse(lit(false))
-        idxRaw.where(pred)
+          .map(r => s"$indexPath/band=${r.getInt(0)}/bhp=${r.getInt(1)}")
+          .filter(d => new java.io.File(d).exists()) // absent bucket = no rows
+          .sorted
+        if (touchedDirs.isEmpty) spark.read.parquet(indexPath).limit(0)
+        else spark.read.option("basePath", indexPath).parquet(touchedDirs: _*)
       }
     val idx = idxPruned
       .selectExpr(Seq("doc_id AS hist_id", "band", "bh")

@@ -103,16 +103,20 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
     assert(scans.nonEmpty, "index file scan not found in the probe plan")
     val scan = scans.head
-    assert(scan.partitionFilters.nonEmpty,
-      "pruned probe must carry a partition filter on the index scan")
-    val allParts = scan.relation.location.listFiles(Nil, Nil).length
-    val selParts =
-      scan.relation.location.listFiles(scan.partitionFilters, Nil).length
+    // pruning is PATH SELECTION (point lookups under basePath), so the
+    // scan's roots are exactly the touched bucket dirs — a root-dir scan
+    // would have ONE root and list all B×IndexBuckets dirs
+    val roots = scan.relation.location.rootPaths.map(_.toString)
+    assert(roots.forall(_.matches(".*/band=\\d+/bhp=\\d+$")),
+      s"pruned scan must be rooted at bucket dirs, got ${roots.take(3)}")
     // 4 docs × B bands touch at most 16 buckets of the B×IndexBuckets dirs
-    assert(selParts <= 4 * Dedup.B,
-      s"probe must prune to ≤${4 * Dedup.B} touched buckets, read $selParts")
-    assert(selParts < allParts,
-      s"probe must scan fewer dirs than the full index ($selParts/$allParts)")
+    assert(roots.length <= 4 * Dedup.B,
+      s"probe must open ≤${4 * Dedup.B} touched buckets, opened ${roots.length}")
+    val totalDirs = Files.list(Paths.get(Dedup.indexPath(dir))).iterator()
+      .asScala.count(p => p.getFileName.toString.startsWith("band="))  *
+      Dedup.IndexBuckets
+    assert(roots.length < totalDirs,
+      s"probe must open fewer dirs than the full index (${roots.length}/$totalDirs)")
     spark.catalog.clearCache()
   }
 }
