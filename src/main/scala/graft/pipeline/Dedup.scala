@@ -951,8 +951,13 @@ object Dedup {
     * COST NOTE: the collect() feeds MemoryStream, the driver-resident
     * TEST source — the system under test is the upsert WRITE path.
     */
-  def incrementalAppend(spark: SparkSession, dir: String): DataFrame = {
+  def incrementalAppend(spark: SparkSession, dir: String,
+      phase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def timed[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val a = body
+      phase(name, (System.nanoTime() - t0) / 1e9); a
+    }
     val path = ensureMinhashIndex(spark, dir)
     val docs = Tables.load(spark, dir, "documents")
     val wave1 = docs.where(s"doc_id % ${2 * IncrSplitMod} = 0")
@@ -965,10 +970,15 @@ object Dedup {
       .selectExpr(Seq("doc_id") ++ (0 until H).map(i => s"m$i AS i$i")
         :+ s"posexplode($bandArrayExpr) AS (band, bh)": _*)
       .withColumn("bhp", expr(s"CAST(pmod(bh, $IndexBuckets) AS INT)"))
+    val acceptedRows = timed("probe_wave1_sign_accepted") {
+      accepted.collect().toIndexedSeq
+    }
 
     val augPath = graft.TempDirs.scoped("incr-append") + "/index"
     val ckpt = graft.TempDirs.scoped("incr-append-ckpt")
-    spark.read.parquet(path).write.mode("overwrite").parquet(augPath)
+    timed("seed_working_copy") {
+      spark.read.parquet(path).write.mode("overwrite").parquet(augPath)
+    }
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
@@ -976,10 +986,12 @@ object Dedup {
     val src = MemoryStream[org.apache.spark.sql.Row]
     val q = graft.streaming.Sinks.upsertParquet(src.toDS().toDF(), augPath,
       ckpt, keyCols = Seq("doc_id", "band"), versionCols = Seq("bh")).start()
-    try {
-      src.addData(accepted.collect().toIndexedSeq)
-      q.processAllAvailable()
-    } finally q.stop()
+    timed("upsert_append") {
+      try {
+        src.addData(acceptedRows)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
 
     incrementalProbe(spark, wave2, augPath)
   }
@@ -1034,7 +1046,7 @@ object Dedup {
     "dedup_substring_spans" -> substringSpans,
     "dedup_incremental_index" -> incrementalIndex,
     "dedup_incremental_batch" -> incrementalBatch,
-    "dedup_incremental_append" -> incrementalAppend,
+    "dedup_incremental_append" -> ((s: SparkSession, d: String) => incrementalAppend(s, d)),
     "stream_incremental_dedup" -> streamIncrementalQuery,
     "dedup_components" -> ((s: SparkSession, dir: String) => duplicateClusters(s, dir)))
 

@@ -63,6 +63,8 @@ object Scale {
       run(session(), dir, label, names)
     case "show" :: dir :: names if names.nonEmpty =>
       show(session(), dir, names)
+    case "append" :: dir :: Nil =>
+      appendCost(session(), dir)
     case "probe" :: batchDir :: indexDir :: rest if rest.size <= 1 =>
       probe(session(), batchDir, indexDir,
         rest.headOption.map(_.toInt).getOrElse(1))
@@ -185,6 +187,27 @@ object Scale {
       println(s"[scale] $name @ $dir (${rows.length} rows):")
       rows.foreach(r => println("  " + r.toString))
     }
+    spark.stop()
+  }
+
+  /** Phase breakdown of the incremental ingest loop (the verdict's
+    * "append-cost line"): wave-1 probe+sign, working-copy seed, the
+    * streaming upsert append itself, and the wave-2 re-probe — so the
+    * MERGE cost is visible separately from the test-isolation copy tax.
+    */
+  def appendCost(spark: SparkSession, dir: String): Unit = {
+    import graft.pipeline.Dedup
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val t0 = System.nanoTime()
+    val out = Dedup.incrementalAppend(spark, dir,
+      (name, sec) => phases.update(name, sec))
+    val t1 = System.nanoTime()
+    val reProbe = timed(out.write.format("noop").mode("overwrite").save())
+    phases.update("plan_setup_other", (t1 - t0) / 1e9 - phases.values.sum)
+    phases.update("reprobe_wave2", reProbe)
+    val js = phases.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+      .mkString("{", ",", "}")
+    println(s"""[scale] {"append_dir":"$dir","phases":$js}""")
     spark.stop()
   }
 

@@ -119,4 +119,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"probe must open fewer dirs than the full index (${roots.length}/$totalDirs)")
     spark.catalog.clearCache()
   }
+
+  test("index layout: exactly one bh-sorted file per bucket dir") {
+    // the two storage properties the flat probe rests on: a bucket is ONE
+    // file (point lookup = one open), and rows inside it are bh-sorted
+    // (tight row-group stats if a bucket ever spans row groups)
+    val path = Dedup.ensureMinhashIndex(spark, dir)
+    val bucketDirs = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("bhp=")).toSeq
+    assert(bucketDirs.nonEmpty, "bucketed index must have bhp= dirs")
+    bucketDirs.foreach { b =>
+      val files = Files.list(b).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      assert(files.size == 1, s"bucket $b must hold exactly one file, has ${files.size}")
+    }
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val perFile = spark.read.parquet(path)
+      .select(input_file_name().as("f"), col("bh"))
+      .rdd.mapPartitions { it =>
+        // rows of one file arrive in file order; track the previous bh per
+        // file so packed multi-file partitions don't cross-contaminate
+        var bad = 0L
+        var prev = Map.empty[String, Long]
+        it.foreach { r =>
+          val f = r.getString(0); val bh = r.getLong(1)
+          if (prev.get(f).exists(_ > bh)) bad += 1
+          prev += (f -> bh)
+        }
+        Iterator.single(bad)
+      }.sum()
+    assert(perFile == 0, s"$perFile out-of-order bh rows inside bucket files")
+  }
 }
