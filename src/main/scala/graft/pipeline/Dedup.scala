@@ -760,6 +760,19 @@ object Dedup {
     incrementalProbe(spark, incoming, path)
   }
 
+  /** The SAME surface as [[incrementalBatch]] through the bucket-pruned
+    * point-lookup path (`prune = true`), registered as its own entry so
+    * the pruned probe sits under the driver's hash gate too — identical
+    * rows by construction (the pruning is a semi-join-safe path
+    * selection), so it shares [[incrementalBatchSql]] verbatim.
+    */
+  def incrementalBatchPruned(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureMinhashIndex(spark, dir)
+    val incoming = Tables.load(spark, dir, "documents")
+      .where(s"doc_id % $IncrSplitMod = 0")
+    incrementalProbe(spark, incoming, path, prune = true)
+  }
+
   /** The probe alone, against an ALREADY-BUILT index at `indexPath` —
     * factored out so the scale harness can hold the incoming batch fixed
     * while swapping 1×/10× indexes under it (the cost-independence
@@ -1046,6 +1059,7 @@ object Dedup {
     "dedup_substring_spans" -> substringSpans,
     "dedup_incremental_index" -> incrementalIndex,
     "dedup_incremental_batch" -> incrementalBatch,
+    "dedup_incremental_batch_pruned" -> incrementalBatchPruned,
     "dedup_incremental_append" -> ((s: SparkSession, d: String) => incrementalAppend(s, d)),
     "stream_incremental_dedup" -> streamIncrementalQuery,
     "dedup_components" -> ((s: SparkSession, dir: String) => duplicateClusters(s, dir)))
@@ -1062,6 +1076,7 @@ object Dedup {
     "dedup_substring_spans" -> substringSpansSql,
     "dedup_incremental_index" -> incrementalIndexSql,
     "dedup_incremental_batch" -> incrementalBatchSql,
+    "dedup_incremental_batch_pruned" -> incrementalBatchSql,
     "dedup_incremental_append" -> incrementalAppendSql,
     "stream_incremental_dedup" -> streamIncrementalSql,
     "dedup_components" -> duplicateClustersSql)
