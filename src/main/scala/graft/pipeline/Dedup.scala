@@ -990,6 +990,12 @@ object Dedup {
     val augPath = graft.TempDirs.scoped("incr-append") + "/index"
     val ckpt = graft.TempDirs.scoped("incr-append-ckpt")
     timed("seed_working_copy") {
+      // a Spark read+rewrite, deliberately: it COMPACTS the 256-bucket
+      // hive layout into a few plain files, which makes the upsert's
+      // per-batch snapshot reads cheap (measured faster end-to-end than
+      // a raw recursive file copy, which preserves 256 small dirs and
+      // pays checksummed per-file copies plus partition discovery on
+      // every snapshot read)
       spark.read.parquet(path).write.mode("overwrite").parquet(augPath)
     }
 
