@@ -659,8 +659,17 @@ object Dedup {
     * code change. The count is baked into the index path so a build and a
     * probe can never disagree about the layout.
     */
-  val IndexBuckets: Int =
-    sys.env.get("SPARK_GRAFT_INDEX_BUCKETS").map(_.toInt).getOrElse(64)
+  val IndexBuckets: Int = {
+    val n = sys.env.get("SPARK_GRAFT_INDEX_BUCKETS").map { s =>
+      try s.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_INDEX_BUCKETS must be a positive integer, got '$s'")
+      }
+    }.getOrElse(64)
+    require(n > 0, s"SPARK_GRAFT_INDEX_BUCKETS must be > 0, got $n " +
+      "(pmod(bh, 0) is null and would route every row to the default partition)")
+    n
+  }
 
   /** Persisted-index location, keyed by the corpus directory so different
     * scale factors never share an index, and by the bucket count so a
@@ -677,6 +686,83 @@ object Dedup {
     m.map(_.group(1).toInt).getOrElse(IndexBuckets)
   }
 
+  // ---- bucket manifest: the metastore stand-in for partition listing ----
+
+  /** Name of the build-time bucket manifest inside an index dir: one
+    * `band,bhp` line per non-empty bucket. This is the probe's ONLY
+    * pruning input — never the filesystem. A real deployment would keep
+    * this in the metastore / a table format's partition metadata; a plain
+    * committed file carries the same information on any Hadoop-compatible
+    * store (local, HDFS, S3A), which is what makes the pruned probe
+    * object-store-portable: on a store where directory probing is slow,
+    * unreliable, or (driver-side `java.io.File`) simply wrong, the
+    * manifest still answers "which buckets exist" in one small read.
+    */
+  val ManifestFile = "_buckets"
+
+  private def hadoopFs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Overwrite the index's bucket manifest with `buckets`. Metadata-scale
+    * by construction (≤ B × IndexBuckets lines).
+    */
+  private[pipeline] def writeManifest(spark: SparkSession, indexPath: String,
+      buckets: Set[(Int, Int)]): Unit = {
+    val (fs, _) = hadoopFs(spark, indexPath)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(indexPath, ManifestFile), true)
+    try out.write(buckets.toSeq.sorted
+      .map { case (b, h) => s"$b,$h" }.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The committed bucket set of an index. FAILS LOUD when the manifest is
+    * absent — a pruned probe must never silently degrade to "no buckets ⇒
+    * empty result" (the failure mode of probing the filesystem from the
+    * driver on a store where the paths never "exist").
+    */
+  def readManifest(spark: SparkSession, indexPath: String): Set[(Int, Int)] = {
+    val (fs, _) = hadoopFs(spark, indexPath)
+    val mf = new org.apache.hadoop.fs.Path(indexPath, ManifestFile)
+    if (!fs.exists(mf))
+      throw new IllegalStateException(
+        s"no $ManifestFile manifest at $indexPath — index was not built by " +
+          "ensureMinhashIndex (or predates the manifest); rebuild the index")
+    val in = fs.open(mf)
+    val text = try {
+      val bs = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 65536, false)
+      bs.toString("UTF-8")
+    } finally in.close()
+    text.split('\n').iterator.filter(_.nonEmpty).map { l =>
+      val Array(b, h) = l.split(',')
+      (b.toInt, h.toInt)
+    }.toSet
+  }
+
+  /** Add `extra` buckets to an index's manifest (the append path's
+    * metadata commit — new buckets become probe-visible).
+    */
+  private[pipeline] def augmentManifest(spark: SparkSession, indexPath: String,
+      extra: Set[(Int, Int)]): Unit =
+    writeManifest(spark, indexPath, readManifest(spark, indexPath) ++ extra)
+
+  /** The (band=, bhp=) bucket dirs under an index root, via Hadoop FS. */
+  private def listBucketDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Set[(Int, Int)] =
+    fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
+      .flatMap { bandDir =>
+        val band = bandDir.getPath.getName.stripPrefix("band=").toInt
+        fs.listStatus(bandDir.getPath).iterator
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bhp="))
+          .map(s => (band, s.getPath.getName.stripPrefix("bhp=").toInt))
+      }.toSet
+
   /** Build-once: write the historical corpus's MinHash band index —
     * (doc_id, band, bh) plus the full 16-component signature (i0..i15) —
     * partitioned by (band, bhp = pmod(bh, IndexBuckets)), iff no committed
@@ -688,11 +774,20 @@ object Dedup {
     * (`pmod(bh, buckets)` of its own band hashes) and prunes the scan to
     * those dirs — see [[incrementalProbe]] with `prune = true`. Rows are
     * range-sorted by bh inside each bucket file so parquet row-group
-    * stats stay tight if buckets ever span row groups.
+    * stats stay tight if buckets ever span row groups. The build commits
+    * TWO artifacts: the partitioned data and the [[ManifestFile]] bucket
+    * manifest the pruned probe consults — an index without its manifest
+    * is treated as uncommitted and rebuilt. All existence checks go
+    * through the Hadoop FileSystem API, so the build-reuse contract holds
+    * on any store, not just local disk.
     */
   def ensureMinhashIndex(spark: SparkSession, dir: String): String = {
     val path = indexPath(dir)
-    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+    val (fs, root) = hadoopFs(spark, path)
+    val committed =
+      fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, ManifestFile))
+    if (!committed) {
       val hist = Tables.load(spark, dir, "documents")
         .where(s"doc_id % $IncrSplitMod <> 0")
       val sig = minhashSignatures(hist)
@@ -703,6 +798,10 @@ object Dedup {
         .repartition(col("band"), col("bhp"))
         .sortWithinPartitions("band", "bhp", "bh")
         .write.mode("overwrite").partitionBy("band", "bhp").parquet(path)
+      // manifest = the dirs the write just created, listed ONCE at build
+      // time through the Hadoop FS API (a one-time O(B×buckets) LIST is
+      // the layout-commit cost; the PROBE side never lists anything)
+      writeManifest(spark, path, listBucketDirs(fs, root))
     }
     path
   }
@@ -781,20 +880,25 @@ object Dedup {
     * With `prune = true` the probe first computes the batch's touched
     * bucket set — distinct (band, pmod(bh, buckets)) of its OWN band
     * hashes, at most B × IndexBuckets values, collected to the driver
-    * (metadata-scale, never data-scale) — and opens the index reader
-    * over ONLY those `band=/bhp=` dirs (basePath-rooted point lookups).
-    * Any index row outside a touched bucket cannot equi-join the batch
-    * on (band, bh), so the result is identical; what changes is the
-    * probe's ENTIRE metadata+IO footprint: both the dir listing and the
-    * scanned bytes are batch-proportional instead of index-proportional
-    * (filtering after a root-dir read still lists every bucket dir up
-    * front — measured 40+ s of pure listing at 25,600 dirs — which is
-    * why the pruning selects paths rather than pushing a partition
-    * predicate). With buckets ∝ index rows the probe wall is then
-    * independent of index size. Costs one extra pass over the (small)
-    * incoming batch to learn the bucket set, so the default entry path
-    * leaves it off and stays single-pass lazy; [[IncrementalDedupSpec]]
-    * proves result equality and the batch-bounded scan footprint.
+    * (metadata-scale, never data-scale) — intersects it with the index's
+    * build-time [[ManifestFile]] bucket manifest (the metastore stand-in;
+    * NEVER the filesystem — a driver that probes paths is wrong on any
+    * store where "exists" is slow or lies, and a miss would fail SILENT
+    * to an empty result instead of loud), and opens the index reader
+    * over ONLY the surviving `band=/bhp=` dirs (basePath-rooted point
+    * lookups). Any index row outside a touched bucket cannot equi-join
+    * the batch on (band, bh), so the result is identical; what changes
+    * is the probe's ENTIRE metadata+IO footprint: both the dir listing
+    * and the scanned bytes are batch-proportional instead of
+    * index-proportional (filtering after a root-dir read still lists
+    * every bucket dir up front — measured 40+ s of pure listing at
+    * 25,600 dirs — which is why the pruning selects paths rather than
+    * pushing a partition predicate). With buckets ∝ index rows the probe
+    * wall is then independent of index size. Costs one extra pass over
+    * the (small) incoming batch to learn the bucket set — deliberately
+    * NOT cached: the batch is small by definition, and a cache here
+    * would outlive the call ([[IncrementalDedupSpec]] proves result
+    * equality and the batch-bounded scan footprint).
     */
   def incrementalProbe(spark: SparkSession, incoming: DataFrame,
       indexPath: String, prune: Boolean = false): DataFrame = {
@@ -805,12 +909,13 @@ object Dedup {
       if (!prune) spark.read.parquet(indexPath)
       else {
         val p = bucketsOf(indexPath)
-        val cached = newBands.cache()
-        val touchedDirs = cached
+        val manifest = readManifest(spark, indexPath) // fails loud if absent
+        val touchedDirs = newBands
           .selectExpr("band", s"CAST(pmod(bh, $p) AS INT) AS bhp").distinct()
           .collect()
-          .map(r => s"$indexPath/band=${r.getInt(0)}/bhp=${r.getInt(1)}")
-          .filter(d => new java.io.File(d).exists()) // absent bucket = no rows
+          .map(r => (r.getInt(0), r.getInt(1)))
+          .filter(manifest.contains) // absent from manifest = no rows
+          .map { case (b, h) => s"$indexPath/band=$b/bhp=$h" }
           .sorted
         if (touchedDirs.isEmpty) spark.read.parquet(indexPath).limit(0)
         else spark.read.option("basePath", indexPath).parquet(touchedDirs: _*)
@@ -1015,6 +1120,106 @@ object Dedup {
     incrementalProbe(spark, wave2, augPath)
   }
 
+  /** The ingest loop in its DEPLOYMENT shape: same probe → accept → append
+    * → re-probe flow as [[incrementalAppend]], but the append is
+    * BUCKET-WISE AND IN PLACE — accepted wave-1 band rows stream through
+    * [[graft.streaming.Sinks.partitionedUpsertParquet]], which merges and
+    * rewrites ONLY the touched `band=/bhp=` partition dirs, preserving the
+    * bucketed layout (one bh-sorted file per bucket) that the PRUNED probe
+    * relies on. Both probes here run `prune = true`, so this entry proves
+    * the full cycle a production ingest runs: point-lookup probe against a
+    * bucketed index, touched-bucket-only append, manifest commit, pruned
+    * re-probe seeing the appended rows. Append cost is O(batch + touched
+    * buckets) — independent of index size ([[graft.tools.Scale]] `inplace`
+    * measures it against 1×/10×/100× indexes).
+    *
+    * The manifest commit ([[augmentManifest]]) is LOAD-BEARING, not
+    * bookkeeping: an accepted row landing in a bucket the manifest does
+    * not name would be invisible to the pruned wave-2 probe — and the
+    * DuckDB oracle (which recomputes from scratch) would break the hash.
+    *
+    * The working copy PRESERVES the hive layout (partitionBy rewrite +
+    * manifest copy) — unlike [[incrementalAppend]]'s compacted copy — so
+    * the augmented index remains pruned-probe-compatible; a deployment
+    * has no copy at all (it appends to the live index).
+    */
+  def incrementalAppendInplace(spark: SparkSession, dir: String,
+      phase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    def timed[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val a = body
+      phase(name, (System.nanoTime() - t0) / 1e9); a
+    }
+    val path = ensureMinhashIndex(spark, dir)
+    val augPath =
+      graft.TempDirs.scoped("incr-inplace") + s"/index_b$IndexBuckets"
+    timed("seed_layout_copy") {
+      // hermeticity tax only: rewrite the bucketed layout + manifest into
+      // a scratch dir so the entry never mutates the shared index
+      spark.read.parquet(path)
+        .repartition(col("band"), col("bhp"))
+        .sortWithinPartitions("band", "bhp", "bh")
+        .write.mode("overwrite").partitionBy("band", "bhp").parquet(augPath)
+      writeManifest(spark, augPath, readManifest(spark, path))
+    }
+    appendInplaceCore(spark, dir, augPath, phase)
+  }
+
+  /** The probe → append-in-place → re-probe cycle against the bucketed
+    * index at `augIndexPath`, MUTATING it bucket-wise. Factored out so the
+    * scale harness can run it against a throwaway 1×/10×/100× index
+    * directly (no working-copy seed) and time each phase.
+    */
+  private[graft] def appendInplaceCore(spark: SparkSession, dir: String,
+      augIndexPath: String,
+      phase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def timed[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val a = body
+      phase(name, (System.nanoTime() - t0) / 1e9); a
+    }
+    val p = bucketsOf(augIndexPath)
+    val docs = Tables.load(spark, dir, "documents")
+    val wave1 = docs.where(s"doc_id % ${2 * IncrSplitMod} = 0")
+    val wave2 = docs.where(s"doc_id % ${2 * IncrSplitMod} = $IncrSplitMod")
+
+    val dup1 = incrementalProbe(spark, wave1, augIndexPath, prune = true)
+      .where("is_dup = 1").select("doc_id").distinct()
+    val accepted = minhashSignatures(wave1)
+      .join(dup1, Seq("doc_id"), "left_anti")
+      .selectExpr(Seq("doc_id") ++ (0 until H).map(i => s"m$i AS i$i")
+        :+ s"posexplode($bandArrayExpr) AS (band, bh)": _*)
+      .withColumn("bhp", expr(s"CAST(pmod(bh, $p) AS INT)"))
+    val acceptedRows = timed("probe_wave1_sign_accepted") {
+      accepted.collect().toIndexedSeq
+    }
+
+    // COST NOTE: collect() feeds MemoryStream, the driver-resident TEST
+    // source — the system under test is the bucket-wise upsert WRITE path
+    val ckpt = graft.TempDirs.scoped("incr-inplace-ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(accepted.schema)
+    val src = MemoryStream[org.apache.spark.sql.Row]
+    val q = graft.streaming.Sinks.partitionedUpsertParquet(
+      src.toDS().toDF(), augIndexPath, ckpt,
+      partitionCols = Seq("band", "bhp"),
+      keyCols = Seq("doc_id", "band"), versionCols = Seq("bh"),
+      sortCols = Seq("bh")).start()
+    timed("bucketwise_append") {
+      try {
+        src.addData(acceptedRows)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    timed("manifest_commit") {
+      augmentManifest(spark, augIndexPath, acceptedRows
+        .map(r => (r.getInt(r.fieldIndex("band")),
+          r.getInt(r.fieldIndex("bhp")))).toSet)
+    }
+
+    incrementalProbe(spark, wave2, augIndexPath, prune = true)
+  }
+
   val incrementalAppendSql: String = {
     val mins = (0 until H).map(i =>
       s"min((${As(i)} * h + ${Bs(i)}) % $FpMod) AS m$i").mkString(", ")
@@ -1067,6 +1272,8 @@ object Dedup {
     "dedup_incremental_batch" -> incrementalBatch,
     "dedup_incremental_batch_pruned" -> incrementalBatchPruned,
     "dedup_incremental_append" -> ((s: SparkSession, d: String) => incrementalAppend(s, d)),
+    "dedup_incremental_append_inplace" ->
+      ((s: SparkSession, d: String) => incrementalAppendInplace(s, d)),
     "stream_incremental_dedup" -> streamIncrementalQuery,
     "dedup_components" -> ((s: SparkSession, dir: String) => duplicateClusters(s, dir)))
 
@@ -1084,6 +1291,10 @@ object Dedup {
     "dedup_incremental_batch" -> incrementalBatchSql,
     "dedup_incremental_batch_pruned" -> incrementalBatchSql,
     "dedup_incremental_append" -> incrementalAppendSql,
+    // identical semantic flow to dedup_incremental_append (the append is
+    // bucket-wise in place instead of compact-and-swap), so the
+    // recompute-from-scratch oracle is shared verbatim
+    "dedup_incremental_append_inplace" -> incrementalAppendSql,
     "stream_incremental_dedup" -> streamIncrementalSql,
     "dedup_components" -> duplicateClustersSql)
 }

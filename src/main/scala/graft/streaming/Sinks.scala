@@ -85,6 +85,74 @@ object Sinks {
         ()
       }
 
+  /** Partition-wise streaming UPSERT: the 100 TB form of [[upsertParquet]].
+    * The snapshot table is hive-partitioned by `partitionCols`; each
+    * micro-batch (1) computes its touched partition set (distinct
+    * `partitionCols` of the batch — metadata-scale), (2) reads the current
+    * rows of ONLY those partitions (basePath-rooted point lookups, the
+    * same open-touched-dirs-only discipline as the pruned dedup probe),
+    * (3) merges latest-version-per-key, and (4) rewrites ONLY the touched
+    * partitions via dynamic partition overwrite. Per-trigger cost is
+    * O(batch + touched partitions) — independent of table size — versus
+    * [[upsertParquet]]'s O(snapshot) whole-table swap.
+    *
+    * Idempotent under foreachBatch's at-least-once contract for the same
+    * reason as [[upsertParquet]]: a replayed batch re-merges rows the
+    * touched partitions already hold, and latest-per-key dedup (ties
+    * collapse to one row) makes the rewrite a content no-op. Crash safety
+    * is per-partition: dynamic overwrite commits each partition dir
+    * atomically through the usual `_temporary` commit protocol, and a
+    * half-failed batch replays. Partition existence is decided through
+    * the Hadoop FileSystem API — the WRITE path owns its store and a
+    * miss only means "nothing to merge yet"; contrast the READ-side
+    * probe, which must consult a manifest so a miss fails loud.
+    *
+    * The merged partitions are repartitioned by `partitionCols` and
+    * sorted by `sortCols` before the write, so a bucketed layout (one
+    * file per partition dir, rows sorted) SURVIVES the append — the
+    * property a bucket-pruned reader relies on.
+    */
+  def partitionedUpsertParquet(df: DataFrame, path: String, checkpoint: String,
+      partitionCols: Seq[String], keyCols: Seq[String],
+      versionCols: Seq[String], sortCols: Seq[String] = Nil)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val touched = batch.select(partitionCols.map(col): _*).distinct()
+          .collect() // ≤ #partition values of one batch: metadata-scale
+        if (touched.nonEmpty) {
+          val root = new org.apache.hadoop.fs.Path(path)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val dirs = touched.toSeq.map(r => partitionCols.indices
+            .map(i => s"${partitionCols(i)}=${r.get(i)}").mkString("/"))
+          val existingDirs = dirs
+            .filter(d => fs.exists(new org.apache.hadoop.fs.Path(root, d)))
+            .map(d => s"$path/$d")
+          val current =
+            if (existingDirs.isEmpty) None
+            else Some(spark.read.option("basePath", path)
+              .parquet(existingDirs: _*))
+          val merged = current
+            .map(_.unionByName(batch.toDF())).getOrElse(batch.toDF())
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(versionCols.map(c => col(c).desc): _*)
+          merged
+            .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+            .drop("__rn")
+            .repartition(partitionCols.map(col): _*)
+            .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCols: _*)
+            .parquet(path)
+        }
+        ()
+      }
+
   /** Driver entry for the partitioned foreachBatch sink (O7's last
     * spec-only surface): stream `events` through [[partitionedParquet]]
     * (dynamic-partition-overwrite, idempotent under at-least-once replay),

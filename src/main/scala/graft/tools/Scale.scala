@@ -65,13 +65,18 @@ object Scale {
       show(session(), dir, names)
     case "append" :: dir :: Nil =>
       appendCost(session(), dir)
+    case "inplace" :: batchDir :: indexDir :: Nil =>
+      inplaceCost(session(), batchDir, indexDir)
     case "probe" :: batchDir :: indexDir :: rest if rest.size <= 1 =>
       probe(session(), batchDir, indexDir,
         rest.headOption.map(_.toInt).getOrElse(1))
     case "stream" :: dir :: Nil =>
       stream(dir)
     case other =>
-      sys.error(s"usage: gen <base> <out> <k> [corpusOnly] | run <dir> <label> <q...> | probe <batchDir> <indexDir> | stream <dir>; got $other")
+      sys.error("usage: gen <base> <out> <k> [corpusOnly|relOnly|eventsOnly]" +
+        " | run <dir> <label> <q...> | show <dir> <q...> | append <dir>" +
+        " | inplace <batchDir> <indexDir> | probe <batchDir> <indexDir> [batchDivisor]" +
+        s" | stream <dir>; got $other")
   }
 
   def gen(spark: SparkSession, base: String, out: String, k: Int,
@@ -211,6 +216,33 @@ object Scale {
     spark.stop()
   }
 
+  /** Phase costs of the IN-PLACE bucket-wise append
+    * ([[graft.pipeline.Dedup.appendInplaceCore]]) against an
+    * already-built index: probe wave 1 of `batchDir`'s documents, append
+    * the accepted band rows to `indexDir`'s persisted index (touched
+    * `band=/bhp=` dirs only), commit the manifest, re-probe wave 2
+    * pruned. Run against 1×/10×/100× indexes with a fixed batch, the
+    * `bucketwise_append` phase is the index-size-independence evidence
+    * the compact-and-swap variant cannot give (its swap is
+    * snapshot-proportional). MUTATES the index — scaled corpora are
+    * throwaway; regenerate with `gen` for a clean re-run.
+    */
+  def inplaceCost(spark: SparkSession, batchDir: String, indexDir: String): Unit = {
+    import graft.pipeline.Dedup
+    val indexPath = Dedup.ensureMinhashIndex(spark, indexDir)
+    val indexRows = spark.read.parquet(indexPath).count()
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val out = Dedup.appendInplaceCore(spark, batchDir, indexPath,
+      (name, sec) => phases.update(name, sec))
+    val reProbe = timed(out.write.format("noop").mode("overwrite").save())
+    phases.update("reprobe_wave2_pruned", reProbe)
+    val js = phases.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+      .mkString("{", ",", "}")
+    println(s"""[scale] {"inplace_batch":"$batchDir","index":"$indexDir","index_rows":$indexRows,"phases":$js}""")
+    println(s"[scale] note: index at $indexPath is now AUGMENTED (in-place append)")
+    spark.stop()
+  }
+
   /** Streaming FADS throughput at scale: unthrottled paced replay of the
     * given dir's `events` through the transformWithState operator (the
     * graft.Bench streaming leg, parameterized by corpus) — single-stream
@@ -283,7 +315,15 @@ object Scale {
         .option("checkpointLocation", ckpt)
         .trigger(PacedReplay.trigger(0))
       val q1 = wired().start()
-      while (q1.isActive && Option(q1.lastProgress).forall(_.batchId < 4))
+      // stop mid-stream at batch ≥ 4; bail on drain (a small staged replay
+      // can yield < 5 micro-batches — a drained FileStreamSource stops
+      // advancing batchId while the query stays active, which would spin
+      // this loop forever) or on a hard deadline
+      val deadline = System.nanoTime() + 10L * 60 * 1000 * 1000 * 1000
+      def drained(p: org.apache.spark.sql.streaming.StreamingQueryProgress) =
+        p.batchId > 0 && p.numInputRows == 0
+      while (q1.isActive && System.nanoTime() < deadline &&
+          Option(q1.lastProgress).forall(p => p.batchId < 4 && !drained(p)))
         Thread.sleep(50)
       q1.stop(); q1.awaitTermination()
       val t = timed {

@@ -120,6 +120,88 @@ class IncrementalDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pruned probe's only pruning input is the build-time manifest") {
+    val path = Dedup.ensureMinhashIndex(spark, dir)
+    val tiny = graft.Tables.load(spark, dir, "documents")
+      .where(s"doc_id % ${Dedup.IncrSplitMod} = 0").orderBy("doc_id").limit(4)
+
+    // the manifest is complete and exact: it names precisely the bucket
+    // dirs the build committed (so intersecting against it is equivalent
+    // to — and replaces — any filesystem existence probing)
+    val manifest = Dedup.readManifest(spark, path)
+    val onDisk = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("bhp=")).map { p =>
+        (p.getParent.getFileName.toString.stripPrefix("band=").toInt,
+          p.getFileName.toString.stripPrefix("bhp=").toInt)
+      }.toSet
+    assert(manifest == onDisk,
+      "manifest must name exactly the committed bucket dirs")
+
+    // hide the manifest: the probe must FAIL LOUD at plan-construction
+    // time, not fall back to filesystem probing or a silent empty result
+    // (the object-store failure mode of driver-side java.io.File checks)
+    val mf = Paths.get(path, Dedup.ManifestFile)
+    val hidden = Paths.get(path + ".manifest_hidden")
+    Files.move(mf, hidden)
+    try {
+      val ex = intercept[IllegalStateException] {
+        Dedup.incrementalProbe(spark, tiny, path, prune = true)
+      }
+      assert(ex.getMessage.contains(Dedup.ManifestFile),
+        s"error must name the missing manifest, got: ${ex.getMessage}")
+    } finally Files.move(hidden, mf)
+  }
+
+  test("in-place append rewrites only touched buckets and preserves the layout") {
+    import org.apache.spark.sql.functions.col
+    val path = Dedup.ensureMinhashIndex(spark, dir)
+    // layout-preserving scratch copy (what incrementalAppendInplace seeds)
+    val aug = Files.createTempDirectory("inplace-spec").toString +
+      s"/index_b${Dedup.IndexBuckets}"
+    spark.read.parquet(path)
+      .repartition(col("band"), col("bhp"))
+      .sortWithinPartitions("band", "bhp", "bh")
+      .write.mode("overwrite").partitionBy("band", "bhp").parquet(aug)
+    Dedup.writeManifest(spark, aug, Dedup.readManifest(spark, path))
+    val rowsBefore = spark.read.parquet(aug).count()
+    val before = fileState(aug)
+      .filter(_._1.startsWith("band=")) // data files only, not _SUCCESS etc.
+
+    val viaInplace = Dedup.appendInplaceCore(spark, dir, aug).collect().toSeq
+    val viaCompact = Dedup.incrementalAppend(spark, dir).collect().toSeq
+    assert(viaInplace == viaCompact,
+      "in-place and compact-and-swap appends must yield identical verdicts")
+
+    val after = fileState(aug).filter(_._1.startsWith("band="))
+    val changedDirs = ((after -- before) ++ (before -- after))
+      .map(_._1.split('/').init.mkString("/"))
+    val allDirs = after.map(_._1.split('/').init.mkString("/"))
+    assert(changedDirs.nonEmpty, "append must have written something")
+    assert(changedDirs.size < allDirs.size,
+      s"append must rewrite a strict subset of buckets " +
+        s"(${changedDirs.size}/${allDirs.size} rewritten)")
+    // layout survives: still exactly one parquet file per bucket dir
+    allDirs.foreach { d =>
+      val files = after.filter(_._1.startsWith(d + "/"))
+        .filter(_._1.endsWith(".parquet"))
+      assert(files.size == 1, s"bucket $d must hold one file, has ${files.size}")
+    }
+    // the appended rows are really there, and the manifest still names
+    // every bucket: the PRUNED probe over the augmented index agrees with
+    // an unpruned full scan of it
+    val wave2 = graft.Tables.load(spark, dir, "documents")
+      .where(s"doc_id % ${2 * Dedup.IncrSplitMod} = ${Dedup.IncrSplitMod}")
+    val pruned = Dedup.incrementalProbe(spark, wave2, aug, prune = true)
+      .collect().toSeq
+    val full = Dedup.incrementalProbe(spark, wave2, aug).collect().toSeq
+    assert(pruned == full,
+      "pruned probe must see all appended rows (manifest complete)")
+    assert(spark.read.parquet(aug).count() > rowsBefore,
+      "augmented index must contain the accepted wave-1 band rows")
+    deleteRecursively(Paths.get(aug).getParent)
+  }
+
   test("index layout: exactly one bh-sorted file per bucket dir") {
     // the two storage properties the flat probe rests on: a bucket is ONE
     // file (point lookup = one open), and rows inside it are bh-sorted
