@@ -93,9 +93,17 @@ object AggFamilies {
     * p = r/100) because float `ceil(0.95 * n)` misrounds when p·n lands on
     * an integer (0.95·20 = 19.0000…04 → 20, off by one). Verified against
     * DuckDB's quantile_disc on n = 1…21 edge cases.
+    *
+    * The rank itself is [[Ids.contiguousBy]]'s DISTRIBUTED per-group rank
+    * (quantile-bucketed keyed window), not a plain
+    * `Window.partitionBy(rf)`: with 3 return flags the plain window caps
+    * parallelism at 3 forever — measured 36× wall at 100× facts (round-9
+    * NOTES) — while the bucketed rank sorts 3 × shuffle-partitions
+    * independent spill-safe partitions, the same technique
+    * `x_equidepth_bins` uses for its global rank. Tie order inside a rank
+    * is arbitrary but value-at-rank is tie-safe (tied rows share `v`).
     */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ps = Seq("p25" -> 25, "p50" -> 50, "p75" -> 75, "p95" -> 95)
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("v"))
@@ -106,8 +114,8 @@ object AggFamilies {
           expr(s"($r * n + 99) div 100").as("rn"))
       }: _*)).as("t"))
       .select(col("rf"), col("t.pname"), col("t.rn"))
-    li.withColumn("rn",
-        row_number().over(Window.partitionBy("rf").orderBy("v")).cast("long"))
+    Ids.contiguousBy(li, Seq("rf"), Seq("v"), idCol = "rk")
+      .withColumn("rn", col("rk") + 1)
       .join(broadcast(targets), Seq("rf", "rn"))
       .groupBy("rf").pivot("pname", ps.map(_._1)).agg(first("v"))
       .orderBy("rf")

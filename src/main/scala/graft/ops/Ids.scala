@@ -83,4 +83,69 @@ object Ids {
           row_number().over(w) - 1).cast("long"))
       .drop("__b")
   }
+
+  /** Append `idCol` = 0-based rank of `orderCols` WITHIN each `partCols`
+    * group — the keyed twin of [[contiguous]], for the profile where the
+    * group count is tiny but each group is huge: a plain
+    * `Window.partitionBy(partCols)` caps parallelism at #groups forever
+    * (3 for `l_returnflag` — wall time data-linear regardless of cluster
+    * size), while this decomposition ranks on (group, bucket), so
+    * parallelism is #groups × `buckets` and each window partition
+    * sorts/spills ~1/buckets of its group.
+    *
+    * Same three steps as [[contiguous]] with the group key carried
+    * through: one GLOBAL boundary probe of the leading order key (group
+    * value distributions need not match — boundaries only balance, never
+    * decide correctness), per-(group, bucket) counts rolled into
+    * exclusive prefix offsets by a window over the ≤ #groups × buckets
+    * row counts frame (metadata-scale, no driver collect, key types
+    * stay arbitrary), broadcast back onto the rows, and ONE keyed window
+    * on (group, bucket). Ties break arbitrarily but rank once; pass a
+    * unique trailing order key for fully deterministic output —
+    * value-at-rank consumers (percentiles) are tie-safe without it.
+    */
+  def contiguousBy(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[String], idCol: String = "seq_id",
+      buckets: Int = 0): DataFrame = {
+    require(partCols.nonEmpty, "partCols must be non-empty (use contiguous)")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val spark = df.sparkSession
+    val b = math.max(1,
+      if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val lead = col(orderCols.head).cast("double")
+
+    // 1. boundary probe (global: balance only, never correctness)
+    val fractions = (1 until b).map(_.toDouble / b)
+    val bounds: Seq[Double] =
+      if (fractions.isEmpty) Nil
+      else {
+        val r = df.agg(percentile_approx(
+          lead, lit(fractions.toArray), lit(10000)).as("q")).head()
+        if (r.isNullAt(0)) Nil // empty input
+        else r.getSeq[Double](0).distinct.sorted
+      }
+    val bucket: Column =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit): _*), bd => bd <= lead))
+
+    // 2. per-(group, bucket) counts → exclusive prefix offsets within the
+    // group; the prefix window runs over the tiny counts frame only
+    val withB = df.withColumn("__b", bucket)
+    val offs = withB.groupBy(partCols.map(col) :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.partitionBy(partCols.map(col): _*)
+          .orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__n")
+
+    // 3. one data-scale shuffle: rank within (group, bucket) + offset
+    val w = Window.partitionBy(partCols.map(col) :+ col("__b"): _*)
+      .orderBy(orderCols.map(col): _*)
+    withB.join(broadcast(offs), partCols :+ "__b")
+      .withColumn(idCol,
+        (col("__off") + row_number().over(w) - 1).cast("long"))
+      .drop("__b", "__off")
+  }
 }

@@ -53,6 +53,30 @@ class AggFamiliesSpec extends AnyFunSuite {
     }
   }
 
+  test("contiguousBy: bucketed per-group rank equals the plain keyed window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // unique (orderkey, linenumber) tie-break makes both ranks deterministic
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("v"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    val got = Ids.contiguousBy(li, Seq("rf"), Seq("v", "ok", "ln"),
+      idCol = "rk")
+    val want = li.withColumn("rk0", row_number().over(
+      Window.partitionBy("rf").orderBy("v", "ok", "ln")).cast("long") - 1)
+    val mismatches = got.join(want, Seq("rf", "v", "ok", "ln"))
+      .where("rk <> rk0").count()
+    assert(mismatches == 0, "bucketed rank must equal the single-window rank")
+    // ranks are dense 0..n-1 within every group
+    val dense = got.groupBy("rf").agg(min("rk").as("lo"), max("rk").as("hi"),
+      count(lit(1)).as("n"), countDistinct("rk").as("d")).collect()
+    dense.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L)
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("n") - 1)
+      assert(r.getAs[Long]("d") == r.getAs[Long]("n"))
+    }
+  }
+
   test("moment stats: integer-moment variance tracks var_samp on cents") {
     import org.apache.spark.sql.functions._
     val native = graft.Tables.load(spark, dir, "lineitem")
