@@ -64,9 +64,7 @@ object Ids {
       }
     // order-preserving bucket id: #boundaries ≤ key (ties on a boundary
     // all land in the SAME bucket, so bucket order respects key order)
-    val bucket: Column =
-      if (bounds.isEmpty) lit(0)
-      else size(filter(array(bounds.map(lit): _*), bd => bd <= lead))
+    val bucket: Column = bucketOf(lead, bounds)
 
     // 2. per-bucket counts → exclusive prefix offsets (b scalars driver-side)
     val counts = df.groupBy(bucket.as("__b")).count()
@@ -83,6 +81,21 @@ object Ids {
           row_number().over(w) - 1).cast("long"))
       .drop("__b")
   }
+
+  /** Bucket id = #boundaries ≤ key, as a nested CASE chain rather than
+    * `size(filter(array(...), bd => bd <= key))`: higher-order array
+    * functions carry a lambda whose body is evaluated INTERPRETED per
+    * element and eject the whole stage from codegen — ~b interpreted
+    * comparisons per row on the hot path that feeds every downstream
+    * shuffle. The CASE chain compiles into the generated code as plain
+    * nested branches (first boundary strictly greater than the key wins,
+    * so ties on a boundary still share a bucket).
+    */
+  private def bucketOf(lead: Column, bounds: Seq[Double]): Column =
+    if (bounds.isEmpty) lit(0)
+    else bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
+      case ((bd, i), acc) => when(lead < bd, lit(i)).otherwise(acc)
+    }
 
   /** Append `idCol` = 0-based rank of `orderCols` WITHIN each `partCols`
     * group — the keyed twin of [[contiguous]], for the profile where the
@@ -125,9 +138,7 @@ object Ids {
         if (r.isNullAt(0)) Nil // empty input
         else r.getSeq[Double](0).distinct.sorted
       }
-    val bucket: Column =
-      if (bounds.isEmpty) lit(0)
-      else size(filter(array(bounds.map(lit): _*), bd => bd <= lead))
+    val bucket: Column = bucketOf(lead, bounds)
 
     // 2. per-(group, bucket) counts → exclusive prefix offsets within the
     // group; the prefix window runs over the tiny counts frame only
