@@ -119,39 +119,54 @@ object Sinks {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions._
-        val spark = batch.sparkSession
-        val touched = batch.select(partitionCols.map(col): _*).distinct()
-          .collect() // ≤ #partition values of one batch: metadata-scale
-        if (touched.nonEmpty) {
-          val root = new org.apache.hadoop.fs.Path(path)
-          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val dirs = touched.toSeq.map(r => partitionCols.indices
-            .map(i => s"${partitionCols(i)}=${r.get(i)}").mkString("/"))
-          val existingDirs = dirs
-            .filter(d => fs.exists(new org.apache.hadoop.fs.Path(root, d)))
-            .map(d => s"$path/$d")
-          val current =
-            if (existingDirs.isEmpty) None
-            else Some(spark.read.option("basePath", path)
-              .parquet(existingDirs: _*))
-          val merged = current
-            .map(_.unionByName(batch.toDF())).getOrElse(batch.toDF())
-          val w = Window.partitionBy(keyCols.map(col): _*)
-            .orderBy(versionCols.map(c => col(c).desc): _*)
-          merged
-            .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-            .drop("__rn")
-            .repartition(partitionCols.map(col): _*)
-            .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partitionCols: _*)
-            .parquet(path)
-        }
-        ()
+        partitionedUpsertBatch(batch, path, partitionCols, keyCols,
+          versionCols, sortCols)
       }
+
+  /** One micro-batch (or one plain batch) of the partition-wise upsert —
+    * the [[partitionedUpsertParquet]] merge body, factored out so a
+    * foreachBatch that needs MORE than the write (e.g. the streaming
+    * ingest loop's probe → append → manifest-commit cycle,
+    * [[graft.pipeline.Dedup.streamIngestQuery]]) can compose it with its
+    * own per-batch work instead of nesting a second streaming query.
+    * Idempotence and crash-safety contracts are documented on the sink.
+    */
+  def partitionedUpsertBatch(batch: DataFrame, path: String,
+      partitionCols: Seq[String], keyCols: Seq[String],
+      versionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val touched = batch.select(partitionCols.map(col): _*).distinct()
+      .collect() // ≤ #partition values of one batch: metadata-scale
+    if (touched.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dirs = touched.toSeq.map(r => partitionCols.indices
+        .map(i => s"${partitionCols(i)}=${r.get(i)}").mkString("/"))
+      val existingDirs = dirs
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(root, d)))
+        .map(d => s"$path/$d")
+      val current =
+        if (existingDirs.isEmpty) None
+        else Some(spark.read.option("basePath", path)
+          .parquet(existingDirs: _*))
+      val merged = current
+        .map(_.unionByName(batch.toDF())).getOrElse(batch.toDF())
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(versionCols.map(c => col(c).desc): _*)
+      merged
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .drop("__rn")
+        .repartition(partitionCols.map(col): _*)
+        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    }
+    ()
+  }
 
   /** Driver entry for the partitioned foreachBatch sink (O7's last
     * spec-only surface): stream `events` through [[partitionedParquet]]
