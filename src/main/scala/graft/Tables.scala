@@ -15,12 +15,42 @@ object Tables {
     // (graft_dot, graft_polyhash) available to selectExpr/spark.sql
     graft.functions.VectorExpressions.register(spark)
     if (name == "events")
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-      // unless told to surface it as a raw nanos-since-epoch LONG. Set at
-      // read time so callers need no special session config; `tsNanos`
-      // converts where timestamp semantics are needed.
+      // events.ts may be parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects unless told to surface it as a raw nanos-since-epoch LONG.
+      // Set at read time so callers need no special session config.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The repo-wide contract is `events.ts: LONG` epoch-nanos, but the
+    * testdata generator's parquet physical type has changed across rounds
+    * (TIMESTAMP(NANOS) through r9; TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * — i.e. Spark TIMESTAMP_NTZ — from r10). Normalize whatever the file
+    * carries to canonical epoch-nanos at the single loader choke point so
+    * no downstream arithmetic (or the typed `streaming.Event` dataset)
+    * depends on the writer's choice of unit. Conversions are exact integral
+    * arithmetic; the NTZ branch uses `timestampdiff`, which is
+    * timezone-independent for NTZ operands (wall-clock micros since the
+    * epoch wall-clock — the generator writes UTC wall-clock).
+    */
+  private def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df // legacy nanos file via the nanosAsLong shim
+      case TimestampNTZType =>
+        df.withColumn(
+          "ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
+      case TimestampType =>
+        // instant-typed: unix_micros is timezone-independent by definition
+        df.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected LONG nanos, " +
+            "TIMESTAMP, or TIMESTAMP_NTZ")
+    }
   }
 
   /** events.ts (nanos-since-epoch LONG, see [[load]]) → epoch milliseconds.

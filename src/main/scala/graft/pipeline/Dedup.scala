@@ -1122,8 +1122,8 @@ object Dedup {
 
   /** The ingest loop in its DEPLOYMENT shape: same probe → accept → append
     * → re-probe flow as [[incrementalAppend]], but the append is
-    * BUCKET-WISE AND IN PLACE — accepted wave-1 band rows stream through
-    * [[graft.streaming.Sinks.partitionedUpsertParquet]], which merges and
+    * BUCKET-WISE AND IN PLACE — accepted wave-1 band rows go through
+    * [[graft.streaming.Sinks.partitionedUpsertBatch]], which merges and
     * rewrites ONLY the touched `band=/bhp=` partition dirs, preserving the
     * bucketed layout (one bh-sorted file per bucket) that the PRUNED probe
     * relies on. Both probes here run `prune = true`, so this entry proves
@@ -1172,7 +1172,6 @@ object Dedup {
   private[graft] def appendInplaceCore(spark: SparkSession, dir: String,
       augIndexPath: String,
       phase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def timed[A](name: String)(body: => A): A = {
       val t0 = System.nanoTime(); val a = body
       phase(name, (System.nanoTime() - t0) / 1e9); a
@@ -1189,35 +1188,32 @@ object Dedup {
       .selectExpr(Seq("doc_id") ++ (0 until H).map(i => s"m$i AS i$i")
         :+ s"posexplode($bandArrayExpr) AS (band, bh)": _*)
       .withColumn("bhp", expr(s"CAST(pmod(bh, $p) AS INT)"))
-    val acceptedRows = timed("probe_wave1_sign_accepted") {
-      accepted.collect().toIndexedSeq
+      .persist() // read 3× below (touched set, merge, write) — one compute
+    val touchedBuckets = timed("probe_wave1_sign_accepted") {
+      accepted.select("band", "bhp").distinct()
+        .collect() // ≤ B × p bucket ids: metadata-scale
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
     }
 
-    // COST NOTE: collect() feeds MemoryStream, the driver-resident TEST
-    // source — the system under test is the bucket-wise upsert WRITE path
-    val ckpt = graft.TempDirs.scoped("incr-inplace-ckpt")
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(accepted.schema)
-    val src = MemoryStream[org.apache.spark.sql.Row]
-    val q = graft.streaming.Sinks.partitionedUpsertParquet(
-      src.toDS().toDF(), augIndexPath, ckpt,
-      partitionCols = Seq("band", "bhp"),
-      keyCols = Seq("doc_id", "band"), versionCols = Seq("bh"),
-      sortCols = Seq("bh")).start()
+    // the deployment-shaped append: ONE batch through the partition-wise
+    // upsert merge body — no driver-side row collect, no nested streaming
+    // query (a streaming ingest composes the same body per micro-batch via
+    // [[graft.streaming.Sinks.partitionedUpsertParquet]], unit-tested in
+    // UpsertSinkSpec)
     timed("bucketwise_append") {
-      try {
-        src.addData(acceptedRows)
-        q.processAllAvailable()
-      } finally q.stop()
+      graft.streaming.Sinks.partitionedUpsertBatch(
+        accepted.toDF(), augIndexPath,
+        partitionCols = Seq("band", "bhp"),
+        keyCols = Seq("doc_id", "band"), versionCols = Seq("bh"),
+        sortCols = Seq("bh"))
     }
     timed("manifest_commit") {
-      augmentManifest(spark, augIndexPath, acceptedRows
-        .map(r => (r.getInt(r.fieldIndex("band")),
-          r.getInt(r.fieldIndex("bhp")))).toSet)
+      augmentManifest(spark, augIndexPath, touchedBuckets)
     }
 
-    incrementalProbe(spark, wave2, augIndexPath, prune = true)
+    val out = incrementalProbe(spark, wave2, augIndexPath, prune = true)
+    accepted.unpersist() // re-probe reads the written files, not the plan
+    out
   }
 
   val incrementalAppendSql: String = {

@@ -124,11 +124,10 @@ object Sinks {
       }
 
   /** One micro-batch (or one plain batch) of the partition-wise upsert —
-    * the [[partitionedUpsertParquet]] merge body, factored out so a
-    * foreachBatch that needs MORE than the write (e.g. the streaming
-    * ingest loop's probe → append → manifest-commit cycle,
-    * [[graft.pipeline.Dedup.streamIngestQuery]]) can compose it with its
-    * own per-batch work instead of nesting a second streaming query.
+    * the [[partitionedUpsertParquet]] merge body, factored out so a batch
+    * caller (the bucketed-index ingest loop's probe → append →
+    * manifest-commit cycle, [[graft.pipeline.Dedup.appendInplaceCore]])
+    * can run ONE merge directly instead of nesting a streaming query.
     * Idempotence and crash-safety contracts are documented on the sink.
     */
   def partitionedUpsertBatch(batch: DataFrame, path: String,

@@ -14,8 +14,15 @@ import graft.{SparkEntry, Tables}
   *   `~c` suffix, so replicas are NOT near-duplicates of their originals —
   *   candidate growth then measures the ALGORITHM's scaling, not an
   *   artificial 10-clone quadratic blowup. `n_chars` is recomputed.
-  * - embeddings: `vec_id += c·V`; each copy's vectors nudged by `c/1000`
-  *   per component (distinct but bucket-compatible neighborhoods).
+  * - embeddings: `vec_id += c·V`; copies c>0 get per-(vec, dim, copy)
+  *   pseudo-random noise (hash-derived, deterministic) with a COPY-GRADED
+  *   amplitude — noise-vector norm σ spans ≈[0.15, 1.4] across copies,
+  *   i.e. cosine-to-original from ~0.99 (genuine near-neighbor) down to
+  *   ~0.6 (distractor) — then are re-normalized to the unit sphere. A
+  *   query's true top-k is then a non-trivial mix of tight perturbations
+  *   and other originals spread across IVF cells, so the ×100 recall
+  *   numbers measure real ANN work (round-9/10 verdict: the previous
+  *   constant `c/1000` shift left the corpus replica-dense and easy).
   * - orders/lineitem: `o_orderkey/l_orderkey += c·O` (fact-side weak
   *   scaling; dimensions stay 1× — the broadcast sides are meant to stay
   *   small while facts grow, which is exactly the 100 TB shape).
@@ -123,10 +130,24 @@ object Scale {
 
     val v = Tables.load(spark, base, "embeddings").agg(org.apache.spark.sql.functions
       .max("vec_id")).head().getLong(0) + 1
+    // noise: uniform [-amp, amp] per component from a murmur3 hash of
+    // (vec_id, c, dim) — deterministic, no RNG state. amp grades per copy
+    // over [0.03, 0.32] (component scale ~1/√64 = 0.125), giving noise
+    // norms σ = amp·√(64/3) ∈ [~0.14, ~1.5]: cos = 1/√(1+σ²) runs ~0.99
+    // down to ~0.55. Re-normalized so cosine math stays on the sphere.
     write(copies(Tables.load(spark, base, "embeddings"))
       .selectExpr(
         s"vec_id + c * ${v}L AS vec_id",
-        "transform(embedding, x -> CAST(x + c * 0.001 AS FLOAT)) AS embedding",
+        """CASE WHEN c = 0 THEN transform(embedding, x -> CAST(x AS DOUBLE))
+          |ELSE transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+          |  + (0.03 + 0.29 * (pmod(hash('amp', c), 97) / 96.0))
+          |    * ((pmod(hash(vec_id, c, i), 20001) - 10000) / 10000.0))
+          |END AS p""".stripMargin,
+        "label")
+      .selectExpr(
+        "vec_id",
+        "transform(p, x -> CAST(x / sqrt(aggregate(p, CAST(0 AS DOUBLE), " +
+          "(a, y) -> a + y * y)) AS FLOAT)) AS embedding",
         "label"),
       "embeddings")
     }

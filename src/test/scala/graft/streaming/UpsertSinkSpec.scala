@@ -59,6 +59,44 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(parent.listFiles().map(_.getName).count(_.startsWith("snap")) == 1)
   }
 
+  test("streaming partitioned upsert rewrites only touched partition dirs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = Files.createTempDirectory("pups-out").toString + "/idx"
+    val ckpt = Files.createTempDirectory("pups-ckpt").toString
+
+    Seq((1L, 0, 10L), (2L, 0, 20L), (3L, 1, 30L))
+      .toDF("doc_id", "band", "bh")
+      .write.partitionBy("band").parquet(outDir)
+    def bandFiles(b: Int): Set[(String, Long, Long)] = {
+      val d = new java.io.File(s"$outDir/band=$b")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    }
+    val band1Before = bandFiles(1)
+    assert(band1Before.nonEmpty)
+
+    // batch touches band 0 (newer version of doc 1) and band 2 (new);
+    // band 1 must come through the merge byte-identical — the
+    // only-touched-dirs rewrite a bucketed index relies on
+    val stream = MemoryStream[(Long, Int, Long)]
+    val q = Sinks.partitionedUpsertParquet(
+      stream.toDS().toDF("doc_id", "band", "bh"), outDir, ckpt,
+      partitionCols = Seq("band"), keyCols = Seq("doc_id", "band"),
+      versionCols = Seq("bh"), sortCols = Seq("bh")).start()
+    try {
+      stream.addData((1L, 0, 99L), (4L, 2, 40L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "band", "bh").as[(Long, Int, Long)].collect().sorted
+    assert(got.toSeq ==
+      Seq((1L, 0, 99L), (2L, 0, 20L), (3L, 1, 30L), (4L, 2, 40L)))
+    assert(bandFiles(1) == band1Before)
+  }
+
   test("recoverSwap repairs every crash shape of the rename swap") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
