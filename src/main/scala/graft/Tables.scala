@@ -64,6 +64,20 @@ object Tables {
   def tsNanosToMicros(colName: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(s"$colName div 1000L")
 
+  /** SQL-fragment forms of the nanos conversions for `selectExpr` call
+    * sites (the Column forms above serve select/withColumn). Every unit
+    * literal the repo applies to events.ts lives HERE (round-10 verdict
+    * item 5: scattered `ts div <unit>` literals re-encode the nanos
+    * assumption one file at a time). Exact integral `div` — never `/`
+    * (DOUBLE round-trip, see [[tsNanosToMillis]]) — and parenthesized so
+    * callers can embed the fragment in larger expressions.
+    */
+  def tsNanosToMicrosSql(c: String): String = s"($c div 1000L)"
+  def tsNanosToMillisSql(c: String): String = s"($c div 1000000L)"
+  def tsNanosToSecondsSql(c: String): String = s"($c div 1000000000L)"
+  def tsNanosToHoursSql(c: String): String = s"($c div 3600000000000L)"
+  def tsNanosToDaysSql(c: String): String = s"($c div 86400000000000L)"
+
   /** Register every table as a temp view so `spark.sql` mirrors the DuckDB
     * oracle's naming. Memoized per (session, dir): registering reads 10
     * parquet footers (~0.5-0.9 s), which dominated every sql_shared_* row

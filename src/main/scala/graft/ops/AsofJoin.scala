@@ -70,7 +70,9 @@ object AsofJoin {
   def asofQuery(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")
       // o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the cast
-      // is value-preserving and matches DuckDB's naive epoch_us
+      // is value-preserving and matches DuckDB's naive epoch_us. The
+      // 86400000000L here is MICROS-per-day over the date-derived
+      // unix_micros — not the events.ts nanos domain (Tables.tsNanosTo*)
       .selectExpr("o_custkey % 150 AS k",
         "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000L AS t",
         "o_orderkey", "o_totalprice")
@@ -79,7 +81,7 @@ object AsofJoin {
       .where("rk = 1").drop("rk")
     val events = Tables.load(spark, dir, "events")
       .selectExpr("user_id AS k",
-        "9131L + (ts div 1000000000L) % 2400 AS t",
+        s"9131L + ${Tables.tsNanosToSecondsSql("ts")} % 2400 AS t",
         "event_id")
     asof(events, orders, "k", "t", Seq("o_orderkey", "o_totalprice"))
       .selectExpr("event_id", "k", "t AS event_day", "o_orderkey", "o_totalprice")

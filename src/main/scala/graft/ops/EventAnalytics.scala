@@ -19,7 +19,7 @@ import graft.Tables
   */
 object EventAnalytics {
 
-  private val TsUs = "ts div 1000L"
+  private val TsUs = graft.Tables.tsNanosToMicrosSql("ts")
 
   // --------------------------------------------------------------- funnel
 

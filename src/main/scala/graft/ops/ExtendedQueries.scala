@@ -81,6 +81,8 @@ object ExtendedQueries {
   def windowFrames(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")
       .selectExpr("o_custkey", "o_orderkey",
+        // MICROS-per-day over the date-derived unix_micros — not the
+        // events.ts nanos domain (Tables.tsNanosTo*)
         "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000L AS day",
         "o_totalprice")
       .selectExpr("o_custkey", "o_orderkey", "day", "o_totalprice",

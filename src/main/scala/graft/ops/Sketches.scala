@@ -98,7 +98,8 @@ object Sketches {
     */
   def hllRollup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
-      .selectExpr("event_type", "user_id", "ts div 86400000000000L AS day")
+      .selectExpr("event_type", "user_id",
+        s"${Tables.tsNanosToDaysSql("ts")} AS day")
     val daily = ev.groupBy("event_type", "day")
       .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
     val rolled = daily.groupBy("event_type")

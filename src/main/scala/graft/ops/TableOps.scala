@@ -126,10 +126,8 @@ object TableOps {
     * hour of span) and broadcasts.
     */
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
-    // integral div — `Column./` would round-trip epoch nanos (~1.7e18 > 2^53)
-    // through DOUBLE (see Tables.tsNanosToMillis)
     val hours = Tables.load(spark, dir, "events")
-      .select(expr("ts div 3600000000000L").as("hr"))
+      .select(expr(Tables.tsNanosToHoursSql("ts")).as("hr"))
     val spine = hours.agg(min("hr").as("lo"), max("hr").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
     val counts = hours.groupBy("hr").agg(count(lit(1)).as("n_raw"))

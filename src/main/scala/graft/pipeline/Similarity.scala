@@ -560,24 +560,39 @@ object Similarity {
 
   // ------------------------------------------------------------- IVF-PQ
 
-  /** ADC candidates kept per query for the exact re-rank — 10·[[TopK]],
-    * the usual production refine factor: PQ is deliberately lossy (its
-    * solo recall here is ~36%), so the ADC pre-cut must keep enough
-    * candidates that the exact re-rank can recover the true neighbors the
-    * codes mis-rank. Measured on this corpus: recall@5 44% at 3·TopK vs
-    * 84% at 10·TopK — the re-rank budget, not the codebook, is the
-    * quality knob, and 50·Q full-vector reads stay negligible.
+  /** Floor of the ADC candidates kept per query for the exact re-rank —
+    * 10·[[TopK]], the usual production refine factor: PQ is deliberately
+    * lossy (its solo recall here is ~36%), so the ADC pre-cut must keep
+    * enough candidates that the exact re-rank can recover the true
+    * neighbors the codes mis-rank. Measured on this corpus: recall@5 44%
+    * at 3·TopK vs 84% at 10·TopK — the re-rank budget, not the codebook,
+    * is the quality knob, and 50·Q full-vector reads stay negligible.
+    *
+    * The EFFECTIVE budget is `greatest(RerankKMin, corpus/1000)` — computed
+    * from the corpus itself in BOTH constructions (Spark `count()`, a
+    * scalar subquery in the oracle SQL), so the two stay replay-identical
+    * at every scale without a per-corpus constant. A fixed 50 starved the
+    * re-rank on the ×100 perturbed corpus (round-11 measurement: recall@5
+    * fell to 64% at 200k vectors because probed-list populations grow
+    * linearly while the ADC cut stayed flat); proportional K restores the
+    * FAISS-style contract that re-rank reads stay a constant FRACTION of
+    * the probed candidates, and K·Q full-vector reads remain negligible
+    * (200·5 rows at ×100).
     */
-  val RerankK = 50
+  val RerankKMin = 50
+
+  /** Effective re-rank budget for a corpus of `corpusRows` vectors. */
+  def rerankK(corpusRows: Long): Long =
+    math.max(RerankKMin.toLong, corpusRows / 1000L)
 
   /** IVF-PQ with exact re-rank — the billion-scale production composition
     * (what FAISS's IndexIVFPQ + refine does): the coarse quantizer prunes
     * the corpus to [[NProbe]]/[[NCentroids]] inverted lists, PQ codes
     * approximate distances WITHIN the probed lists from the compact
-    * code+LUT representation (no full-vector reads), the top-[[RerankK]]
+    * code+LUT representation (no full-vector reads), the top-[[rerankK]]
     * ADC candidates are then re-scored with exact cosine and the final
     * top-[[TopK]] re-ranked. At 100 TB the full vectors are touched only
-    * for RerankK·Q rows (a key join against candidate ids) — everything
+    * for rerankK·Q rows (a key join against candidate ids) — everything
     * before that moves 4-byte-per-subspace codes through one list-id
     * shuffle. Both quantizers reuse the entries' deterministic seeded
     * codebooks, so the oracle replays the identical index.
@@ -631,8 +646,8 @@ object Similarity {
            |  / (q_nrm * sqrt(CAST(rq AS DOUBLE) / $QScale.0)), 6) AS adc_sim""".stripMargin)
       .withColumn("ark", expr(
         "row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id ASC)"))
-      .where(s"ark <= $RerankK")
-    // exact re-rank of the RerankK survivors (the only full-vector reads)
+      .where(s"ark <= ${rerankK(emb.count())}")
+    // exact re-rank of the rerankK survivors (the only full-vector reads)
     val qv = emb.where(s"vec_id < $QuerySetSize")
       .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm")
     adc.select("q_id", "vec_id")
@@ -709,7 +724,7 @@ object Similarity {
        |      JOIN codes c ON c.vec_id = n.vec_id
        |      JOIN lut l ON l.q_id = n.q_id AND l.m = c.m AND l.c_id = c.c_id
        |      GROUP BY n.q_id, n.vec_id) s)
-       |  WHERE ark <= $RerankK),
+       |  WHERE ark <= greatest($RerankKMin, (SELECT count(*) // 1000 FROM emb))),
        |reranked AS (
        |  SELECT a.q_id, a.vec_id,
        |         round(${cosineSql("q.emb", "e.emb", "q.nrm", "e.nrm")}, 6) AS sim
@@ -735,7 +750,7 @@ object Similarity {
     */
   val RecallGatePct: Seq[(String, Int)] = Seq(
     "lsh" -> 8, "ivf" -> 80, "ivf_trained" -> 80, "pq" -> 24,
-    "ivfpq" -> 72) // measured 84% (RerankK=50); margin matches ivf's ratio
+    "ivfpq" -> 72) // measured 84% at sf0.01 (rerankK floor); margin matches ivf
 
   /** Retrieval-quality gate: recall of every approximate ANN entry against
     * [[bruteForceTopK]] truth, as EXACT integers (hits, truth) plus a
@@ -841,6 +856,269 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
+  // ------------------------------------------- incremental IVF index
+
+  /** Wave split for the incremental-ANN entries (same shape as
+    * [[graft.pipeline.Dedup.IncrSplitMod]] for the dedup index family):
+    * historical corpus = `vec_id % IvfSplitMod != 0`; wave 1 =
+    * `vec_id % (2·IvfSplitMod) == 0`; wave 2 =
+    * `vec_id % (2·IvfSplitMod) == IvfSplitMod`.
+    */
+  val IvfSplitMod = 4
+
+  /** Name of the build-time inverted-list manifest inside an IVF index
+    * dir: one non-empty `c_id` per line. Same metastore-stand-in contract
+    * as [[graft.pipeline.Dedup.ManifestFile]] (single-level key here, so
+    * the two manifests stay separate implementations): the probe's ONLY
+    * pruning input, never the filesystem.
+    */
+  val ListsManifestFile = "_lists"
+
+  private def hadoopFs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def listsManifestWrite(spark: SparkSession, indexPath: String,
+      lists: Set[Long]): Unit = {
+    val (fs, _) = hadoopFs(spark, indexPath)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(indexPath, ListsManifestFile), true)
+    try out.write(lists.toSeq.sorted.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Committed inverted-list ids. FAILS LOUD when absent — a pruned probe
+    * must never silently degrade to an empty result.
+    */
+  def listsManifestRead(spark: SparkSession, indexPath: String): Set[Long] = {
+    val (fs, _) = hadoopFs(spark, indexPath)
+    val mf = new org.apache.hadoop.fs.Path(indexPath, ListsManifestFile)
+    if (!fs.exists(mf))
+      throw new IllegalStateException(
+        s"no $ListsManifestFile manifest at $indexPath — index was not " +
+          "built by ensureIvfIndex; rebuild the index")
+    val in = fs.open(mf)
+    val text = try {
+      val bs = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 65536, false)
+      bs.toString("UTF-8")
+    } finally in.close()
+    text.split('\n').iterator.filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  /** The shared coarse codebook: the first [[NCentroids]] corpus vectors
+    * (same seeded rule as [[ivfTopK]]/[[ivfPqTopK]]) — a frozen training
+    * artifact every party (build, probe, append, oracle) derives
+    * identically.
+    */
+  private def coarseCent(emb: DataFrame): DataFrame =
+    emb.where(s"vec_id < $NCentroids")
+      .selectExpr("vec_id AS c_id", "emb AS c_emb", "nrm AS c_nrm")
+
+  /** `src` rows tagged with their `keep` nearest coarse centroids
+    * (rank-1 = list assignment; rank ≤ [[NProbe]] = probe set). Rounded
+    * cosine with c_id tiebreak, so both engines agree exactly.
+    */
+  private def nearestLists(src: DataFrame, cent: DataFrame, idAs: String,
+      keep: Int): DataFrame =
+    src.crossJoin(broadcast(cent))
+      .selectExpr(s"vec_id AS $idAs", "emb", "nrm", "c_id",
+        s"round(${cosineExpr("emb", "c_emb", "nrm", "c_nrm")}, 6) AS csim")
+      .withColumn("crk", expr(
+        s"row_number() OVER (PARTITION BY $idAs ORDER BY csim DESC, c_id)"))
+      .where(s"crk <= $keep")
+
+  /** Persisted-IVF-index location, keyed by corpus dir and codebook size
+    * (same never-share contract as [[graft.pipeline.Dedup.indexPath]]).
+    */
+  def ivfIndexPath(dir: String): String =
+    "/tmp/graft_ivf_index/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_c$NCentroids"
+
+  /** Build-once: the historical corpus's inverted lists — (vec_id, emb,
+    * nrm) assigned to the nearest coarse centroid — written partitioned
+    * by `c_id` (one dir per inverted list, rows sorted by vec_id), plus
+    * the [[ListsManifestFile]] manifest. This is the disk-resident form
+    * of what [[ivfTopK]] recomputes per query: at 100 TB the assignment
+    * pass runs once, and every probe after it reads only its
+    * [[NProbe]] touched list dirs — batch-proportional IO, index-size-
+    * independent, the same storage contract as the MinHash band index
+    * ([[graft.pipeline.Dedup.ensureMinhashIndex]]).
+    */
+  def ensureIvfIndex(spark: SparkSession, dir: String): String = {
+    val path = ivfIndexPath(dir)
+    val (fs, root) = hadoopFs(spark, path)
+    val committed =
+      fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, ListsManifestFile))
+    if (!committed) {
+      val emb = embDouble(spark, dir)
+      nearestLists(emb.where(s"vec_id % $IvfSplitMod <> 0"), coarseCent(emb),
+          "vec_id", 1)
+        .select("vec_id", "emb", "nrm", "c_id")
+        .repartition(col("c_id"))
+        .sortWithinPartitions("c_id", "vec_id")
+        .write.mode("overwrite").partitionBy("c_id").parquet(path)
+      val lists = fs.listStatus(root).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
+        .map(_.getPath.getName.stripPrefix("c_id=").toLong).toSet
+      listsManifestWrite(spark, path, lists)
+    }
+    path
+  }
+
+  /** Probe an already-built IVF index: nearest [[NProbe]] centroids per
+    * query, manifest-intersected, then exact cosine over ONLY the touched
+    * `c_id=` dirs (basePath-rooted point lookups — the reader never lists
+    * the index root). Output shape matches the other topk entries.
+    */
+  def incrementalIvfProbe(spark: SparkSession, queries: DataFrame,
+      cent: DataFrame, indexPath: String): DataFrame = {
+    val probes = nearestLists(queries, cent, "q_id", NProbe)
+      .selectExpr("q_id", "emb AS q_emb", "nrm AS q_nrm", "c_id")
+    val manifest = listsManifestRead(spark, indexPath) // fails loud if absent
+    val touchedDirs = probes.select("c_id").distinct()
+      .collect() // ≤ Q × NProbe list ids: metadata-scale
+      .map(_.getLong(0))
+      .filter(manifest.contains) // absent from manifest = empty list
+      .sorted.map(c => s"$indexPath/c_id=$c")
+    val idx =
+      if (touchedDirs.isEmpty) spark.read.parquet(indexPath).limit(0)
+      else spark.read.option("basePath", indexPath).parquet(touchedDirs: _*)
+    idx.join(broadcast(probes), "c_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  /** Wave-`rem` query vectors: the first [[QuerySetSize]] wave members. */
+  private def waveQueries(emb: DataFrame, rem: Int): DataFrame = {
+    val w = 2 * IvfSplitMod
+    emb.where(
+      s"vec_id % $w = $rem AND vec_id < ${w.toLong * QuerySetSize + rem}")
+  }
+
+  /** Wave-1 queries + the shared codebook for `dir` — the probe inputs
+    * the scale harness holds fixed while swapping indexes underneath
+    * (`graft.tools.Scale ivfprobe`).
+    */
+  def ivfProbeInputs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val emb = embDouble(spark, dir)
+    (waveQueries(emb, 0), coarseCent(emb))
+  }
+
+  /** Incremental ANN, probe leg: wave-1 queries against the PERSISTED
+    * historical index — the cross-run "search what is already ingested"
+    * operation, reading only probed list dirs.
+    */
+  def incrementalIvf(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfIndex(spark, dir)
+    val emb = embDouble(spark, dir)
+    incrementalIvfProbe(spark, waveQueries(emb, 0), coarseCent(emb), path)
+  }
+
+  /** Incremental ANN, ingest leg: wave-1 vectors are assigned to their
+    * lists and appended IN PLACE — [[graft.streaming.Sinks
+    * .partitionedUpsertBatch]] merges and rewrites ONLY the touched
+    * `c_id=` dirs, the manifest commit makes new lists probe-visible, and
+    * wave-2 queries then probe the augmented index (their top-k can now
+    * contain wave-1 vectors). Append cost is O(batch + touched lists),
+    * independent of index size — the same deployment-shaped cycle as
+    * [[graft.pipeline.Dedup.incrementalAppendInplace]]. The working copy
+    * is a hermeticity tax only (the shared index must not be mutated by a
+    * query entry); a deployment appends to the live index.
+    */
+  def incrementalIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfIndex(spark, dir)
+    val aug = graft.TempDirs.scoped("ivf-incr") + s"/index_c$NCentroids"
+    spark.read.parquet(path)
+      .repartition(col("c_id"))
+      .sortWithinPartitions("c_id", "vec_id")
+      .write.mode("overwrite").partitionBy("c_id").parquet(aug)
+    listsManifestWrite(spark, aug, listsManifestRead(spark, path))
+
+    val emb = embDouble(spark, dir)
+    val w = 2 * IvfSplitMod
+    val wave1 = nearestLists(emb.where(s"vec_id % $w = 0"), coarseCent(emb),
+        "vec_id", 1)
+      .select("vec_id", "emb", "nrm", "c_id")
+      .persist() // read twice (touched set, merge+write) — one compute
+    val touched = wave1.select("c_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    graft.streaming.Sinks.partitionedUpsertBatch(wave1.toDF(), aug,
+      partitionCols = Seq("c_id"), keyCols = Seq("vec_id"),
+      versionCols = Seq("vec_id"), sortCols = Seq("vec_id"))
+    listsManifestWrite(spark, aug, listsManifestRead(spark, aug) ++ touched)
+
+    val out =
+      incrementalIvfProbe(spark, waveQueries(emb, IvfSplitMod),
+        coarseCent(emb), aug)
+    wave1.unpersist() // probe reads the written files, not the plan
+    out
+  }
+
+  /** Oracle for the incremental entries: the same construction from
+    * scratch — DuckDB has no persisted index, so `histPred` names the
+    * index CONTENT (historical corpus for the probe leg; historical ∪
+    * wave 1 for the append leg) and the rest is the ivf probe replayed.
+    */
+  private def incrementalIvfSql(histPred: String, rem: Int): String = {
+    val w = 2 * IvfSplitMod
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
+       |         WHERE vec_id < $NCentroids),
+       |hist AS (SELECT vec_id, emb, nrm FROM emb WHERE $histPred),
+       |lists AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT h.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY h.vec_id ORDER BY
+       |             round(${cosineSql("h.emb", "c.c_emb", "h.nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM hist h, cent c)
+       |  WHERE crk = 1),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
+       |      WHERE vec_id % $w = $rem
+       |        AND vec_id < ${w.toLong * QuerySetSize + rem}),
+       |probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.c_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             round(${cosineSql("q.q_emb", "c.c_emb", "q.q_nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM q, cent c)
+       |  WHERE crk <= $NProbe),
+       |scored AS (
+       |  SELECT p.q_id, l.vec_id,
+       |         round(${cosineSql("q.q_emb", "e.emb", "q.q_nrm", "e.nrm")}, 6) AS sim
+       |  FROM probes p
+       |  JOIN lists l USING (c_id)
+       |  JOIN emb e ON e.vec_id = l.vec_id
+       |  JOIN q ON q.q_id = p.q_id
+       |  WHERE l.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+  }
+
+  val incrementalIvfSqlProbe: String =
+    incrementalIvfSql(s"vec_id % $IvfSplitMod <> 0", 0)
+
+  val incrementalIvfSqlAppend: String = incrementalIvfSql(
+    s"vec_id % $IvfSplitMod <> 0 OR vec_id % ${2 * IvfSplitMod} = 0",
+    IvfSplitMod)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_filtered_topk" -> filteredTopK,
     "sim_bruteforce_topk" -> bruteForceTopK,
@@ -850,6 +1128,8 @@ object Similarity {
     "sim_pq_topk" -> pqTopK,
     "sim_ivfpq_topk" -> ivfPqTopK,
     "sim_recall_gate" -> recallGate,
+    "sim_incremental_ivf" -> incrementalIvf,
+    "sim_incremental_ivf_append" -> incrementalIvfAppend,
     "dedup_embedding_cosine" -> embeddingNearDup)
 
   val oracles: Map[String, String] = Map(
@@ -861,5 +1141,7 @@ object Similarity {
     "sim_pq_topk" -> pqTopKSql,
     "sim_ivfpq_topk" -> ivfPqTopKSql,
     "sim_recall_gate" -> recallGateSql,
+    "sim_incremental_ivf" -> incrementalIvfSqlProbe,
+    "sim_incremental_ivf_append" -> incrementalIvfSqlAppend,
     "dedup_embedding_cosine" -> embeddingNearDupSql)
 }

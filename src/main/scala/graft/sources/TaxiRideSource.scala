@@ -88,8 +88,8 @@ object TaxiRideSource {
     val lines = graft.Tables.load(spark, dir, "events")
       .selectExpr(
         "event_id", "user_id",
-        "from_unixtime(ts div 1000000000) AS t_start",
-        "from_unixtime(ts div 1000000000 + event_id % 3600) AS t_end")
+        s"from_unixtime(${graft.Tables.tsNanosToSecondsSql("ts")}) AS t_start",
+        s"from_unixtime(${graft.Tables.tsNanosToSecondsSql("ts")} + event_id % 3600) AS t_end")
       .selectExpr(
         """concat_ws(',',
           |  CAST(event_id AS STRING),

@@ -35,7 +35,7 @@ object StreamingDedup {
         "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)"))
       .where("rk = 1")
       .selectExpr("event_id", "user_id", "event_type",
-        "ts div 1000000L AS ts_ms", "value")
+        s"${graft.Tables.tsNanosToMillisSql("ts")} AS ts_ms", "value")
       .orderBy("user_id", "event_type")
 
   val firstPerKeySql: String =

@@ -77,6 +77,8 @@ object Scale {
     case "probe" :: batchDir :: indexDir :: rest if rest.size <= 1 =>
       probe(session(), batchDir, indexDir,
         rest.headOption.map(_.toInt).getOrElse(1))
+    case "ivfprobe" :: batchDir :: indexDir :: Nil =>
+      ivfProbe(session(), batchDir, indexDir)
     case "stream" :: dir :: Nil =>
       stream(dir)
     case other =>
@@ -272,6 +274,31 @@ object Scale {
     * converge to the batch ratio at production batch sizes; this measures
     * it).
     */
+  /** IVF probe wall vs index size: hold `batchDir`'s wave-1 queries (and
+    * the shared codebook — originals are copy-invariant under [[gen]], so
+    * the first-[[graft.pipeline.Similarity.NCentroids]] vectors are
+    * identical across scale corpora) fixed while probing `indexDir`'s
+    * persisted IVF index — the ANN twin of [[probe]]'s
+    * batch-cost-vs-index-size measurement.
+    */
+  def ivfProbe(spark: SparkSession, batchDir: String, indexDir: String): Unit = {
+    import graft.pipeline.Similarity
+    val indexPath = Similarity.ensureIvfIndex(spark, indexDir)
+    val indexRows = spark.read.parquet(indexPath).count()
+    val (queries, cent) = Similarity.ivfProbeInputs(spark, batchDir)
+    def once(): Double = {
+      val t = timed(
+        Similarity.incrementalIvfProbe(spark, queries, cent, indexPath)
+          .write.format("noop").mode("overwrite").save())
+      spark.catalog.clearCache()
+      t
+    }
+    once() // untimed warmup
+    val sec = math.min(once(), once())
+    println(f"""[scale] {"ivfprobe_batch":"$batchDir","index":"$indexDir","centroids":${Similarity.NCentroids},"index_rows":$indexRows,"sec_pruned":$sec%.3f}""")
+    spark.stop()
+  }
+
   def stream(dir: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.streaming.FadsStream.configure(

@@ -41,7 +41,10 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljQueryBatchOk = Set(
     "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
     "sim_ivfpq_topk", // coarse codebook broadcast: vec_id < NCentroids (16)
-    "sim_recall_gate")
+    "sim_recall_gate",
+    // incremental IVF: nearestLists crossJoins the broadcast 16-row
+    // codebook (vec_id < NCentroids) for list assignment / probe set
+    "sim_incremental_ivf", "sim_incremental_ivf_append")
 
   /** A nested-loop/cross join is otherwise vetted iff its BROADCAST side
     * IS an aggregate frame (the 1-to-16-row stats/bounds/total rows every

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import java.io.File
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-run contracts of the incremental IVF (ANN) index — the embedding
+  * twin of [[IncrementalDedupSpec]]: build-once reuse, manifest-gated
+  * pruned probes, and the in-place list-wise append that makes appended
+  * vectors probe-visible without touching unrelated lists.
+  */
+class IncrementalIvfSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+
+  private def fileState(root: String): Set[(String, Long, Long)] = {
+    val base = Paths.get(root)
+    Files.walk(base).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => (base.relativize(p).toString, Files.size(p),
+        Files.getLastModifiedTime(p).toMillis))
+      .toSet
+  }
+
+  test("second probe reuses the persisted IVF index byte-for-byte") {
+    val path = Similarity.ivfIndexPath(dir)
+    deleteRecursively(Paths.get(path))
+
+    val first = Similarity.incrementalIvf(spark, dir).collect().toSeq
+    assert(new File(path + "/_SUCCESS").exists(), "index must be committed")
+    assert(new File(path + "/" + Similarity.ListsManifestFile).exists(),
+      "manifest must be committed with the index")
+    val stateAfterBuild = fileState(path)
+
+    val second = Similarity.incrementalIvf(spark, dir).collect().toSeq
+    assert(second == first, "replayed probe must be bit-identical")
+    assert(fileState(path) == stateAfterBuild,
+      "second run must not rewrite any index file (reuse, not rebuild)")
+  }
+
+  test("index partitions every historical vector into exactly one list") {
+    val path = Similarity.ensureIvfIndex(spark, dir)
+    val idx = spark.read.parquet(path)
+    val nHist = graft.Tables.load(spark, dir, "embeddings")
+      .where(s"vec_id % ${Similarity.IvfSplitMod} <> 0").count()
+    assert(idx.count() == nHist)
+    assert(idx.select("vec_id").distinct().count() == nHist,
+      "a vector must belong to exactly one inverted list")
+    // manifest names exactly the non-empty lists (partition-column
+    // inference reads c_id back as INT — cast to the manifest's LONG)
+    val listsOnDisk = idx.selectExpr("CAST(c_id AS BIGINT)").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(Similarity.listsManifestRead(spark, path) == listsOnDisk)
+  }
+
+  test("append rewrites only probed/touched list dirs and surfaces wave-1") {
+    Similarity.ensureIvfIndex(spark, dir)
+    val out = Similarity.incrementalIvfAppend(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // wave-2's neighbors may now include wave-1 vectors (vec_id % 8 == 0);
+    // on this corpus at least one top-k hit comes from the appended wave
+    val w = 2 * Similarity.IvfSplitMod
+    assert(rows.exists(r => r.getLong(1) % w == 0),
+      "appended wave-1 vectors must be probe-visible in wave-2's top-k")
+    // and no result vector is outside historical ∪ wave-1
+    assert(rows.forall { r =>
+      val v = r.getLong(1)
+      v % Similarity.IvfSplitMod != 0 || v % w == 0
+    }, "wave-2 vectors must not be in the index")
+  }
+
+  test("missing manifest: reader fails loud, ensure treats as uncommitted") {
+    val path = Similarity.ensureIvfIndex(spark, dir)
+    val mf = Paths.get(path, Similarity.ListsManifestFile)
+    Files.delete(mf)
+    // the probe's pruning input must never silently degrade to empty
+    val e = intercept[IllegalStateException] {
+      Similarity.listsManifestRead(spark, path)
+    }
+    assert(e.getMessage.contains(Similarity.ListsManifestFile))
+    // an index without its manifest is uncommitted: the next ensure
+    // rebuilds BOTH artifacts and the probe works again
+    val rows = Similarity.incrementalIvf(spark, dir).collect()
+    assert(Files.exists(mf) && rows.nonEmpty)
+  }
+}
