@@ -32,9 +32,10 @@ import graft.{SparkEntry, Tables}
   * - dims (region/nation/customer/supplier/part): copied as-is.
   *
   * Usage:
-  *   runMain graft.tools.Scale gen   <baseSfDir> <outDir> <k> [corpusOnly]
-  *   runMain graft.tools.Scale run   <dir> <label> <query...>
-  *   runMain graft.tools.Scale probe <batchDir> <indexDir>
+  *   runMain graft.tools.Scale gen      <baseSfDir> <outDir> <k> [corpusOnly]
+  *   runMain graft.tools.Scale run      <dir> <label> <query...>
+  *   runMain graft.tools.Scale probe    <batchDir> <indexDir>
+  *   runMain graft.tools.Scale ivfprobe <batchDir> <indexDir>
   *
   * `run` prints one JSON line per query: best-of-2 after one untimed
   * warmup (noop sink), plus the result row count for candidate-shaped
