@@ -166,6 +166,92 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
+  /** Independent hash tables for the multi-table LSH variant. Table `t`
+    * draws its [[NBits]] hyperplanes from the same deterministic family at
+    * plane indices `t·NBits + b` — disjoint from every other table, so the
+    * tables are independent trials. Standard LSH recall amplification
+    * (E2LSH / FALCONN construction): a true neighbor at angle θ collides
+    * in one table with p = (1 − θ/π)^NBits, and misses ALL tables with
+    * (1 − p)^L — at cos 0.7, p ≈ 0.32 per 4-bit table, so 8 tables take
+    * the miss rate from 68% to ~5%. Cost is L bucket keys per vector
+    * (one shuffle with an L-wide explode), not L corpus copies.
+    */
+  val LshTables = 8
+
+  private def tableBucketSpark(emb: org.apache.spark.sql.Column, t: Int)
+      : org.apache.spark.sql.Column =
+    (0 until NBits).map(b => dotSign(emb, t * NBits + b, 1L << b)).reduce(_ + _)
+
+  private def tableBucketSqlDuck(emb: String, t: Int): String = {
+    val bits = (0 until NBits).map { b =>
+      val j = t * NBits + b
+      s"""CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+         | i -> $emb[i] * ${hpExpr(j.toString, "(i - 1)")})) > 0
+         | THEN ${1L << b} ELSE 0 END""".stripMargin
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** Multi-table LSH ANN — the recall-amplified form of [[lshTopK]] (whose
+    * single 4-bit table is the declared coarse demo, ~12% recall here):
+    * candidates are the UNION over [[LshTables]] independent tables of
+    * same-(table, bucket) vectors, deduped before the exact scoring pass.
+    * At 100 TB the shape is unchanged from the single table — per-row
+    * bucket expressions, one equi-join shuffle on (t, bucket) with the
+    * query side broadcast, exact cosine only on the deduped candidates —
+    * the L× factor rides the (vec_id, t, bucket) key stream, never the
+    * vectors themselves (the explode carries ids only; embeddings join
+    * back AFTER dedup).
+    */
+  def lshMultiTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val bucketArr = array(
+      (0 until LshTables).map(t => tableBucketSpark(col("emb"), t)): _*)
+    val buckets = emb.select(col("vec_id"), posexplode(bucketArr))
+      .toDF("vec_id", "t", "bucket")
+    val qb = buckets.where(s"vec_id < $QuerySetSize")
+      .selectExpr("vec_id AS q_id", "t", "bucket")
+    val cand = buckets.join(broadcast(qb), Seq("t", "bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val queries = emb.where(s"vec_id < $QuerySetSize")
+      .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm")
+    cand.join(emb.select("vec_id", "emb", "nrm"), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  val lshMultiTopKSql: String = {
+    val tableSelects = (0 until LshTables).map { t =>
+      s"SELECT vec_id, $t AS t, ${tableBucketSqlDuck("emb", t)} AS bucket FROM emb"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $embCte,
+       |bt AS (
+       |  $tableSelects),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, e.vec_id
+       |  FROM bt e JOIN bt q USING (t, bucket)
+       |  WHERE q.vec_id < $QuerySetSize AND e.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         round(${cosineSql("q.emb", "e.emb", "q.nrm", "e.nrm")}, 6) AS sim
+       |  FROM cand c
+       |  JOIN emb e ON e.vec_id = c.vec_id
+       |  JOIN emb q ON q.vec_id = c.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+  }
+
   /** IVF-style ANN — the second scale path besides hyperplane LSH: a
     * deterministic codebook (the first NCentroids corpus vectors — a seeded
     * sample, like one k-means init step), every vector assigned to its
@@ -743,13 +829,14 @@ object Similarity {
 
   /** Minimum recall@[[TopK]] (percent) of each approximate index vs the
     * brute-force truth. Measured on the synthetic embeddings: LSH 12%
-    * (coarse 4-bit single-table demo), IVF 92%, trained IVF 88%, PQ 36% —
-    * gates sit under those with margin but high enough that a silently
-    * quality-degrading "optimization" flips the row (round-5 verdict
-    * item 4).
+    * (coarse 4-bit single-table demo), multi-table LSH 56% (8 tables),
+    * IVF 92%, trained IVF 88%, PQ 36% — gates sit under those with margin
+    * but high enough that a silently quality-degrading "optimization"
+    * flips the row (round-5 verdict item 4).
     */
   val RecallGatePct: Seq[(String, Int)] = Seq(
-    "lsh" -> 8, "ivf" -> 80, "ivf_trained" -> 80, "pq" -> 24,
+    "lsh" -> 8, "lsh_multi" -> 40, // single-table 12% / 8-table 56% measured
+    "ivf" -> 80, "ivf_trained" -> 80, "pq" -> 24,
     "ivfpq" -> 72) // measured 84% at sf0.01 (rerankK floor); margin matches ivf
 
   /** Retrieval-quality gate: recall of every approximate ANN entry against
@@ -764,6 +851,7 @@ object Similarity {
     val truth = bf.agg(count(lit(1)).as("truth"))
     val approx = Map[String, DataFrame](
       "lsh" -> lshTopK(spark, dir),
+      "lsh_multi" -> lshMultiTopK(spark, dir),
       "ivf" -> ivfTopK(spark, dir),
       "ivf_trained" -> ivfTrainedTopK(spark, dir),
       "pq" -> pqTopK(spark, dir),
@@ -789,7 +877,8 @@ object Similarity {
 
   def recallGateSql: String = {
     val methodCtes = Seq(
-      "lsh" -> lshTopKSql, "ivf" -> ivfTopKSql,
+      "lsh" -> lshTopKSql, "lsh_multi" -> lshMultiTopKSql,
+      "ivf" -> ivfTopKSql,
       "ivf_trained" -> ivfTrainedTopKSql, "pq" -> pqTopKSql,
       "ivfpq" -> ivfPqTopKSql)
       .map { case (n, sql) => s"ap_$n AS (SELECT q_id, vec_id FROM ($sql))" }
@@ -1123,6 +1212,7 @@ object Similarity {
     "sim_filtered_topk" -> filteredTopK,
     "sim_bruteforce_topk" -> bruteForceTopK,
     "sim_lsh_topk" -> lshTopK,
+    "sim_lsh_multi_topk" -> lshMultiTopK,
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_trained_topk" -> ivfTrainedTopK,
     "sim_pq_topk" -> pqTopK,
@@ -1136,6 +1226,7 @@ object Similarity {
     "sim_filtered_topk" -> filteredTopKSql,
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     "sim_lsh_topk" -> lshTopKSql,
+    "sim_lsh_multi_topk" -> lshMultiTopKSql,
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_ivf_trained_topk" -> ivfTrainedTopKSql,
     "sim_pq_topk" -> pqTopKSql,
