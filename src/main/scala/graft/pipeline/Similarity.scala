@@ -1155,6 +1155,93 @@ object Similarity {
     out
   }
 
+  /** Stream-static incremental ANN probe core — the streaming twin of
+    * [[incrementalIvfProbe]] (the embedding analogue of
+    * [[graft.pipeline.Dedup.streamProbeBands]]): incoming vectors as an
+    * unbounded stream, the persisted inverted lists as the STATIC join
+    * side. The probe-list choice per vector is computed STATELESSLY — a
+    * rank window cannot run in streaming append mode, so the tiny
+    * codebook rides INSIDE the per-row expression as literals (the same
+    * parameter-server precedent as the trained-IVF codebook): each row
+    * computes all [[NCentroids]] rounded cosines, `array_sort` over
+    * (negated sim, c_id) structs picks the [[NProbe]] probe lists, and
+    * one stream-static equi join on list id scores the candidates. No
+    * watermark, no state store. Output is candidate-level
+    * (q_id, vec_id, sim) rows; final top-k is a downstream batch concern,
+    * exactly as the dedup twin emits band-level rows.
+    */
+  def streamProbeIvf(incoming: DataFrame,
+      centRows: Seq[(Long, Seq[Double], Double)], idx: DataFrame)
+      : DataFrame = {
+    val probeArr = array(centRows.map { case (cid, cemb, cnrm) =>
+      struct(
+        (lit(0.0) - round(
+          call_function("graft_dot", col("emb"), typedlit(cemb)) /
+            (col("nrm") * lit(cnrm)), 6)).as("negsim"),
+        lit(cid).as("c_id"))
+    }: _*)
+    incoming
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        explode(slice(array_sort(probeArr), 1, NProbe)).as("probe"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("probe.c_id").as("c_id"))
+      .join(idx.selectExpr("CAST(c_id AS BIGINT) AS c_id", "vec_id",
+        "emb", "nrm"), Seq("c_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+  }
+
+  /** The streaming ANN probe as a batch-checkable entry: the WHOLE
+    * incoming wave (not just the query set) probed against the persisted
+    * index through the stream-capable plan, ordered for the oracle.
+    * `IncrementalIvfSpec` proves the same core produces identical rows
+    * from a real MemoryStream across micro-batches with zero state.
+    */
+  def streamIncrementalIvf(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfIndex(spark, dir)
+    val emb = embDouble(spark, dir)
+    val centRows = coarseCent(emb).collect().toSeq.map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    streamProbeIvf(emb.where(s"vec_id % $IvfSplitMod = 0"), centRows,
+      spark.read.parquet(path))
+      .orderBy("q_id", "vec_id")
+  }
+
+  val streamIncrementalIvfSql: String =
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
+       |         WHERE vec_id < $NCentroids),
+       |hist AS (SELECT vec_id, emb, nrm FROM emb
+       |         WHERE vec_id % $IvfSplitMod <> 0),
+       |lists AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT h.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY h.vec_id ORDER BY
+       |             round(${cosineSql("h.emb", "c.c_emb", "h.nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM hist h, cent c)
+       |  WHERE crk = 1),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
+       |      WHERE vec_id % $IvfSplitMod = 0),
+       |probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.c_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             round(${cosineSql("q.q_emb", "c.c_emb", "q.q_nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM q, cent c)
+       |  WHERE crk <= $NProbe)
+       |SELECT p.q_id, l.vec_id,
+       |       round(${cosineSql("q.q_emb", "e.emb", "q.q_nrm", "e.nrm")}, 6) AS sim
+       |FROM probes p
+       |JOIN lists l USING (c_id)
+       |JOIN emb e ON e.vec_id = l.vec_id
+       |JOIN q ON q.q_id = p.q_id
+       |WHERE l.vec_id <> p.q_id
+       |ORDER BY p.q_id, l.vec_id""".stripMargin
+
   /** Oracle for the incremental entries: the same construction from
     * scratch — DuckDB has no persisted index, so `histPred` names the
     * index CONTENT (historical corpus for the probe leg; historical ∪
@@ -1220,6 +1307,7 @@ object Similarity {
     "sim_recall_gate" -> recallGate,
     "sim_incremental_ivf" -> incrementalIvf,
     "sim_incremental_ivf_append" -> incrementalIvfAppend,
+    "stream_incremental_ivf" -> streamIncrementalIvf,
     "dedup_embedding_cosine" -> embeddingNearDup)
 
   val oracles: Map[String, String] = Map(
@@ -1234,5 +1322,6 @@ object Similarity {
     "sim_recall_gate" -> recallGateSql,
     "sim_incremental_ivf" -> incrementalIvfSqlProbe,
     "sim_incremental_ivf_append" -> incrementalIvfSqlAppend,
+    "stream_incremental_ivf" -> streamIncrementalIvfSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql)
 }
