@@ -259,8 +259,27 @@ object Similarity {
     * queries probe the NProbe nearest lists and score only those members.
     * At 100 TB: assignment is a broadcast of the tiny codebook + one
     * shuffle on list id; probing reads NProbe/NCentroids of the corpus.
+    *
+    * Env-overridable (default 16) for the scale harness ONLY — production
+    * sizing scales the codebook with the corpus (≈√N holds per-list bytes
+    * constant), and `Scale ivfprobe` uses the override to measure an
+    * index built at that shape (e.g. 256 lists at ×100). Every
+    * construction on BOTH engines derives from this one val (the oracle
+    * SQL strings are generated from it at runtime), so an override stays
+    * replay-consistent; the driver's Verify never sets it, so committed
+    * hashes always see 16. Same contract as
+    * [[graft.pipeline.Dedup.IndexBuckets]].
     */
-  val NCentroids = 16
+  val NCentroids: Int = {
+    val n = sys.env.get("SPARK_GRAFT_IVF_CENTROIDS").map { s =>
+      try s.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_IVF_CENTROIDS must be a positive integer, got '$s'")
+      }
+    }.getOrElse(16)
+    require(n > 0, s"SPARK_GRAFT_IVF_CENTROIDS must be > 0, got $n")
+    n
+  }
   val NProbe = 4
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
