@@ -1055,69 +1055,47 @@ object Dedup {
   /** The closed ingest loop (round-7 verdict item 3): wave 1 of the
     * incoming split (doc_id % 8 = 0) is probed against the persisted
     * historical index; its ACCEPTED (non-duplicate) docs' band rows are
-    * appended to a working copy of the index through the streaming upsert
-    * sink ([[graft.streaming.Sinks.upsertParquet]] — the MERGE-INTO path
-    * a production ingest uses); wave 2 (doc_id % 8 = 4) is then probed
-    * against the AUGMENTED index, so a wave-2 doc that duplicates an
-    * accepted wave-1 doc is caught with no historical rescan. The entry
-    * returns the wave-2 verdict surface; the DuckDB oracle recomputes it
-    * from scratch over base ∪ accepted-wave-1, so a lost append, a double
-    * append, or a mis-keyed upsert all break the hash. The working copy
-    * keeps the persisted index immutable (entries stay hermetic); a
-    * deployment appends in place, bucket-wise.
+    * appended to a working copy of the index through
+    * [[graft.streaming.Sinks.partitionedUpsertBatch]] — the same
+    * partition-wise MERGE body a production ingest runs per micro-batch;
+    * wave 2 (doc_id % 8 = 4) is then probed against the AUGMENTED index,
+    * so a wave-2 doc that duplicates an accepted wave-1 doc is caught
+    * with no historical rescan. The entry returns the wave-2 verdict
+    * surface; the DuckDB oracle recomputes it from scratch over
+    * base ∪ accepted-wave-1, so a lost append, a double append, or a
+    * mis-keyed upsert all break the hash. The working copy keeps the
+    * persisted index immutable (entries stay hermetic); a deployment
+    * appends in place, bucket-wise.
     *
-    * COST NOTE: the collect() feeds MemoryStream, the driver-resident
-    * TEST source — the system under test is the upsert WRITE path.
+    * Differs from [[incrementalAppendInplace]] in ONE dimension: both
+    * probes here run the FULL-SCAN path (`prune = false`), so the append
+    * is verified independently of the manifest/pruning machinery — the
+    * inplace twin runs `prune = true` end-to-end and so additionally
+    * proves the manifest commit makes the appended rows visible to the
+    * bucket-pruned reader. Everything on the WRITE side is the
+    * deployment shape: no driver-side row collect (the only collect is
+    * the metadata-scale touched-bucket set), no nested streaming query
+    * (streaming-sink coverage lives in `UpsertSinkSpec`).
     */
   def incrementalAppend(spark: SparkSession, dir: String,
       phase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def timed[A](name: String)(body: => A): A = {
       val t0 = System.nanoTime(); val a = body
       phase(name, (System.nanoTime() - t0) / 1e9); a
     }
     val path = ensureMinhashIndex(spark, dir)
-    val docs = Tables.load(spark, dir, "documents")
-    val wave1 = docs.where(s"doc_id % ${2 * IncrSplitMod} = 0")
-    val wave2 = docs.where(s"doc_id % ${2 * IncrSplitMod} = $IncrSplitMod")
-
-    val dup1 = incrementalProbe(spark, wave1, path)
-      .where("is_dup = 1").select("doc_id").distinct()
-    val accepted = minhashSignatures(wave1)
-      .join(dup1, Seq("doc_id"), "left_anti")
-      .selectExpr(Seq("doc_id") ++ (0 until H).map(i => s"m$i AS i$i")
-        :+ s"posexplode($bandArrayExpr) AS (band, bh)": _*)
-      .withColumn("bhp", expr(s"CAST(pmod(bh, $IndexBuckets) AS INT)"))
-    val acceptedRows = timed("probe_wave1_sign_accepted") {
-      accepted.collect().toIndexedSeq
-    }
-
-    val augPath = graft.TempDirs.scoped("incr-append") + "/index"
-    val ckpt = graft.TempDirs.scoped("incr-append-ckpt")
+    val augPath =
+      graft.TempDirs.scoped("incr-append") + s"/index_b$IndexBuckets"
     timed("seed_working_copy") {
-      // a Spark read+rewrite, deliberately: it COMPACTS the 256-bucket
-      // hive layout into a few plain files, which makes the upsert's
-      // per-batch snapshot reads cheap (measured faster end-to-end than
-      // a raw recursive file copy, which preserves 256 small dirs and
-      // pays checksummed per-file copies plus partition discovery on
-      // every snapshot read)
-      spark.read.parquet(path).write.mode("overwrite").parquet(augPath)
+      // hermeticity tax only: rewrite the bucketed layout + manifest into
+      // a scratch dir so the entry never mutates the shared index
+      spark.read.parquet(path)
+        .repartition(col("band"), col("bhp"))
+        .sortWithinPartitions("band", "bhp", "bh")
+        .write.mode("overwrite").partitionBy("band", "bhp").parquet(augPath)
+      writeManifest(spark, augPath, readManifest(spark, path))
     }
-
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(accepted.schema)
-    val src = MemoryStream[org.apache.spark.sql.Row]
-    val q = graft.streaming.Sinks.upsertParquet(src.toDS().toDF(), augPath,
-      ckpt, keyCols = Seq("doc_id", "band"), versionCols = Seq("bh")).start()
-    timed("upsert_append") {
-      try {
-        src.addData(acceptedRows)
-        q.processAllAvailable()
-      } finally q.stop()
-    }
-
-    incrementalProbe(spark, wave2, augPath)
+    appendCore(spark, dir, augPath, prune = false, phase)
   }
 
   /** The ingest loop in its DEPLOYMENT shape: same probe → accept → append
@@ -1139,9 +1117,9 @@ object Dedup {
     * DuckDB oracle (which recomputes from scratch) would break the hash.
     *
     * The working copy PRESERVES the hive layout (partitionBy rewrite +
-    * manifest copy) — unlike [[incrementalAppend]]'s compacted copy — so
-    * the augmented index remains pruned-probe-compatible; a deployment
-    * has no copy at all (it appends to the live index).
+    * manifest copy) so the augmented index remains pruned-probe-
+    * compatible; a deployment has no copy at all (it appends to the live
+    * index).
     */
   def incrementalAppendInplace(spark: SparkSession, dir: String,
       phase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
@@ -1171,7 +1149,17 @@ object Dedup {
     */
   private[graft] def appendInplaceCore(spark: SparkSession, dir: String,
       augIndexPath: String,
-      phase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+      phase: (String, Double) => Unit = (_, _) => ()): DataFrame =
+    appendCore(spark, dir, augIndexPath, prune = true, phase)
+
+  /** The shared probe → bucket-wise append → manifest commit → re-probe
+    * body of BOTH append entries; `prune` selects the probe path
+    * (full-scan for [[incrementalAppend]], bucket-pruned for
+    * [[incrementalAppendInplace]]) — the WRITE side is identical.
+    */
+  private def appendCore(spark: SparkSession, dir: String,
+      augIndexPath: String, prune: Boolean,
+      phase: (String, Double) => Unit): DataFrame = {
     def timed[A](name: String)(body: => A): A = {
       val t0 = System.nanoTime(); val a = body
       phase(name, (System.nanoTime() - t0) / 1e9); a
@@ -1181,7 +1169,7 @@ object Dedup {
     val wave1 = docs.where(s"doc_id % ${2 * IncrSplitMod} = 0")
     val wave2 = docs.where(s"doc_id % ${2 * IncrSplitMod} = $IncrSplitMod")
 
-    val dup1 = incrementalProbe(spark, wave1, augIndexPath, prune = true)
+    val dup1 = incrementalProbe(spark, wave1, augIndexPath, prune = prune)
       .where("is_dup = 1").select("doc_id").distinct()
     val accepted = minhashSignatures(wave1)
       .join(dup1, Seq("doc_id"), "left_anti")
@@ -1211,7 +1199,7 @@ object Dedup {
       augmentManifest(spark, augIndexPath, touchedBuckets)
     }
 
-    val out = incrementalProbe(spark, wave2, augIndexPath, prune = true)
+    val out = incrementalProbe(spark, wave2, augIndexPath, prune = prune)
     accepted.unpersist() // re-probe reads the written files, not the plan
     out
   }

@@ -220,9 +220,10 @@ object Scale {
   }
 
   /** Phase breakdown of the incremental ingest loop (the verdict's
-    * "append-cost line"): wave-1 probe+sign, working-copy seed, the
-    * streaming upsert append itself, and the wave-2 re-probe — so the
-    * MERGE cost is visible separately from the test-isolation copy tax.
+    * "append-cost line"): working-copy seed, wave-1 probe+sign, the
+    * bucket-wise upsert merge itself, manifest commit, and the wave-2
+    * re-probe — so the MERGE cost is visible separately from the
+    * test-isolation copy tax.
     */
   def appendCost(spark: SparkSession, dir: String): Unit = {
     import graft.pipeline.Dedup

@@ -169,9 +169,9 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .filter(_._1.startsWith("band=")) // data files only, not _SUCCESS etc.
 
     val viaInplace = Dedup.appendInplaceCore(spark, dir, aug).collect().toSeq
-    val viaCompact = Dedup.incrementalAppend(spark, dir).collect().toSeq
-    assert(viaInplace == viaCompact,
-      "in-place and compact-and-swap appends must yield identical verdicts")
+    val viaFullScan = Dedup.incrementalAppend(spark, dir).collect().toSeq
+    assert(viaInplace == viaFullScan,
+      "pruned-probe and full-scan-probe append cycles must yield identical verdicts")
 
     val after = fileState(aug).filter(_._1.startsWith("band="))
     val changedDirs = ((after -- before) ++ (before -- after))
