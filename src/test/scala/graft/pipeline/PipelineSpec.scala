@@ -214,34 +214,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("resize stub honors the byte budget and keeps accounting consistent") {
-    val bin = Multimodal.binaryColumns(spark, dir)
-    val out = Multimodal.resize(bin, maxBytes = 200).collect()
-    assert(out.nonEmpty)
-    out.foreach { r =>
-      val orig = r.getAs[Long]("orig_bytes")
-      val nw = r.getAs[Long]("new_bytes")
-      assert(nw <= 200 && nw <= orig)
-      assert(nw == r.getAs[Array[Byte]]("content").length)
-      assert(math.abs(r.getAs[Double]("scale") - nw.toDouble / orig) < 1e-12)
-    }
-  }
-
-  test("frame features reassemble the payload byte counts") {
+  test("y4m frame features demux every padded payload byte exactly once") {
+    val fb = 3 * Multimodal.Y4mW * Multimodal.Y4mH
     val bytesPerDoc = Multimodal.binaryColumns(spark, dir)
       .selectExpr("doc_id", "meta.n_bytes AS n").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filter(_._2 > 0)
     val frames = Multimodal.frameFeatures(spark, dir).collect()
-    val sums = frames.groupBy(_.getAs[Long]("doc_id"))
-      .view.mapValues(_.map(_.getAs[Long]("n_bytes")).sum).toMap
-    assert(sums == bytesPerDoc)
+    // frame count per doc = ceil(n_bytes / frameBytes); every frame full
+    val counts = frames.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(counts == bytesPerDoc.view.mapValues(n => (n + fb - 1) / fb).toMap)
     frames.foreach { r =>
-      assert(r.getAs[Long]("n_bytes") <= Multimodal.StubCodec.FrameBytes)
-      val mean = r.getAs[Double]("mean_byte")
-      assert(mean >= 0 && mean <= 255)
-      // flat histogram projection sums to 1 (each byte lands in one bin)
-      val histSum = (0 until 8).map(k => r.getAs[Double](s"f$k")).sum
-      assert(math.abs(histSum - 1.0) < 1e-9)
+      assert(r.getAs[Long]("n_bytes") == fb)
+      Seq("mean_y", "mean_u", "mean_v").foreach { c =>
+        val m = r.getAs[Double](c)
+        assert(m >= 0 && m <= 255, s"$c out of byte range: $m")
+      }
+      assert(r.getAs[String]("frame_fp").matches("[0-9a-f]{32}"))
     }
+    // md5 of the demuxed planes == md5 of the padded text slice: the
+    // decoder handed back exactly the bytes the container carried
+    val doc = bytesPerDoc.keys.min
+    val text = graft.Tables.load(spark, dir, "documents")
+      .where(s"doc_id = $doc").select("text").head().getString(0)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val nf = (text.length + fb - 1) / fb
+    val padded = java.util.Arrays.copyOf(text, nf * fb)
+    java.util.Arrays.fill(padded, text.length, padded.length, 'x'.toByte)
+    val wantFps = (0 until nf).map(i => Multimodal.PpmCodec.md5Hex(
+      java.util.Arrays.copyOfRange(padded, i * fb, (i + 1) * fb)))
+    val gotFps = frames.filter(_.getAs[Long]("doc_id") == doc)
+      .sortBy(_.getAs[Long]("frame_idx")).map(_.getAs[String]("frame_fp"))
+    assert(gotFps.toSeq == wantFps)
   }
 }

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import Multimodal.Y4mCodec
+import Y4mCodec.{Frame, Video}
+
+/** The real-format video codec in isolation (no Spark): YUV4MPEG2 header
+  * tag grammar, FRAME-marker demux, raster roundtrip, and loud rejection
+  * of malformed/unsupported streams.
+  */
+class Y4mCodecSpec extends AnyFunSuite {
+
+  private def frame(w: Int, h: Int, seed: Int): Frame = {
+    def plane(p: Int): Array[Byte] =
+      Array.tabulate(w * h)(i => ((i * 7 + seed * 31 + p * 11 + 3) % 251).toByte)
+    Frame(plane(0), plane(1), plane(2))
+  }
+
+  test("encode→decode roundtrips header fields and every plane byte") {
+    val src = Video(6, 4, 30, 1, Vector(frame(6, 4, 0), frame(6, 4, 1)))
+    val back = Y4mCodec.decode(Y4mCodec.encode(src))
+    assert(back.width == 6 && back.height == 4)
+    assert(back.fpsNum == 30 && back.fpsDen == 1)
+    assert(back.frames.length == 2)
+    back.frames.zip(src.frames).foreach { case (b, s) =>
+      assert(b.y.toSeq == s.y.toSeq && b.u.toSeq == s.u.toSeq &&
+        b.v.toSeq == s.v.toSeq)
+    }
+  }
+
+  test("the encoded stream starts with a spec-valid header line") {
+    val bytes = Y4mCodec.encode(Video(8, 8, 25, 1, Vector(frame(8, 8, 0))))
+    val header = new String(bytes.takeWhile(_ != '\n'),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    assert(header == "YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C444")
+    // and the first frame marker follows immediately
+    val rest = new String(bytes.drop(header.length + 1).take(6),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    assert(rest == "FRAME\n")
+  }
+
+  test("decode tolerates FRAME parameter suffixes and X extension tags") {
+    val f = frame(2, 2, 0)
+    val bytes =
+      "YUV4MPEG2 W2 H2 F25:1 C444 XYSCSS=444\nFRAME Ipres\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        f.y ++ f.u ++ f.v
+    val v = Y4mCodec.decode(bytes)
+    assert(v.width == 2 && v.frames.length == 1)
+    assert(v.frames.head.v.toSeq == f.v.toSeq)
+  }
+
+  test("decode rejects a non-Y4M payload") {
+    intercept[IllegalArgumentException] {
+      Y4mCodec.decode("RIFF....WEBP".getBytes ++ Array.fill[Byte](16)(0))
+    }
+  }
+
+  test("decode rejects unknown header tags") {
+    intercept[IllegalArgumentException] {
+      Y4mCodec.decode(("YUV4MPEG2 W2 H2 F25:1 C444 Q9\nFRAME\n" +
+        "x" * 12).getBytes)
+    }
+  }
+
+  test("decode rejects subsampled colorspaces rather than misdecode") {
+    val e = intercept[IllegalArgumentException] {
+      Y4mCodec.decode(("YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" +
+        "x" * 6).getBytes)
+    }
+    assert(e.getMessage.contains("C420"))
+  }
+
+  test("decode rejects a truncated frame raster") {
+    val e = intercept[IllegalArgumentException] {
+      Y4mCodec.decode(("YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n" +
+        "x" * 10).getBytes) // needs 48 raster bytes
+    }
+    assert(e.getMessage.contains("shorter"))
+  }
+
+  test("decode rejects a missing FRAME marker between rasters") {
+    val f = frame(2, 2, 0)
+    val bytes =
+      "YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n".getBytes ++
+        f.y ++ f.u ++ f.v ++ f.y // trailing bytes with no FRAME\n
+    intercept[IllegalArgumentException] { Y4mCodec.decode(bytes) }
+  }
+
+  test("zero-frame stream decodes to an empty clip") {
+    val v = Y4mCodec.decode("YUV4MPEG2 W2 H2 F25:1 C444\n".getBytes)
+    assert(v.frames.isEmpty && v.width == 2)
+  }
+}
