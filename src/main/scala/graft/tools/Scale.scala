@@ -89,11 +89,14 @@ object Scale {
       ivfProbe(session(), batchDir, indexDir)
     case "stream" :: dir :: Nil =>
       stream(dir)
+    case "streamdiag" :: dir :: Nil =>
+      streamDiag(dir)
     case other =>
       sys.error("usage: gen <base> <out> <k> [corpusOnly|relOnly|eventsOnly]" +
         " | run <dir> <label> <q...> | show <dir> <q...> | append <dir>" +
         " | inplace <batchDir> <indexDir> | probe <batchDir> <indexDir> [batchDivisor]" +
-        s" | stream <dir>; got $other")
+        " | ivfprobe <batchDir> <indexDir>" +
+        s" | stream <dir> | streamdiag <dir>; got $other")
   }
 
   def gen(spark: SparkSession, base: String, out: String, k: Int,
@@ -307,6 +310,63 @@ object Scale {
     once() // untimed warmup
     val sec = math.min(once(), once())
     println(s"""[scale] {"ivfprobe_batch":"$batchDir","index":"$indexDir","centroids":$nCent,"index_rows":$indexRows,"sec_pruned":${num(sec)}}""")
+    spark.stop()
+  }
+
+  /** Per-micro-batch diagnosis of the streaming legs (round-11 verdict
+    * item 2: the sharded throughput halved in the driver artifact with no
+    * explanation). Runs the Bench wiring — single-stream (2 partitions)
+    * and 8-shard — twice each and dumps EVERY StreamingQueryProgress as
+    * raw JSON (`[streamdiag] {...}` lines), so trigger-level durations
+    * (addBatch, walCommit, stateOperators commit/update times, RocksDB
+    * custom metrics) can be attributed instead of argued about.
+    */
+  def streamDiag(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.streaming.FadsStream.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.streaming.{Event, FadsStream, PacedReplay}
+
+    val events = Tables.load(spark, dir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+    val nRows = events.count()
+    val stageDir = java.nio.file.Files.createTempDirectory("diag-stage").toString
+    val rowsPerFile = math.max(5000, (nRows / 10).toInt)
+    PacedReplay.stage(events, Seq("ts", "event_id"), rowsPerFile, stageDir)
+
+    def runOnce(label: String, parts: String,
+        wire: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[_]): Unit = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val ckpt = java.nio.file.Files.createTempDirectory("diag-ckpt").toString
+      val t0 = System.nanoTime()
+      val q = wire(PacedReplay.stream(spark, stageDir, events.schema).as[Event])
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(PacedReplay.trigger(0))
+        .start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      println(s"""[streamdiag] {"run":"$label","wall_sec":${num(wall)},"rows":$nRows,"rps":${num(nRows / wall, 1)},"batches":${progs.length}}""")
+      progs.foreach(p => println(s"[streamdiag:$label] ${p.json}"))
+    }
+
+    val cfg = graft.SparkEntry.eventsFadsConfig
+    (1 to 2).foreach { i =>
+      runOnce(s"single#$i", "2", ds => FadsStream.anonymize(ds, cfg))
+      runOnce(s"sharded8#$i", "8",
+        ds => FadsStream.anonymizeSharded(ds, cfg, e => e.user_id % 8))
+    }
     spark.stop()
   }
 

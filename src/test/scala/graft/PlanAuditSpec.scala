@@ -41,7 +41,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljQueryBatchOk = Set(
     "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
     "sim_ivfpq_topk", // coarse codebook broadcast: vec_id < NCentroids (16)
-    "sim_recall_gate",
+    "sim_recall_gate", "sim_recall_gate_x10",
     // incremental IVF: nearestLists crossJoins the broadcast 16-row
     // codebook (vec_id < NCentroids) for list assignment / probe set
     "sim_incremental_ivf", "sim_incremental_ivf_append")
