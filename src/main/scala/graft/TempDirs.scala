@@ -21,6 +21,27 @@ object TempDirs {
   def scoped(prefix: String): String =
     Files.createTempDirectory(root, prefix).toString
 
+  /** Byte-level recursive tree copy via the Hadoop FS API (works for any
+    * configured filesystem, not just local disk). Used for the hermetic
+    * working-copy seeds of the incremental-index entries: the persisted
+    * index is ALREADY in its final bucketed hive layout (one sorted file
+    * per partition dir, manifest + _SUCCESS inside), so copying the files
+    * is both faster than a Spark read→repartition→rewrite (no
+    * decode/encode, no shuffle — the r12 bench showed the rewrite seed
+    * costing more than the operation under test) and strictly more
+    * faithful to the on-disk artifact the probes then read.
+    */
+  def copyTree(spark: org.apache.spark.sql.SparkSession, src: String,
+      dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    val fs = sp.getFileSystem(conf)
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp,
+        /* deleteSource = */ false, /* overwrite = */ true, conf))
+      throw new java.io.IOException(s"tree copy failed: $src -> $dst")
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     import java.nio.file.{FileVisitResult, SimpleFileVisitor}
     import java.nio.file.attribute.BasicFileAttributes

@@ -1087,13 +1087,10 @@ object Dedup {
     val augPath =
       graft.TempDirs.scoped("incr-append") + s"/index_b$IndexBuckets"
     timed("seed_working_copy") {
-      // hermeticity tax only: rewrite the bucketed layout + manifest into
-      // a scratch dir so the entry never mutates the shared index
-      spark.read.parquet(path)
-        .repartition(col("band"), col("bhp"))
-        .sortWithinPartitions("band", "bhp", "bh")
-        .write.mode("overwrite").partitionBy("band", "bhp").parquet(augPath)
-      writeManifest(spark, augPath, readManifest(spark, path))
+      // hermeticity tax only: file-level tree copy (layout, manifest and
+      // _SUCCESS travel verbatim) so the entry never mutates the shared
+      // index — no decode/shuffle/re-encode of index rows
+      graft.TempDirs.copyTree(spark, path, augPath)
     }
     appendCore(spark, dir, augPath, prune = false, phase)
   }
@@ -1131,13 +1128,11 @@ object Dedup {
     val augPath =
       graft.TempDirs.scoped("incr-inplace") + s"/index_b$IndexBuckets"
     timed("seed_layout_copy") {
-      // hermeticity tax only: rewrite the bucketed layout + manifest into
-      // a scratch dir so the entry never mutates the shared index
-      spark.read.parquet(path)
-        .repartition(col("band"), col("bhp"))
-        .sortWithinPartitions("band", "bhp", "bh")
-        .write.mode("overwrite").partitionBy("band", "bhp").parquet(augPath)
-      writeManifest(spark, augPath, readManifest(spark, path))
+      // hermeticity tax only: file-level tree copy (bucketed layout,
+      // manifest and _SUCCESS travel verbatim) so the entry never mutates
+      // the shared index — the pruned probe reads the same bytes it would
+      // read from the source index
+      graft.TempDirs.copyTree(spark, path, augPath)
     }
     appendInplaceCore(spark, dir, augPath, phase)
   }

@@ -441,15 +441,198 @@ object Multimodal {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  // ---- real-format path: RIFF/WAVE PCM audio (the third modality) ----
+
+  /** A real, dependency-free AUDIO codec: RIFF/WAVE with 16-bit PCM
+    * samples (the canonical uncompressed format every audio tool opens).
+    * `decode` implements the actual container grammar — `RIFF` magic +
+    * chunk size + `WAVE` form type, then a chunk walk (`fmt ` parsed and
+    * validated, `data` extracted, unknown chunks like `LIST` skipped via
+    * their declared size incl. the odd-size pad byte the RIFF spec
+    * requires) — and rejects compressed formats, non-mono layouts, and
+    * sample widths it doesn't implement rather than misdecode.
+    */
+  object WavCodec {
+    final case class Audio(sampleRate: Int, samples: Array[Short])
+
+    def decode(bytes: Array[Byte]): Audio = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Long =
+        u8(i).toLong | (u8(i + 1).toLong << 8) |
+          (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      def tag(i: Int): String =
+        new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(bytes.length >= 12 && tag(0) == "RIFF",
+        "not a RIFF container")
+      require(tag(8) == "WAVE", "RIFF form type is not WAVE")
+      var i = 12
+      var sampleRate = -1; var fmtSeen = false
+      var data: Array[Byte] = null
+      while (i + 8 <= bytes.length) {
+        val id = tag(i); val size = le32(i + 4)
+        require(size >= 0 && i + 8 + size <= bytes.length,
+          s"WAV chunk '$id' longer than the file")
+        val body = i + 8
+        id match {
+          case "fmt " =>
+            require(size >= 16, "WAV fmt chunk too short")
+            require(le16(body) == 1,
+              s"unsupported WAV audio format ${le16(body)} (PCM=1 only)")
+            require(le16(body + 2) == 1,
+              s"unsupported WAV channel count ${le16(body + 2)} (mono only)")
+            require(le16(body + 14) == 16,
+              s"unsupported WAV sample width ${le16(body + 14)} (16-bit only)")
+            sampleRate = le32(body + 4).toInt
+            require(sampleRate > 0, "WAV sample rate out of bounds")
+            fmtSeen = true
+          case "data" =>
+            require(fmtSeen, "WAV data chunk before fmt chunk")
+            require(size % 2 == 0, "WAV 16-bit data chunk has odd length")
+            data = java.util.Arrays.copyOfRange(bytes, body, body + size.toInt)
+          case _ => () // unknown chunk (LIST, fact, ...): skip by size
+        }
+        i = body + size.toInt + (size.toInt & 1) // RIFF pads odd chunks
+      }
+      require(fmtSeen, "WAV missing fmt chunk")
+      require(data != null, "WAV missing data chunk")
+      val samples = new Array[Short](data.length / 2)
+      var s = 0
+      while (s < samples.length) {
+        samples(s) =
+          (((data(2 * s + 1) & 0xff) << 8) | (data(2 * s) & 0xff)).toShort
+        s += 1
+      }
+      Audio(sampleRate, samples)
+    }
+
+    def encode(a: Audio): Array[Byte] = {
+      val dataLen = a.samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(16)
+      bb.putShort(1)                     // PCM
+      bb.putShort(1)                     // mono
+      bb.putInt(a.sampleRate)
+      bb.putInt(a.sampleRate * 2)        // byte rate
+      bb.putShort(2)                     // block align
+      bb.putShort(16)                    // bits per sample
+      bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(dataLen)
+      a.samples.foreach(bb.putShort)
+      bb.array()
+    }
+  }
+
+  /** Synthesized audio geometry: consecutive text-byte PAIRS become one
+    * little-endian 16-bit sample, shifted by −16384 so the ASCII byte
+    * range yields sign changes (text right-padded with 'x' to an even
+    * length); mono at [[WavSampleRate]] Hz. Removing the offset from the
+    * decoded samples reconstructs the padded text byte-for-byte, which is
+    * what lets DuckDB md5-check the decoded samples from `text` directly.
+    */
+  val WavSampleRate = 8000
+  private val WavOffset = 16384
+
+  case class WavFeature(
+      doc_id: Long, n_samples: Long, sample_rate: Long, duration_s: Double,
+      peak: Long, rms: Double, zero_cross: Long, data_fp: String)
+
+  /** Audio decode + per-clip signal features — REAL audio path (completes
+    * the image/PPM + video/Y4M + audio/WAV real-format triple): each
+    * document's payload becomes a complete, spec-valid RIFF/WAVE PCM file
+    * via the real encoder and is parsed back by [[WavCodec.decode]]'s
+    * chunk walk; peak/RMS/zero-crossing come from the DECODED samples
+    * (exact integer accumulation, one final division), and the md5 of the
+    * byte stream reconstructed from the decoded samples (offset removed —
+    * byte-identical to the padded text iff nothing was lost) proves the
+    * sample round-trip. Partition-local mapPartitions, iterator-streamed,
+    * no shuffle.
+    */
+  def wavFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.load(spark, dir, "documents")
+      .where("n_chars > 0").select("doc_id", "text")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val text = r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val padded =
+            if (text.length % 2 == 0) text
+            else java.util.Arrays.copyOf(text, text.length + 1)
+          if (text.length % 2 != 0) padded(text.length) = 'x'.toByte
+          val samples = Array.tabulate(padded.length / 2)(i =>
+            ((((padded(2 * i + 1) & 0xff) << 8) | (padded(2 * i) & 0xff))
+              - WavOffset).toShort)
+          val au = WavCodec.decode(
+            WavCodec.encode(WavCodec.Audio(WavSampleRate, samples)))
+          val n = au.samples.length
+          var peak = 0L; var sumSq = 0L; var zc = 0L
+          var i = 0
+          while (i < n) {
+            val v = au.samples(i).toLong
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sumSq += v * v
+            if (i > 0 && au.samples(i - 1).toLong * v < 0) zc += 1
+            i += 1
+          }
+          val dataBytes = new Array[Byte](n * 2)
+          var j = 0
+          while (j < n) {
+            dataBytes(2 * j) = au.samples(j).toByte
+            dataBytes(2 * j + 1) = ((au.samples(j) + WavOffset) >> 8).toByte
+            j += 1
+          }
+          WavFeature(docId, n.toLong, WavSampleRate.toLong,
+            n.toDouble / WavSampleRate, peak,
+            math.sqrt(sumSq.toDouble / n), zc, PpmCodec.md5Hex(dataBytes))
+        }
+      }(Encoders.product[WavFeature])
+    out.toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB replays the decoded samples from `text`: sample i =
+    * ord(char 2i+2)·256 + ord(char 2i+1) − 16384 over the padded text
+    * (all-ASCII, so char == byte), exact-integer peak/sumsq/zero-cross,
+    * and md5 of the padded text — which IS the data chunk byte-for-byte.
+    */
+  val wavFeaturesSql: String = {
+    val sr = WavSampleRate
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         rpad(text, (length(text) + length(text) % 2)::INT, 'x') AS px,
+       |         (length(text) + 1) // 2 AS n
+       |  FROM documents WHERE length(text) > 0),
+       |s AS (
+       |  SELECT doc_id, px, n,
+       |         list_transform(range(0, n), i ->
+       |           ord(substring(px, (2 * i + 2)::INT, 1)) * 256
+       |             + ord(substring(px, (2 * i + 1)::INT, 1)) - $WavOffset) AS sm
+       |  FROM w)
+       |SELECT doc_id, n::BIGINT AS n_samples, $sr::BIGINT AS sample_rate,
+       |       n::DOUBLE / $sr AS duration_s,
+       |       list_max(list_transform(sm, v -> abs(v)))::BIGINT AS peak,
+       |       sqrt(list_sum(list_transform(sm, v -> v * v))::DOUBLE / n) AS rms,
+       |       len(list_filter(range(2, (n + 1)::INT), i -> sm[(i - 1)::INT] * sm[i::INT] < 0))::BIGINT AS zero_cross,
+       |       md5(px) AS data_fp
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> metadata,
     "mm_frame_features" -> frameFeatures,
     "mm_resize" -> resizeQuery,
-    "mm_ppm_pixels" -> ppmPixels)
+    "mm_ppm_pixels" -> ppmPixels,
+    "mm_wav_features" -> wavFeatures)
 
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> metadataSql,
     "mm_frame_features" -> frameFeaturesSql,
     "mm_resize" -> resizeSql,
-    "mm_ppm_pixels" -> ppmPixelsSql)
+    "mm_ppm_pixels" -> ppmPixelsSql,
+    "mm_wav_features" -> wavFeaturesSql)
 }

@@ -1236,13 +1236,11 @@ object Similarity {
     val path = ensureIvfIndex(spark, dir)
     val aug = graft.TempDirs.scoped("ivf-incr") +
       s"/index_c${nCentroids(spark, dir)}"
-    spark.read.parquet(path)
-      .repartition(col("c_id"))
-      .sortWithinPartitions("c_id", "vec_id")
-      .write.mode("overwrite").partitionBy("c_id").parquet(aug)
-    val cent = indexCodebook(spark, path)
-    cent.coalesce(1).write.mode("overwrite").parquet(s"$aug/$CodebookDir")
-    listsManifestWrite(spark, aug, listsManifestRead(spark, path))
+    // hermeticity tax only: file-level tree copy (inverted lists,
+    // codebook, manifest, _SUCCESS travel verbatim) — the shared index
+    // stays immutable without a decode/shuffle/re-encode of its rows
+    graft.TempDirs.copyTree(spark, path, aug)
+    val cent = indexCodebook(spark, aug)
 
     val emb = embDouble(spark, dir)
     val w = 2 * IvfSplitMod
