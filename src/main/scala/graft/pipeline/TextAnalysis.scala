@@ -237,7 +237,74 @@ object TextAnalysis {
       |SELECT doc_id, term, tf, df, score, rk::BIGINT AS rk
       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Corpus-trained character-trigram language-model score — the CCNet-
+    * style "perplexity filter" shape every large-scale pretraining
+    * pipeline runs (train a small LM on the corpus, score every document,
+    * gate on the score), with two cross-engine determinism choices:
+    *
+    *  - LOG-FREE (the [[tfidf]] precedent): the score is the mean
+    *    smoothed conditional trigram probability, not mean log-prob —
+    *    `ln()` is libm-dependent and not bit-stable across engines, while
+    *    the monotone ORDERING of documents (what the downstream gate
+    *    consumes) is preserved for typical corpora.
+    *  - INTEGER-QUANTIZED before aggregation: each trigram's probability
+    *    `(c3+1)/(c2+V)` is scaled to parts-per-1e9 with pure integer
+    *    division, so the per-doc sum is an exact BIGINT in ANY
+    *    aggregation order — a double sum under a shuffle would be
+    *    fold-order-nondeterministic and break the hash oracle.
+    *
+    * Scale shape (the point of the entry): train = two partial-agg
+    * shuffles over exploded trigrams (c3 on trigram, c2 on its 2-char
+    * prefix); score = joins keyed on trigram/prefix against the count
+    * tables (char-trigram vocab is bounded — AQE broadcasts it), then one
+    * per-doc aggregation. No driver-side model state: the "model" IS a
+    * DataFrame, exactly how a 100 TB corpus would hold it.
+    */
+  val LmSmoothV = 128        // add-one smoothing denominator (alphabet size)
+  private val LmQScale = 1000000000L
+
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").where("n_chars >= 3")
+    val tris = docs.selectExpr("doc_id",
+      "explode(transform(sequence(1, CAST(n_chars AS INT) - 2), " +
+        "i -> substring(text, i, 3))) AS tri")
+    val c3 = tris.groupBy("tri").agg(count(lit(1)).as("c3"))
+    val pre = tris.selectExpr("substring(tri, 1, 2) AS bi")
+      .groupBy("bi").agg(count(lit(1)).as("c2"))
+    tris.withColumn("bi", expr("substring(tri, 1, 2)"))
+      .join(c3, "tri").join(pre, "bi")
+      .selectExpr("doc_id",
+        s"(c3 + 1) * $LmQScale div (c2 + $LmSmoothV) AS q")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum("q").as("lm_q"))
+      .selectExpr("doc_id", "n_tri", "lm_q",
+        s"round(CAST(lm_q AS DOUBLE) / (CAST(n_tri AS DOUBLE) * $LmQScale.0), 6) AS lm_score")
+      .orderBy("doc_id")
+  }
+
+  val lmScoreSql: String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |           WHERE length(text) >= 3),
+       |tris AS (SELECT doc_id,
+       |                unnest(list_transform(range(1, n - 1),
+       |                       i -> substring(text, i::INT, 3))) AS tri
+       |         FROM d),
+       |c3 AS (SELECT tri, count(*)::BIGINT AS c3 FROM tris GROUP BY 1),
+       |pre AS (SELECT substring(tri, 1, 2) AS bi, count(*)::BIGINT AS c2
+       |        FROM tris GROUP BY 1),
+       |q AS (SELECT t.doc_id,
+       |             ((c.c3 + 1) * $LmQScale) // (p.c2 + $LmSmoothV) AS q
+       |      FROM tris t
+       |      JOIN c3 c USING (tri)
+       |      JOIN pre p ON substring(t.tri, 1, 2) = p.bi),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS n_tri, sum(q)::BIGINT AS lm_q
+       |        FROM q GROUP BY 1)
+       |SELECT doc_id, n_tri, lm_q,
+       |       round(lm_q::DOUBLE / (n_tri::DOUBLE * $LmQScale.0), 6) AS lm_score
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> lmScore,
     "text_tokens" -> tokens,
     "text_langid" -> langId,
     "text_quality" -> quality,
@@ -246,6 +313,7 @@ object TextAnalysis {
     "text_tfidf" -> tfidf)
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" -> lmScoreSql,
     "text_tokens" -> tokensSql,
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,
