@@ -1267,30 +1267,33 @@ object Similarity {
     * [[graft.pipeline.Dedup.streamProbeBands]]): incoming vectors as an
     * unbounded stream, the persisted inverted lists as the STATIC join
     * side. The probe-list choice per vector is computed STATELESSLY — a
-    * rank window cannot run in streaming append mode, so the tiny
-    * codebook rides INSIDE the per-row expression as literals (the same
-    * parameter-server precedent as the trained-IVF codebook): each row
-    * computes all codebook rounded cosines, `array_sort` over
+    * rank window cannot run in streaming append mode, so the codebook
+    * rides as ONE broadcast array<struct> row cross-joined onto the
+    * stream (c_id-sorted for determinism): each row computes all
+    * codebook rounded cosines inside a `transform`, `array_sort` over
     * (negated sim, c_id) structs picks the [[NProbe]] probe lists, and
     * one stream-static equi join on list id scores the candidates. No
-    * watermark, no state store. Output is candidate-level
-    * (q_id, vec_id, sim) rows; final top-k is a downstream batch concern,
-    * exactly as the dedup twin emits band-level rows.
+    * watermark, no state store, and — unlike the previous
+    * literals-in-the-expression form — no codebook-size ceiling: at the
+    * adaptive cap (65,536 lists) literals would be ~4M constants in one
+    * expression tree, while the broadcast array is ~34 MB of data.
+    * Output is candidate-level (q_id, vec_id, sim) rows; final top-k is
+    * a downstream batch concern, exactly as the dedup twin emits
+    * band-level rows.
     */
-  def streamProbeIvf(incoming: DataFrame,
-      centRows: Seq[(Long, Seq[Double], Double)], idx: DataFrame)
+  def streamProbeIvf(incoming: DataFrame, cent: DataFrame, idx: DataFrame)
       : DataFrame = {
-    val probeArr = array(centRows.map { case (cid, cemb, cnrm) =>
-      struct(
-        (lit(0.0) - round(
-          call_function("graft_dot", col("emb"), typedlit(cemb)) /
-            (col("nrm") * lit(cnrm)), 6)).as("negsim"),
-        lit(cid).as("c_id"))
-    }: _*)
+    val centArr = cent.agg(array_sort(collect_list(
+      struct(col("c_id"), col("c_emb"), col("c_nrm")))).as("cents"))
     incoming
+      .crossJoin(broadcast(centArr))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"),
-        explode(slice(array_sort(probeArr), 1, NProbe)).as("probe"))
+        explode(expr(
+          s"""slice(array_sort(transform(cents, c -> named_struct(
+             |  'negsim', CAST(0 AS DOUBLE)
+             |    - round(graft_dot(emb, c.c_emb) / (nrm * c.c_nrm), 6),
+             |  'c_id', c.c_id))), 1, $NProbe)""".stripMargin)).as("probe"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
         col("probe.c_id").as("c_id"))
       .join(idx.selectExpr("CAST(c_id AS BIGINT) AS c_id", "vec_id",
@@ -1309,11 +1312,8 @@ object Similarity {
   def streamIncrementalIvf(spark: SparkSession, dir: String): DataFrame = {
     val path = ensureIvfIndex(spark, dir)
     val emb = embDouble(spark, dir)
-    val centRows = indexCodebook(spark, path)
-      .orderBy("c_id").collect().toSeq.map(r =>
-        (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-    streamProbeIvf(emb.where(s"vec_id % $IvfSplitMod = 0"), centRows,
-      spark.read.parquet(path))
+    streamProbeIvf(emb.where(s"vec_id % $IvfSplitMod = 0"),
+      indexCodebook(spark, path), spark.read.parquet(path))
       .orderBy("q_id", "vec_id")
   }
 

@@ -98,17 +98,15 @@ class IncrementalIvfSpec extends AnyFunSuite {
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
       .selectExpr("vec_id", "emb", "sqrt(graft_dot(emb, emb)) AS nrm")
     val wave = emb.where(s"vec_id % ${Similarity.IvfSplitMod} = 0")
-    val centRows = Similarity.indexCodebook(spark, indexPath)
-      .orderBy("c_id").collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val cent = Similarity.indexCodebook(spark, indexPath)
 
-    val want = Similarity.streamProbeIvf(wave, centRows, idx).collect()
+    val want = Similarity.streamProbeIvf(wave, cent, idx).collect()
       .map(_.toSeq).sortBy(_.toString)
 
     val rows = wave.as[(Long, Seq[Double], Double)].collect()
     val src = MemoryStream[(Long, Seq[Double], Double)]
     val q = Similarity.streamProbeIvf(
-        src.toDS().toDF("vec_id", "emb", "nrm"), centRows, idx)
+        src.toDS().toDF("vec_id", "emb", "nrm"), cent, idx)
       .writeStream.format("memory").queryName("ivf_probe")
       .outputMode("append")
       .start()
