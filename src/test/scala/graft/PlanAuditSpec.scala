@@ -39,7 +39,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * the join is exactly what turns filtered search into a hash join.
     */
   private val bnljQueryBatchOk = Set(
-    "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
+    "sim_bruteforce_topk", "sim_sq8_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
     "sim_ivfpq_topk", // coarse codebook broadcast: vec_id < NCentroids (16)
     "sim_recall_gate", "sim_recall_gate_x10",
     // incremental IVF: nearestLists crossJoins the broadcast 16-row
