@@ -676,13 +676,34 @@ object Dedup {
     * re-bucketed build never shadows an old layout. /tmp is the stand-in
     * for the warehouse path a deployment would use.
     */
-  def indexPath(dir: String): String =
+  def indexPath(spark: SparkSession, dir: String): String = {
+    val (rows, fp) = docsStats(spark, dir)
     "/tmp/graft_minhash_index/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_b$IndexBuckets"
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_b${IndexBuckets}_n${rows}_f$fp"
+  }
+
+  /** Memoized per-corpus stats from ONE aggregate pass: (row count,
+    * content fingerprint — an order-free hash-sum over (doc_id, text)).
+    * Folded into [[indexPath]] so a regenerated corpus at the same dir
+    * rebuilds instead of silently reusing a stale persisted index — the
+    * same round-10-hazard guard [[graft.pipeline.Similarity.corpusStats]]
+    * gives the IVF index family.
+    */
+  private val docsStatsCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  def docsStats(spark: SparkSession, dir: String): (Long, Long) =
+    docsStatsCache.getOrElseUpdate(dir, {
+      val r = Tables.load(spark, dir, "documents")
+        .agg(count(lit(1)),
+          sum(expr("CAST(pmod(hash(doc_id, text), 1000003) AS BIGINT)")))
+        .head()
+      (r.getLong(0), math.floorMod(r.getLong(1), 1000000007L))
+    })
 
   /** Bucket count of an already-built index, parsed back from its path. */
   private def bucketsOf(indexPath: String): Int = {
-    val m = "_b(\\d+)$".r.findFirstMatchIn(indexPath)
+    val m = "_b(\\d+)(?:_n\\d+_f\\d+)?$".r.findFirstMatchIn(indexPath)
     m.map(_.group(1).toInt).getOrElse(IndexBuckets)
   }
 
@@ -782,7 +803,7 @@ object Dedup {
     * on any store, not just local disk.
     */
   def ensureMinhashIndex(spark: SparkSession, dir: String): String = {
-    val path = indexPath(dir)
+    val path = indexPath(spark, dir)
     val (fs, root) = hadoopFs(spark, path)
     val committed =
       fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")) &&

@@ -40,7 +40,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
   }
 
   test("second run reuses the persisted index byte-for-byte") {
-    val path = Dedup.indexPath(dir)
+    val path = Dedup.indexPath(spark, dir)
     deleteRecursively(Paths.get(path))
 
     val first = Dedup.incrementalBatch(spark, dir).collect().toSeq
@@ -112,7 +112,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // 4 docs × B bands touch at most 16 buckets of the B×IndexBuckets dirs
     assert(roots.length <= 4 * Dedup.B,
       s"probe must open ≤${4 * Dedup.B} touched buckets, opened ${roots.length}")
-    val totalDirs = Files.list(Paths.get(Dedup.indexPath(dir))).iterator()
+    val totalDirs = Files.list(Paths.get(Dedup.indexPath(spark, dir))).iterator()
       .asScala.count(p => p.getFileName.toString.startsWith("band="))  *
       Dedup.IndexBuckets
     assert(roots.length < totalDirs,
