@@ -119,15 +119,111 @@ object Sketches {
       |       true AS approx_ok
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Count-min sketch geometry: d=4 independent hash rows × w cells — a
+    * FIXED counter array whatever the vocabulary size, mergeable cell-wise
+    * across any data split (the property that matters at 100 TB: per-shard
+    * sketches union by element-wise sum, no re-scan). Row hashes are affine
+    * maps of the shared [[graft.pipeline.TextAnalysis.FpMod]] polynomial
+    * fingerprint — exact integer arithmetic, replayable by the DuckDB
+    * oracle bit-for-bit. w is sized BELOW the synthetic corpus's fixed
+    * 31-token vocabulary on purpose: a w ≫ vocab sketch never collides and
+    * the emitted error surface would be vacuously zero — at w=16 over half
+    * the tokens collide, so `cms_over` exercises the εN overestimate (small
+    * relative to heavy hitters, swamping rare tokens — the textbook CMS
+    * trade) and the min-across-rows actually selects. A production run
+    * sizes w to the error budget (w = ⌈e/ε⌉), not the vocabulary.
+    */
+  val CmsW = 16
+  val CmsA: Seq[Long] = Seq(1L, 131L, 8191L, 524287L)
+  val CmsB: Seq[Long] = Seq(0L, 7L, 127L, 2047L)
+  val CmsTopK = 40
+
+  /** Count-min heavy hitters over document tokens — the OTHER canonical
+    * mergeable sketch next to HLL ([[hllRollup]]): HLL answers "how many
+    * distinct", CMS answers "how often does each" with a fixed-size counter
+    * array, the standard summary for term frequencies over an unbounded
+    * vocabulary. Plan shape for 100 TB: one map-side-combined token count
+    * (the only corpus-sized shuffle), then the sketch build aggregates the
+    * DISTINCT-token table into ≤ d·w = 4096 cells, and the estimate join
+    * broadcasts both the 4096-cell sketch and the top-K candidate set —
+    * nothing after the first exchange is corpus-proportional. The emitted
+    * `lower_bound_ok` gate (CMS never underestimates) is a structural
+    * invariant of the algorithm, hash-checked per candidate; `cms_over`
+    * exposes the collision overestimate the oracle replays exactly.
+    */
+  /** Per-token exact counts — the one corpus-sized (map-side-combined)
+    * shuffle; everything downstream is vocabulary- or cell-scale.
+    */
+  private[graft] def cmsTokenCounts(docs: DataFrame): DataFrame =
+    docs.selectExpr("explode(split(text, ' ')) AS w")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Each distinct token's d (row, cell) coordinates, count attached. */
+  private[graft] def cmsCells(toks: DataFrame): DataFrame = {
+    import graft.pipeline.TextAnalysis.{polyHashExpr, FpMod}
+    val cellArr = CmsA.indices.map(i =>
+      s"((ph * ${CmsA(i)}L + ${CmsB(i)}L) % ${FpMod}L) % $CmsW").mkString(", ")
+    toks.selectExpr("w", "cnt", s"${polyHashExpr("w")} AS ph")
+      .selectExpr("w", "cnt", s"posexplode(array($cellArr)) AS (r, cell)")
+  }
+
+  /** The d×w counter array as a (r, cell, cellsum) frame. Sketches built
+    * from disjoint corpus splits MERGE by cell-wise sum — the spec asserts
+    * sketch(A ∪ B) == sketch(A) ⊎ sketch(B) on the real builder.
+    */
+  private[graft] def cmsSketch(toks: DataFrame): DataFrame =
+    cmsCells(toks).groupBy("r", "cell").agg(sum("cnt").as("cellsum"))
+
+  def cmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = cmsTokenCounts(Tables.load(spark, dir, "documents"))
+    val cells = cmsCells(toks)
+    val sketch = cmsSketch(toks)
+    // global top-K by exact count: TakeOrderedAndProject (driver take of K
+    // rows per partition), not a range-partitioned sort — scale-safe
+    val cand = toks.orderBy(desc("cnt"), asc("w")).limit(CmsTopK)
+    val est = cells.join(broadcast(cand.select("w")), Seq("w"))
+      .join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy("w").agg(min("cellsum").as("cms_est"))
+    cand.join(est, Seq("w"))
+      .selectExpr("w AS token", "cnt AS exact_cnt", "cms_est",
+        "cms_est - cnt AS cms_over", "cms_est >= cnt AS lower_bound_ok")
+      .orderBy(desc("exact_cnt"), asc("token"))
+  }
+
+  val cmsHeavySql: String = {
+    import graft.pipeline.TextAnalysis.{polyHashSql, FpMod}
+    val rowSelects = CmsA.indices.map(i =>
+      s"SELECT w, cnt, $i AS r, ((ph * ${CmsA(i)} + ${CmsB(i)}) % $FpMod) % $CmsW AS cell FROM h"
+    ).mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |tc AS (SELECT w, count(*)::BIGINT AS cnt FROM tok GROUP BY w),
+       |h AS (SELECT w, cnt, ${polyHashSql("w")} AS ph FROM tc),
+       |cells AS (
+       |  $rowSelects),
+       |sketch AS (SELECT r, cell, sum(cnt)::BIGINT AS cellsum
+       |           FROM cells GROUP BY 1, 2),
+       |cand AS (SELECT w, cnt FROM tc ORDER BY cnt DESC, w LIMIT $CmsTopK),
+       |est AS (SELECT c.w, min(s.cellsum) AS cms_est
+       |        FROM cells c JOIN cand USING (w) JOIN sketch s USING (r, cell)
+       |        GROUP BY c.w)
+       |SELECT cand.w AS token, cand.cnt AS exact_cnt, est.cms_est,
+       |       est.cms_est - cand.cnt AS cms_over,
+       |       est.cms_est >= cand.cnt AS lower_bound_ok
+       |FROM cand JOIN est ON cand.w = est.w
+       |ORDER BY exact_cnt DESC, token""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sketch_stats" -> approxStats,
     "x_bounds_agg" -> boundsAgg,
-    "x_hll_rollup" -> hllRollup)
+    "x_hll_rollup" -> hllRollup,
+    "x_cms_heavy" -> cmsHeavy)
 
   val oracles: Map[String, String] = Map(
     "x_sketch_stats" -> approxStatsSql,
     "x_bounds_agg" -> boundsAggSql,
-    "x_hll_rollup" -> hllRollupSql)
+    "x_hll_rollup" -> hllRollupSql,
+    "x_cms_heavy" -> cmsHeavySql)
 }
 
 /** Typed `Aggregator` for a per-QID (min, max) interval — SURVEY §4.2's

@@ -608,6 +608,75 @@ object Similarity {
        |WHERE round(${cosineSql("a.emb", "b.emb", "a.nrm", "b.nrm")}, 6) >= $NearDupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC dedup: two
+    * documents are duplicates when their embeddings are near-parallel, even
+    * if they share no tokens (the case MinHash/SimHash structurally miss).
+    * The paper's construction, re-expressed Spark-first: (1) k-means
+    * clusters block the corpus — here the IVF coarse codebook
+    * ([[nCentroids]], corpus-adaptive, so per-cluster population stays near
+    * [[ListTarget]] whatever the corpus size); (2) pairwise cosine runs
+    * ONLY within a cluster (cluster-bounded quadratic: ~ListTarget·N pairs
+    * total, linear in N with a constant the codebook formula pins);
+    * (3) within each near-dup pair, the vector FARTHER from its centroid
+    * survives (the paper keeps low-centroid-similarity examples — they
+    * carry more information for training), ties broken by vec_id. A vector
+    * is dropped iff some same-cluster near-dup neighbor beats it under
+    * that order, so each connected dup group keeps exactly its extremal
+    * member — no iterative clustering needed.
+    *
+    * Plan shape at 100 TB: codebook broadcast + one vec_id window for
+    * assignment, self-join shuffled on c_id (both sides cluster-
+    * partitioned), and a broadcast anti-ish left join for the verdict.
+    * Threshold shares [[NearDupThreshold]] with [[embeddingNearDup]] —
+    * the two entries differ ONLY in blocking (label×LSH-band vs k-means
+    * cluster) and keep-rule, which is the actual design choice a pipeline
+    * owner makes between them.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val k = nCentroids(spark, dir)
+    val cent = emb.where(s"vec_id < $k")
+      .selectExpr("vec_id AS c_id", "emb AS c_emb", "nrm AS c_nrm")
+    val assigned = emb.crossJoin(broadcast(cent))
+      .selectExpr("vec_id", "emb", "nrm", "c_id",
+        s"round(${cosineExpr("emb", "c_emb", "nrm", "c_nrm")}, 6) AS csim")
+      .withColumn("crk", expr(
+        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
+      .where("crk = 1").select("vec_id", "emb", "nrm", "c_id", "csim")
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        expr("a.c_id = b.c_id AND a.vec_id <> b.vec_id"))
+      .where(expr(
+        s"round(${cosineExpr("a.emb", "b.emb", "a.nrm", "b.nrm")}, 6) >= $NearDupThreshold" +
+          " AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))"))
+      .selectExpr("a.vec_id AS vec_id").distinct()
+    assigned.join(dropped.withColumn("is_dropped", lit(1)), Seq("vec_id"), "left")
+      .selectExpr("vec_id", "c_id", "csim", "is_dropped IS NULL AS keep")
+      .orderBy("vec_id")
+  }
+
+  val semDedupSql: String =
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
+       |         WHERE vec_id < $nCentroidsSqlExpr),
+       |assigned AS (
+       |  SELECT vec_id, emb, nrm, c_id, csim FROM (
+       |    SELECT e.vec_id, e.emb, e.nrm, c.c_id,
+       |           round(${cosineSql("e.emb", "c.c_emb", "e.nrm", "c.c_nrm")}, 6) AS csim,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(${cosineSql("e.emb", "c.c_emb", "e.nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM emb e, cent c)
+       |  WHERE crk = 1),
+       |dropped AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
+       |  WHERE round(${cosineSql("a.emb", "b.emb", "a.nrm", "b.nrm")}, 6) >= $NearDupThreshold
+       |    AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id)))
+       |SELECT s.vec_id, s.c_id, s.csim, d.vec_id IS NULL AS keep
+       |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+
   // ------------------------------------------ product-quantization ANN
 
   /** PQ geometry: [[Dim]]=64 dims split into [[PqM]]=4 subspaces of
@@ -1628,6 +1697,7 @@ object Similarity {
     "sim_incremental_ivf" -> incrementalIvf,
     "sim_incremental_ivf_append" -> incrementalIvfAppend,
     "stream_incremental_ivf" -> streamIncrementalIvf,
+    "sim_semdedup" -> semDedup,
     "dedup_embedding_cosine" -> embeddingNearDup)
 
   val oracles: Map[String, String] = Map(
@@ -1645,5 +1715,6 @@ object Similarity {
     "sim_incremental_ivf" -> incrementalIvfSqlProbe,
     "sim_incremental_ivf_append" -> incrementalIvfSqlAppend,
     "stream_incremental_ivf" -> streamIncrementalIvfSql,
+    "sim_semdedup" -> semDedupSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql)
 }

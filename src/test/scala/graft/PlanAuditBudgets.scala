@@ -85,6 +85,9 @@ object PlanAuditBudgets {
     // a declared verification surface, constant methods regardless of sf
     "sim_recall_gate_x10" -> 9,
     "sim_lsh_multi_topk" -> 3, // bucket join, candidate dedup, score join
+    // assignment window (×2: self-join recomputes both sides), c_id-keyed
+    // pair join, dropped-set distinct, verdict join, presentation sort
+    "sim_semdedup" -> 8,
     "sql_shared_big_spenders" -> 2,
     "sql_shared_correlated_subquery" -> 2,
     "sql_shared_discount_revenue" -> 2,
@@ -142,6 +145,9 @@ object PlanAuditBudgets {
     "x_asof_join" -> 3,
     "x_bloom_semi_join" -> 3,
     "x_bounds_agg" -> 2,
+    // token count agg, 4096-cell sketch agg, candidate-min agg (broadcast
+    // joins contribute none), final presentation sort
+    "x_cms_heavy" -> 4,
     "x_cohort_retention" -> 4,
     "x_corr_stats" -> 2,
     "x_csv_gzip_roundtrip" -> 2,

@@ -44,7 +44,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_recall_gate", "sim_recall_gate_x10",
     // incremental IVF: nearestLists crossJoins the broadcast 16-row
     // codebook (vec_id < NCentroids) for list assignment / probe set
-    "sim_incremental_ivf", "sim_incremental_ivf_append")
+    "sim_incremental_ivf", "sim_incremental_ivf_append",
+    // SemDeDup cluster assignment: the same bounded coarse-codebook
+    // broadcast (vec_id < nCentroids, corpus-adaptive with a hard
+    // NCentroidsMax cap) as the IVF family
+    "sim_semdedup")
 
   /** A nested-loop/cross join is otherwise vetted iff its BROADCAST side
     * IS an aggregate frame (the 1-to-16-row stats/bounds/total rows every

@@ -25,6 +25,35 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min: never underestimates, and collisions actually occur") {
+    val rows = Sketches.cmsHeavy(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("lower_bound_ok"),
+        s"CMS underestimated '${r.getAs[String]("token")}'")
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"))
+    }
+    // w=16 < vocabulary by design: if nothing collides the error surface
+    // is vacuous and the entry stops testing the sketch at all
+    assert(rows.exists(_.getAs[Long]("cms_over") > 0),
+      "no colliding cells — CmsW is no longer exercising the min-across-rows path")
+  }
+
+  test("count-min: disjoint-split sketches merge by cell-wise sum") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      Sketches.cmsSketch(Sketches.cmsTokenCounts(df)).collect()
+        .map(r => (r.getAs[Int]("r"), r.getAs[Long]("cell")) -> r.getAs[Long]("cellsum"))
+        .toMap
+    val whole = sketchOf(docs)
+    val a = sketchOf(docs.where("doc_id % 2 = 0"))
+    val b = sketchOf(docs.where("doc_id % 2 = 1"))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole,
+      "cell-wise sum of split sketches diverged from the whole-corpus sketch")
+  }
+
   test("BoundsAgg matches min/max and works registered in SQL") {
     BoundsAgg.register(spark)
     graft.Tables.registerAll(spark, dir)

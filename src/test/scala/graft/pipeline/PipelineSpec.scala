@@ -214,6 +214,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup: drop rule matches a brute-force within-cluster replica") {
+    val out = Similarity.semDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("c_id"), r.getAs[Double]("csim"), r.getAs[Boolean]("keep")))
+      .toMap
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Double](1).toArray).toMap
+    assert(out.keySet == emb.keySet, "semdedup must verdict every vector")
+    assert(out.values.exists(!_._3) && out.values.exists(_._3),
+      "expected a mix of kept and dropped vectors at sf0.001")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCluster = out.groupBy(_._2._1)
+    out.foreach { case (v, (c, csim, keep)) =>
+      val beaten = byCluster(c).exists { case (o, (_, ocsim, _)) =>
+        o != v && cos(emb(v), emb(o)) >= Similarity.NearDupThreshold &&
+          (ocsim < csim || (ocsim == csim && o < v))
+      }
+      assert(keep == !beaten,
+        s"vec $v: keep=$keep but brute-force says beaten=$beaten")
+    }
+    // each connected near-dup group keeps its extremal member: kept vectors
+    // are never beaten, so at least one survivor exists per cluster
+    byCluster.foreach { case (c, members) =>
+      assert(members.values.exists(_._3), s"cluster $c kept nothing")
+    }
+  }
+
   test("y4m frame features demux every padded payload byte exactly once") {
     val fb = 3 * Multimodal.Y4mW * Multimodal.Y4mH
     val bytesPerDoc = Multimodal.binaryColumns(spark, dir)
