@@ -144,8 +144,8 @@ object Sketches {
     * array, the standard summary for term frequencies over an unbounded
     * vocabulary. Plan shape for 100 TB: one map-side-combined token count
     * (the only corpus-sized shuffle), then the sketch build aggregates the
-    * DISTINCT-token table into ≤ d·w = 4096 cells, and the estimate join
-    * broadcasts both the 4096-cell sketch and the top-K candidate set —
+    * DISTINCT-token table into ≤ d·w = 64 cells, and the estimate join
+    * broadcasts both the 64-cell sketch and the top-K candidate set —
     * nothing after the first exchange is corpus-proportional. The emitted
     * `lower_bound_ok` gate (CMS never underestimates) is a structural
     * invariant of the algorithm, hash-checked per candidate; `cms_over`
@@ -158,13 +158,20 @@ object Sketches {
     docs.selectExpr("explode(split(text, ' ')) AS w")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
+  /** The d cell coordinates of the fingerprint in `ph`, as one array
+    * expression — shared by the batch builder and the streaming twin.
+    */
+  private def cmsCellArrExpr: String = {
+    import graft.pipeline.TextAnalysis.FpMod
+    CmsA.indices.map(i =>
+      s"((ph * ${CmsA(i)}L + ${CmsB(i)}L) % ${FpMod}L) % $CmsW").mkString(", ")
+  }
+
   /** Each distinct token's d (row, cell) coordinates, count attached. */
   private[graft] def cmsCells(toks: DataFrame): DataFrame = {
-    import graft.pipeline.TextAnalysis.{polyHashExpr, FpMod}
-    val cellArr = CmsA.indices.map(i =>
-      s"((ph * ${CmsA(i)}L + ${CmsB(i)}L) % ${FpMod}L) % $CmsW").mkString(", ")
+    import graft.pipeline.TextAnalysis.polyHashExpr
     toks.selectExpr("w", "cnt", s"${polyHashExpr("w")} AS ph")
-      .selectExpr("w", "cnt", s"posexplode(array($cellArr)) AS (r, cell)")
+      .selectExpr("w", "cnt", s"posexplode(array($cmsCellArrExpr)) AS (r, cell)")
   }
 
   /** The d×w counter array as a (r, cell, cellsum) frame. Sketches built
@@ -174,20 +181,61 @@ object Sketches {
   private[graft] def cmsSketch(toks: DataFrame): DataFrame =
     cmsCells(toks).groupBy("r", "cell").agg(sum("cnt").as("cellsum"))
 
-  def cmsHeavy(spark: SparkSession, dir: String): DataFrame = {
-    val toks = cmsTokenCounts(Tables.load(spark, dir, "documents"))
-    val cells = cmsCells(toks)
-    val sketch = cmsSketch(toks)
+  /** Shared estimate-verdict tail: top-K exact candidates, per-candidate
+    * min-of-d-cells estimate from whichever `sketch` frame is supplied
+    * (batch-built or streamed state), `lower_bound_ok` gate.
+    */
+  private def cmsVerdict(toks: DataFrame, sketch: DataFrame): DataFrame = {
     // global top-K by exact count: TakeOrderedAndProject (driver take of K
     // rows per partition), not a range-partitioned sort — scale-safe
     val cand = toks.orderBy(desc("cnt"), asc("w")).limit(CmsTopK)
-    val est = cells.join(broadcast(cand.select("w")), Seq("w"))
+    val est = cmsCells(toks).join(broadcast(cand.select("w")), Seq("w"))
       .join(broadcast(sketch), Seq("r", "cell"))
       .groupBy("w").agg(min("cellsum").as("cms_est"))
     cand.join(est, Seq("w"))
       .selectExpr("w AS token", "cnt AS exact_cnt", "cms_est",
         "cms_est - cnt AS cms_over", "cms_est >= cnt AS lower_bound_ok")
       .orderBy(desc("exact_cnt"), asc("token"))
+  }
+
+  def cmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = cmsTokenCounts(Tables.load(spark, dir, "documents"))
+    cmsVerdict(toks, cmsSketch(toks))
+  }
+
+  /** The SAME count-min sketch maintained as LIVE STREAMING STATE: the
+    * documents table replays as [[graft.streaming.PacedReplay]] chunk files
+    * (8 micro-batches, file-backed — no driver-side row feed), each batch's
+    * token occurrences fold into a `groupBy(r, cell)` streaming aggregation
+    * whose state is the sketch itself — ≤ d·w = 64 rows FOREVER, however
+    * long the stream runs. That bounded-state property (vs the unbounded
+    * per-key state of a naive streaming `groupBy(token)`) is exactly why a
+    * 100 TB ingest keeps sketches, not exact counters, in its hot path.
+    * The entry then runs the [[cmsVerdict]] tail against the STREAMED
+    * sketch and shares [[cmsHeavySql]] as its oracle — so the hash gate
+    * asserts end-state equality between 8 incrementally-merged partial
+    * sketches and the one-shot batch build, in the real streaming engine
+    * (not a spec-side simulation).
+    */
+  def streamCmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.TextAnalysis.polyHashExpr
+    import graft.streaming.PacedReplay
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val stageDir = graft.TempDirs.scoped("cms-stage") + "/docs"
+    val rowsPerFile = math.max(1L, docs.count() / 8L).toInt
+    PacedReplay.stage(docs, Seq("doc_id"), rowsPerFile, stageDir)
+    val streamAgg = PacedReplay.stream(spark, stageDir, docs.schema)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .selectExpr(s"${polyHashExpr("w")} AS ph")
+      .selectExpr(s"posexplode(array($cmsCellArrExpr)) AS (r, cell)")
+      .groupBy("r", "cell").agg(count(lit(1)).as("cellsum"))
+    val qn = "graft_stream_cms_sketch"
+    val q = streamAgg.writeStream
+      .outputMode("complete").format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    cmsVerdict(cmsTokenCounts(docs), spark.table(qn))
   }
 
   val cmsHeavySql: String = {
@@ -217,13 +265,16 @@ object Sketches {
     "x_sketch_stats" -> approxStats,
     "x_bounds_agg" -> boundsAgg,
     "x_hll_rollup" -> hllRollup,
-    "x_cms_heavy" -> cmsHeavy)
+    "x_cms_heavy" -> cmsHeavy,
+    "stream_cms_heavy" -> streamCmsHeavy)
 
   val oracles: Map[String, String] = Map(
     "x_sketch_stats" -> approxStatsSql,
     "x_bounds_agg" -> boundsAggSql,
     "x_hll_rollup" -> hllRollupSql,
-    "x_cms_heavy" -> cmsHeavySql)
+    // streamed sketch must equal the batch build — same oracle by design
+    "x_cms_heavy" -> cmsHeavySql,
+    "stream_cms_heavy" -> cmsHeavySql)
 }
 
 /** Typed `Aggregator` for a per-QID (min, max) interval — SURVEY §4.2's

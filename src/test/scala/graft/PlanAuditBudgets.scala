@@ -94,6 +94,9 @@ object PlanAuditBudgets {
     "sql_shared_grouping_sets" -> 2,
     "sql_shared_intersect" -> 2,
     "sql_shared_left_join" -> 2,
+    // verdict tail over the streamed sketch (memory-sink scan): token
+    // count agg, candidate-min agg, presentation sort
+    "stream_cms_heavy" -> 4,
     "stream_dedup_first" -> 2,
     "stream_fads_region_sharded" -> 0,
     "stream_incremental_dedup" -> 3,
@@ -145,7 +148,7 @@ object PlanAuditBudgets {
     "x_asof_join" -> 3,
     "x_bloom_semi_join" -> 3,
     "x_bounds_agg" -> 2,
-    // token count agg, 4096-cell sketch agg, candidate-min agg (broadcast
+    // token count agg, 64-cell sketch agg, candidate-min agg (broadcast
     // joins contribute none), final presentation sort
     "x_cms_heavy" -> 4,
     "x_cohort_retention" -> 4,

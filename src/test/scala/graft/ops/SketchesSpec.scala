@@ -54,6 +54,16 @@ class SketchesSpec extends AnyFunSuite {
       "cell-wise sum of split sketches diverged from the whole-corpus sketch")
   }
 
+  test("streaming count-min equals the batch sketch and is re-runnable") {
+    val first = Sketches.streamCmsHeavy(spark, dir).collect().toSeq
+    // bench executes every entry multiple times in one session: the memory
+    // sink's queryName and the staged chunk dirs must not collide across runs
+    val second = Sketches.streamCmsHeavy(spark, dir).collect().toSeq
+    assert(first == second, "repeat run diverged")
+    val batch = Sketches.cmsHeavy(spark, dir).collect().toSeq
+    assert(first == batch, "streamed sketch state != one-shot batch sketch")
+  }
+
   test("BoundsAgg matches min/max and works registered in SQL") {
     BoundsAgg.register(spark)
     graft.Tables.registerAll(spark, dir)
