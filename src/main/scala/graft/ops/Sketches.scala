@@ -205,7 +205,7 @@ object Sketches {
 
   /** The SAME count-min sketch maintained as LIVE STREAMING STATE: the
     * documents table replays as [[graft.streaming.PacedReplay]] chunk files
-    * (8 micro-batches, file-backed — no driver-side row feed), each batch's
+    * (4 micro-batches, file-backed — no driver-side row feed), each batch's
     * token occurrences fold into a `groupBy(r, cell)` streaming aggregation
     * whose state is the sketch itself — ≤ d·w = 64 rows FOREVER, however
     * long the stream runs. That bounded-state property (vs the unbounded
@@ -213,7 +213,7 @@ object Sketches {
     * 100 TB ingest keeps sketches, not exact counters, in its hot path.
     * The entry then runs the [[cmsVerdict]] tail against the STREAMED
     * sketch and shares [[cmsHeavySql]] as its oracle — so the hash gate
-    * asserts end-state equality between 8 incrementally-merged partial
+    * asserts end-state equality between the incrementally-merged partial
     * sketches and the one-shot batch build, in the real streaming engine
     * (not a spec-side simulation).
     */
@@ -222,7 +222,7 @@ object Sketches {
     import graft.streaming.PacedReplay
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
     val stageDir = graft.TempDirs.scoped("cms-stage") + "/docs"
-    val rowsPerFile = math.max(1L, docs.count() / 8L).toInt
+    val rowsPerFile = math.max(1L, docs.count() / 4L).toInt
     PacedReplay.stage(docs, Seq("doc_id"), rowsPerFile, stageDir)
     val streamAgg = PacedReplay.stream(spark, stageDir, docs.schema)
       .selectExpr("explode(split(text, ' ')) AS w")

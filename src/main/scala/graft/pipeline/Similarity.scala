@@ -637,12 +637,28 @@ object Similarity {
     val k = nCentroids(spark, dir)
     val cent = emb.where(s"vec_id < $k")
       .selectExpr("vec_id AS c_id", "emb AS c_emb", "nrm AS c_nrm")
-    val assigned = emb.crossJoin(broadcast(cent))
-      .selectExpr("vec_id", "emb", "nrm", "c_id",
-        s"round(${cosineExpr("emb", "c_emb", "nrm", "c_nrm")}, 6) AS csim")
-      .withColumn("crk", expr(
-        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
-      .where("crk = 1").select("vec_id", "emb", "nrm", "c_id", "csim")
+    // Assignment argmax as a MAP-SIDE-COMBINABLE aggregate, not a window:
+    // a row_number window over the N×K crossJoin would shuffle all N×K
+    // rows WITH the 64-double vector riding along (×100 measured: 163 s,
+    // ~27 GB exchanged, vs 8.5 s for the entire pairwise phase). The
+    // struct-max agg carries only (csim, c_id), collapses to one row per
+    // vec BEFORE the exchange (each vector's K candidate rows are
+    // partition-local to the broadcast join), and the vectors rejoin by
+    // key afterwards. max(struct(csim, -c_id)) == ORDER BY csim DESC,
+    // c_id ASC — identical tie-breaks, identical assignment. Cached: the
+    // plan reads `assigned` three times (both self-join sides + verdict);
+    // harness clearCache releases it. A production run reads assignments
+    // straight from the persisted IVF index ([[incrementalIvf]]) instead
+    // of recomputing them at all.
+    val best = emb.crossJoin(broadcast(cent))
+      .selectExpr("vec_id",
+        s"named_struct('csim', round(${cosineExpr("emb", "c_emb", "nrm", "c_nrm")}, 6), " +
+          "'nci', -c_id) AS sc")
+      .groupBy("vec_id").agg(max("sc").as("sc"))
+      .selectExpr("vec_id", "sc.csim AS csim", "-sc.nci AS c_id")
+    val assigned = emb.join(best, Seq("vec_id"))
+      .select("vec_id", "emb", "nrm", "c_id", "csim")
+      .cache()
     val dropped = assigned.as("a").join(assigned.as("b"),
         expr("a.c_id = b.c_id AND a.vec_id <> b.vec_id"))
       .where(expr(

@@ -85,8 +85,10 @@ object PlanAuditBudgets {
     // a declared verification surface, constant methods regardless of sf
     "sim_recall_gate_x10" -> 9,
     "sim_lsh_multi_topk" -> 3, // bucket join, candidate dedup, score join
-    // assignment window (×2: self-join recomputes both sides), c_id-keyed
-    // pair join, dropped-set distinct, verdict join, presentation sort
+    // assignment argmax agg + emb rejoin (the cached `assigned` subtree,
+    // appearing on both self-join sides), c_id-keyed pair join, dropped-set
+    // distinct, verdict join, presentation sort — ceiling pinned at the
+    // AQE-off static count
     "sim_semdedup" -> 8,
     "sql_shared_big_spenders" -> 2,
     "sql_shared_correlated_subquery" -> 2,
