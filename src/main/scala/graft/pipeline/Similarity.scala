@@ -343,7 +343,8 @@ object Similarity {
     val cent = emb.where(s"vec_id < ${nCentroids(spark, dir)}")
       .selectExpr("vec_id AS c_id", "emb AS c_emb", "nrm AS c_nrm")
     def nearestCentroids(src: DataFrame, idAs: String, keep: Int): DataFrame =
-      src.crossJoin(broadcast(cent))
+      if (keep == 1) assignOne(src, cent, idAs, "c_id", "c_emb", "c_nrm", "csim", "crk")
+      else src.crossJoin(broadcast(cent))
         .selectExpr(s"vec_id AS $idAs", "emb", "nrm", "c_id",
           s"round(${cosineExpr("emb", "c_emb", "nrm", "c_nrm")}, 6) AS csim")
         .withColumn("crk", expr(
@@ -432,12 +433,11 @@ object Similarity {
       emb.where(s"vec_id < ${nCentroids(spark, dir)}")
         .selectExpr("vec_id AS c_id", "emb AS c_emb"))
     for (_ <- 1 to KmRounds) {
-      val assigned = emb.crossJoin(broadcast(cent))
-        .selectExpr("vec_id", "emb", "c_id",
-          s"round(${cosineExpr("emb", "c_emb", "nrm", "c_nrm")}, 6) AS csim")
-        .withColumn("crk", expr(
-          "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)"))
-        .where("crk = 1")
+      // combinable argmax, not a window — see [[assignOne]] (the Lloyd
+      // loop re-assigns the WHOLE corpus every round, so the fat-payload
+      // window shuffle would be paid KmRounds+1 times here)
+      val assigned = assignOne(emb, cent, "vec_id", "c_id", "c_emb", "c_nrm",
+        "csim", "crk")
       val qsums = (0 until Dim).map(i =>
         sum(expr(s"CAST(floor(element_at(emb, ${i + 1}) * $QScale.0 + 0.5) AS BIGINT)")).as(s"s$i"))
       val meanArr = (0 until Dim)
@@ -449,7 +449,8 @@ object Similarity {
           .selectExpr("c_id", s"$meanArr AS c_emb"))
     }
     def nearest(src: DataFrame, idAs: String, keep: Int): DataFrame =
-      src.crossJoin(broadcast(cent))
+      if (keep == 1) assignOne(src, cent, idAs, "c_id", "c_emb", "c_nrm", "csim", "crk")
+      else src.crossJoin(broadcast(cent))
         .selectExpr(s"vec_id AS $idAs", "emb", "nrm", "c_id",
           s"round(${cosineExpr("emb", "c_emb", "nrm", "c_nrm")}, 6) AS csim")
         .withColumn("crk", expr(
@@ -637,26 +638,14 @@ object Similarity {
     val k = nCentroids(spark, dir)
     val cent = emb.where(s"vec_id < $k")
       .selectExpr("vec_id AS c_id", "emb AS c_emb", "nrm AS c_nrm")
-    // Assignment argmax as a MAP-SIDE-COMBINABLE aggregate, not a window:
-    // a row_number window over the N×K crossJoin would shuffle all N×K
-    // rows WITH the 64-double vector riding along (×100 measured: 163 s,
-    // ~27 GB exchanged, vs 8.5 s for the entire pairwise phase). The
-    // struct-max agg carries only (csim, c_id), collapses to one row per
-    // vec BEFORE the exchange (each vector's K candidate rows are
-    // partition-local to the broadcast join), and the vectors rejoin by
-    // key afterwards. max(struct(csim, -c_id)) == ORDER BY csim DESC,
-    // c_id ASC — identical tie-breaks, identical assignment. Cached: the
-    // plan reads `assigned` three times (both self-join sides + verdict);
-    // harness clearCache releases it. A production run reads assignments
-    // straight from the persisted IVF index ([[incrementalIvf]]) instead
-    // of recomputing them at all.
-    val best = emb.crossJoin(broadcast(cent))
-      .selectExpr("vec_id",
-        s"named_struct('csim', round(${cosineExpr("emb", "c_emb", "nrm", "c_nrm")}, 6), " +
-          "'nci', -c_id) AS sc")
-      .groupBy("vec_id").agg(max("sc").as("sc"))
-      .selectExpr("vec_id", "sc.csim AS csim", "-sc.nci AS c_id")
-    val assigned = emb.join(best, Seq("vec_id"))
+    // [[assignOne]]: combinable-argmax assignment (the window form cost
+    // 163 s at ×100 — the fat-payload shuffle, vs 8.5 s for the entire
+    // pairwise phase). Cached: the plan reads `assigned` three times (both
+    // self-join sides + verdict); harness clearCache releases it. A
+    // production run reads assignments straight from the persisted IVF
+    // index ([[incrementalIvf]]) instead of recomputing them at all.
+    val assigned = assignOne(emb, cent, "vec_id", "c_id", "c_emb", "c_nrm",
+        "csim", "crk")
       .select("vec_id", "emb", "nrm", "c_id", "csim")
       .cache()
     val dropped = assigned.as("a").join(assigned.as("b"),
@@ -907,7 +896,8 @@ object Similarity {
     val gcent = emb.where(s"vec_id < ${nCentroids(spark, dir)}")
       .selectExpr("vec_id AS g_id", "emb AS g_emb", "nrm AS g_nrm")
     def nearestCoarse(src: DataFrame, idAs: String, keep: Int): DataFrame =
-      src.crossJoin(broadcast(gcent))
+      if (keep == 1) assignOne(src, gcent, idAs, "g_id", "g_emb", "g_nrm", "gsim", "grk")
+      else src.crossJoin(broadcast(gcent))
         .selectExpr(s"vec_id AS $idAs", "emb", "nrm", "g_id",
           s"round(${cosineExpr("emb", "g_emb", "nrm", "g_nrm")}, 6) AS gsim")
         .withColumn("grk", expr(
@@ -1248,13 +1238,42 @@ object Similarity {
     spark.read.parquet(s"$indexPath/$CodebookDir")
   }
 
+  /** Rank-1 centroid assignment as a MAP-SIDE-COMBINABLE argmax, shared by
+    * every keep=1 site in the ANN family: a row_number window over the N×K
+    * crossJoin shuffles all N×K candidate rows WITH the 64-double vector
+    * riding along (×100 measured: the window form cost `sim_ivf_topk`
+    * 122 s, ~27 GB exchanged); `max(struct(csim, -cid))` carries only the
+    * score pair, collapses to one row per vector BEFORE the exchange
+    * (each vector's K candidate rows are partition-local to the broadcast
+    * join), and the vectors rejoin by key. Identical semantics to
+    * `ORDER BY csim DESC, cid ASC` rank-1 — struct comparison is
+    * lexicographic and `-cid` turns min-id tiebreak into max. Output
+    * schema matches the window form (id, emb, nrm, cid, sim, rk=1).
+    */
+  private def assignOne(src: DataFrame, cent: DataFrame, idAs: String,
+      cid: String, cemb: String, cnrm: String, simAs: String,
+      rkAs: String): DataFrame = {
+    val best = src.crossJoin(broadcast(cent))
+      .selectExpr("vec_id",
+        s"named_struct('s', round(${cosineExpr("emb", cemb, "nrm", cnrm)}, 6), " +
+          s"'nci', -$cid) AS sc")
+      .groupBy("vec_id").agg(max("sc").as("sc"))
+      .selectExpr("vec_id", s"sc.s AS $simAs", s"-sc.nci AS $cid")
+    src.join(best, Seq("vec_id"))
+      .selectExpr(s"vec_id AS $idAs", "emb", "nrm", cid, simAs,
+        s"CAST(1 AS INT) AS $rkAs")
+  }
+
   /** `src` rows tagged with their `keep` nearest coarse centroids
     * (rank-1 = list assignment; rank ≤ [[NProbe]] = probe set). Rounded
-    * cosine with c_id tiebreak, so both engines agree exactly.
+    * cosine with c_id tiebreak, so both engines agree exactly. keep=1
+    * routes through [[assignOne]] (combinable aggregate — the corpus-sized
+    * case); the window form only ever ranks query batches (Q×K rows).
     */
   private def nearestLists(src: DataFrame, cent: DataFrame, idAs: String,
       keep: Int): DataFrame =
-    src.crossJoin(broadcast(cent))
+    if (keep == 1) assignOne(src, cent, idAs, "c_id", "c_emb", "c_nrm", "csim", "crk")
+    else src.crossJoin(broadcast(cent))
       .selectExpr(s"vec_id AS $idAs", "emb", "nrm", "c_id",
         s"round(${cosineExpr("emb", "c_emb", "nrm", "c_nrm")}, 6) AS csim")
       .withColumn("crk", expr(
