@@ -89,15 +89,52 @@ object Formats {
   val partitionedRoundTripSql: String = aggregateSql.replace(
     "FROM events GROUP BY 1", "FROM events WHERE event_type = 'click' GROUP BY 1")
 
+  /** DYNAMIC partition pruning — the star-join sibling of
+    * [[partitionedRoundTrip]]'s static pruning: the fact table is written
+    * hive-partitioned by day, and the filter that prunes its scan is NOT a
+    * literal but the runtime key set of a broadcast-joined dimension (the
+    * even days). Catalyst plants a `dynamicpruningexpression` in the fact
+    * scan's PartitionFilters, so only the dimension's surviving days are
+    * ever read — at 100 TB this is the difference between scanning a year
+    * and scanning the week the dimension selects, with no literal in the
+    * query to push statically. `DppSpec` pins the plan shape (the scan
+    * must carry the dynamic filter); the oracle recomputes the aggregate
+    * with the same even-day predicate, so missing or extra partitions
+    * break the hash.
+    */
+  private[ops] def dppJoined(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempDirs.scoped("fmt-dpp") + "/data"
+    payload(spark, dir)
+      .withColumn("day", expr("ts_us div 86400000000L"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    // the dim's day set is only known at runtime (distinct over the raw
+    // table), typed to match the inferred INT partition column so the
+    // join key needs no cast on the partition side
+    val dim = Tables.load(spark, dir, "events")
+      .selectExpr(s"CAST(${Tables.tsNanosToDaysSql("ts")} AS INT) AS day")
+      .distinct()
+      .where("pmod(day, 2) = 0")
+    spark.read.parquet(out).join(broadcast(dim), "day")
+  }
+
+  def dppJoin(spark: SparkSession, dir: String): DataFrame =
+    aggregate(dppJoined(spark, dir))
+
+  val dppJoinSql: String = aggregateSql.replace(
+    "FROM events GROUP BY 1",
+    "FROM events WHERE (epoch_ns(ts) // 86400000000000) % 2 = 0 GROUP BY 1")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_orc_roundtrip" -> orcRoundTrip,
     "x_jsonl_roundtrip" -> jsonlRoundTrip,
     "x_csv_gzip_roundtrip" -> csvGzipRoundTrip,
-    "x_partitioned_roundtrip" -> partitionedRoundTrip)
+    "x_partitioned_roundtrip" -> partitionedRoundTrip,
+    "x_dpp_join" -> dppJoin)
 
   val oracles: Map[String, String] = Map(
     "x_orc_roundtrip" -> aggregateSql,
     "x_jsonl_roundtrip" -> aggregateSql,
     "x_csv_gzip_roundtrip" -> aggregateSql,
-    "x_partitioned_roundtrip" -> partitionedRoundTripSql)
+    "x_partitioned_roundtrip" -> partitionedRoundTripSql,
+    "x_dpp_join" -> dppJoinSql)
 }

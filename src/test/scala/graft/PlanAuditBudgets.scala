@@ -159,6 +159,9 @@ object PlanAuditBudgets {
     "x_csv_permissive" -> 1,
     "x_cube" -> 2,
     "x_data_quality" -> 4,
+    // dim distinct agg, final agg, presentation sort; the fact join is a
+    // broadcast (DPP subquery reuses the dim exchange)
+    "x_dpp_join" -> 4,
     "x_date_funcs" -> 1,
     "x_dense_ids" -> 2,
     "x_equidepth_bins" -> 4,
