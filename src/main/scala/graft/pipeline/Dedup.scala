@@ -628,6 +628,99 @@ object Dedup {
        |       n_dup_spans::DOUBLE / n_spans::DOUBLE AS dup_ratio
        |FROM per ORDER BY doc_id""".stripMargin
 
+  // ---- content-defined chunking (CDC) duplicate chunks ----
+
+  /** CDC rolling-window width (tokens) and boundary mask: a chunk boundary
+    * falls after any token whose trailing [[CdcWindow]]-token rolling hash
+    * is ≡ 0 mod [[CdcMask]] — expected chunk length ≈ CdcMask tokens.
+    */
+  val CdcWindow = 3
+  val CdcMask = 8
+
+  /** CONTENT-DEFINED chunking dedup — the storage-dedup classic (Muthitacharoen
+    * et al., LBFS; the technique behind rsync/restic-style chunk stores),
+    * applied to text: chunk boundaries are chosen by the CONTENT (rolling-
+    * hash condition), not by fixed offsets, so inserting or deleting one
+    * token shifts only the chunk it lands in — every later chunk keeps its
+    * byte identity and keeps deduplicating. That shift-tolerance is exactly
+    * what [[graft.pipeline.CorpusOps.chunkDocuments]]'s fixed-size split
+    * lacks, and it differs from [[substringSpans]] too: spans slide a
+    * window over EVERY position (dense, O(tokens) span rows with 16× token
+    * payload); CDC emits each token into exactly ONE chunk (sparse — the
+    * chunk stream is the same size as the token stream).
+    *
+    * Plan shape at 100 TB: explode to tokens, ONE doc_id-partitioned window
+    * pass (rolling hash via two lags, char offsets + chunk ids via running
+    * sums over the same window spec — Spark plans all four functions in a
+    * single WindowExec, one exchange), then the chunk aggregate reuses the
+    * doc_id partitioning (zero extra exchange), one join back to doc text
+    * for fingerprinting, and a token-free groupBy on the fingerprint.
+    * Nothing is pairwise; per-doc state is bounded by doc length.
+    *
+    * Output: every chunk fingerprint occurring in ≥2 distinct docs, with
+    * occurrence counts — the chunk-store dedup ledger.
+    */
+  /** Per-(doc, chunk) fingerprints from any (doc_id, text) frame — the CDC
+    * core, factored so the spec can prove shift-tolerance on synthetic
+    * docs. Caller must have `graft_polyhash` registered (Tables.load does).
+    */
+  private[graft] def cdcChunkFingerprints(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (p0, w)")
+      .selectExpr("doc_id", "CAST(p0 + 1 AS BIGINT) AS pos", "w")
+    val dw = "PARTITION BY doc_id ORDER BY pos"
+    val run = s"$dw ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    val flagged = tok.selectExpr("doc_id", "pos", "w",
+      s"coalesce(sum(length(w) + 1) OVER ($run), 0) + 1 AS tok_start",
+      s"""CASE WHEN pos >= $CdcWindow AND pmod(${polyHashExpr(
+        s"concat_ws(' ', lag(w, 2) OVER ($dw), lag(w, 1) OVER ($dw), w)")}, $CdcMask) = 0
+         THEN 1 ELSE 0 END AS bflag""")
+    val chunked = flagged.selectExpr("doc_id", "w", "tok_start",
+        s"coalesce(sum(bflag) OVER ($run), 0) AS chunk")
+      .groupBy("doc_id", "chunk")
+      .agg(min("tok_start").as("cs"),
+        max(expr("tok_start + length(w) - 1")).as("ce"))
+    chunked.join(docs.select("doc_id", "text"), "doc_id")
+      .selectExpr("doc_id",
+        s"${polyHashExpr("substring(text, CAST(cs AS INT), CAST(ce - cs + 1 AS INT))")} AS fp",
+        "CAST(ce - cs + 1 AS BIGINT) AS len_chars")
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkFingerprints(Tables.load(spark, dir, "documents")).groupBy("fp")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+        min("len_chars").as("len_chars"))
+      .where("n_docs >= 2")
+      .orderBy("fp")
+
+  val cdcChunksSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS pos
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+       |fl AS (
+       |  SELECT doc_id, pos, w,
+       |    coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS tok_start,
+       |    CASE WHEN pos >= $CdcWindow AND ${polyHashSql(
+      "concat_ws(' ', lag(w, 2) OVER dw, lag(w, 1) OVER dw, w)")} % $CdcMask = 0
+       |         THEN 1 ELSE 0 END AS bflag
+       |  FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |ch AS (
+       |  SELECT doc_id, w, tok_start,
+       |    coalesce(sum(bflag) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM fl),
+       |cb AS (SELECT doc_id, chunk, min(tok_start) AS cs,
+       |              max(tok_start + length(w) - 1) AS ce
+       |       FROM ch GROUP BY 1, 2),
+       |fps AS (SELECT c.doc_id,
+       |               ${polyHashSql("substring(d.text, cs::INT, (ce - cs + 1)::INT)")} AS fp,
+       |               (ce - cs + 1)::BIGINT AS len_chars
+       |        FROM cb c JOIN documents d ON c.doc_id = d.doc_id)
+       |SELECT fp, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ,
+       |       min(len_chars)::BIGINT AS len_chars
+       |FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2 ORDER BY fp""".stripMargin
+
   // ---- incremental (cross-run) dedup against a persisted MinHash index ----
 
   /** Historical/incoming split for the incremental entries: a deterministic
@@ -1268,6 +1361,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_simhash_wide" -> simhashWide,
     "dedup_substring_spans" -> substringSpans,
+    "dedup_cdc_chunks" -> cdcChunks,
     "dedup_incremental_index" -> incrementalIndex,
     "dedup_incremental_batch" -> incrementalBatch,
     "dedup_incremental_batch_pruned" -> incrementalBatchPruned,
@@ -1287,6 +1381,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_simhash_wide" -> simhashWideSql,
     "dedup_substring_spans" -> substringSpansSql,
+    "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_incremental_index" -> incrementalIndexSql,
     "dedup_incremental_batch" -> incrementalBatchSql,
     "dedup_incremental_batch_pruned" -> incrementalBatchSql,

@@ -31,6 +31,10 @@ object PlanAuditBudgets {
     "dedup_simhash" -> 2,
     "dedup_simhash_pairs" -> 2,
     "dedup_simhash_wide" -> 2,
+    // token window pass (all four window fns share one doc_id exchange),
+    // chunk agg reuses the partitioning, doc-text join, fp count-distinct
+    // agg pair, presentation sort
+    "dedup_cdc_chunks" -> 6,
     "dedup_substring_spans" -> 3,
     "mm_frame_features" -> 1,
     "mm_wav_features" -> 1,

@@ -248,6 +248,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc chunking is shift-tolerant where fixed-size chunking is not") {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "documents") // registers graft_polyhash
+    val base = (1 to 120).map(i => s"tok${i % 37}").mkString(" ")
+    val shifted = "INSERTED " + base // one token prepended at the front
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val fps = Dedup.cdcChunkFingerprints(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rows) => d -> rows.map(_.getAs[Long]("fp")).toSet }
+    val survived = (fps(1L) & fps(2L)).size
+    // content-defined boundaries resynchronize after the edit: most of the
+    // original chunks keep their byte identity in the shifted doc
+    assert(survived * 2 >= fps(1L).size,
+      s"only $survived of ${fps(1L).size} chunks survived a 1-token prepend")
+    // the fixed-size strawman on the same pair: offset-based chunks all
+    // change when everything shifts by 9 chars
+    val fixedA = base.grouped(40).toSet
+    val fixedB = shifted.grouped(40).toSet
+    assert((fixedA & fixedB).isEmpty,
+      "fixed-size chunking unexpectedly survived the shift — strawman broken")
+  }
+
   test("y4m frame features demux every padded payload byte exactly once") {
     val fb = 3 * Multimodal.Y4mW * Multimodal.Y4mH
     val bytesPerDoc = Multimodal.binaryColumns(spark, dir)
