@@ -110,6 +110,7 @@ object SparkEntry {
       pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
+      pipeline.Retrieval.all ++
       pipeline.Multimodal.all ++ Map(
       // reporting surface: flat `q_lo`/`q_hi` doubles (GenEvent shape) — the
       // struct API stays for library callers, but driver-facing output must
@@ -225,6 +226,7 @@ object SparkEntry {
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
+      pipeline.Retrieval.oracles ++
       pipeline.Multimodal.oracles ++
       ops.FadsOracle.oracles ++
       Map(

@@ -112,7 +112,24 @@ object PlanAuditBudgets {
     "stream_sliding_counts" -> 2,
     "stream_static_enrich" -> 2,
     "stream_window_counts" -> 2,
+    // stateless doc-routing core: payload agg + its stats/qterms join,
+    // presentation sort
+    "stream_bm25_route" -> 3,
     "taxi_fads_replay" -> 1,
+    // BM25 full-scan baseline: tf agg, df agg, meta agg, (q,doc) score
+    // agg, per-query top-k window, presentation sort, + the broadcast
+    // qstats subtree's own agg — the verification anchor; the production
+    // path is the index probe at 4
+    "text_bm25_topk" -> 7,
+    // build readback: per-bucket aggs over postings (distinct-term double
+    // agg) and stats, summary join
+    "text_bm25_index" -> 4,
+    // pruned probe: score agg, top-k window, sort, meta agg — postings
+    // arrive pre-bucketed, no build-side shuffles
+    "text_bm25_index_topk" -> 4,
+    // returned plan = the same pruned probe over the augmented index
+    // (the bucket-wise upsert runs before the returned frame is built)
+    "text_bm25_append" -> 4,
     "taxi_inv_replay" -> 1,
     "taxi_parse" -> 1,
     "text_bigrams" -> 1,

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The BM25 inverted-index family's non-oracle invariants: driver-side
+  * hash parity (the pruning metadata), cross-run index reuse, pruned-probe
+  * equivalence with the full-scan scorer, append visibility + meta
+  * accounting, and the stateless streaming routing twin.
+  */
+class RetrievalSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("driver-side polyhash mirror matches the engine expression") {
+    graft.Tables.load(spark, dir, "documents") // registers graft_polyhash
+    val terms = Retrieval.Queries.flatMap(_._2.split(' ')).distinct ++
+      Seq("", "a", "zz9", "the")
+    import spark.implicits._
+    val engine = terms.toDF("term")
+      .selectExpr("term", s"${TextAnalysis.polyHashExpr("term")} AS h")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach { t =>
+      assert(Retrieval.polyHashLocal(t) == engine(t),
+        s"polyHashLocal('$t') diverges from graft_polyhash")
+    }
+  }
+
+  test("second build invocation reuses the committed index files") {
+    val root = Retrieval.ensureBm25Index(spark, dir)
+    val f = new java.io.File(s"$root/postings/_SUCCESS")
+    assert(f.exists())
+    val before = f.lastModified()
+    Retrieval.ensureBm25Index(spark, dir)
+    assert(f.lastModified() == before, "rebuild must not rewrite a committed index")
+  }
+
+  test("pruned probe equals the full-postings scorer") {
+    val root = Retrieval.ensureBm25Index(spark, dir)
+    val full = Retrieval.scoreTopK(
+      Retrieval.queryTerms(spark),
+      spark.read.parquet(s"$root/postings").select("term", "doc_id", "tf", "dl"),
+      spark.read.parquet(s"$root/stats").select("term", "df"),
+      spark.read.parquet(s"$root/meta")).collect().map(_.toSeq)
+    val pruned = Retrieval.prunedTopK(spark, root).collect().map(_.toSeq)
+    assert(pruned.toSeq == full.toSeq,
+      "bucket pruning must not change the result")
+  }
+
+  test("append makes wave docs probe-visible and meta absorbs the wave") {
+    val result = Retrieval.indexAppend(spark, dir).collect()
+    val waveHits = result.count(_.getLong(1) % Dedup.IncrSplitMod == 0)
+    assert(waveHits > 0,
+      "appended wave docs must appear in the post-append top-k")
+    // meta accounting: the appended index's scores use full-corpus N/TT —
+    // proven by the entry's oracle (bm25 over ALL docs); here assert the
+    // probe surface is the TopK shape
+    assert(result.length == Retrieval.Queries.size * Retrieval.TopK)
+    result.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(5)).sorted.toSeq ==
+        (1L to Retrieval.TopK.toLong))
+    }
+  }
+
+  test("streamed routing equals the batch core and keeps no state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = Retrieval.ensureBm25Index(spark, dir)
+    val m = spark.read.parquet(s"$root/meta").head()
+    val payload = Retrieval.queryPayload(spark, root)
+    val (nDocs, avgdlI) = (m.getLong(0), m.getLong(1) / m.getLong(0))
+    val wave = graft.Tables.load(spark, dir, "documents")
+      .where(s"doc_id % ${Dedup.IncrSplitMod} = 0")
+      .select("doc_id", "text")
+
+    val want = Retrieval.routeCore(wave, payload, nDocs, avgdlI)
+      .collect().map(_.toSeq).sortBy(_.toString)
+
+    val rows = wave.as[(Long, String)].collect()
+    val src = MemoryStream[(Long, String)]
+    val q = Retrieval.routeCore(
+        src.toDS().toDF("doc_id", "text"), payload, nDocs, avgdlI)
+      .writeStream.format("memory").queryName("bm25_route")
+      .outputMode("append")
+      .start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "routing must be stateless (no watermark, no state store)")
+    } finally q.stop()
+
+    val got = spark.table("bm25_route").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    spark.catalog.dropTempView("bm25_route")
+    assert(got.length == want.length,
+      s"cardinality: streaming ${got.length} vs batch ${want.length}")
+    assert(got.toSeq == want.toSeq, "streaming output must equal batch")
+  }
+}
