@@ -365,6 +365,50 @@ object CorpusOps {
        |       length(substring(text, (chunk_idx * $ChunkStride + 1)::INT, $ChunkSize))::BIGINT AS chunk_len
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // -------------------------------------------------- temperature sample
+
+  /** Temperature-based mixture rebalancing — the multilingual-pretraining
+    * data-mixing op (mBERT/XLM exponentiated-share sampling, α = 1/2):
+    * dominant groups are downsampled toward a flattened distribution,
+    * group `l` keeping fraction √(c_min/c_l) so its post-sample size is
+    * the geometric mean √(c_min·c_l) — `en` at 3× the smallest language
+    * shrinks by √3 while the smallest group is kept EXACTLY whole (its
+    * rate is 1 by construction, a spec-pinned invariant, not a tolerance).
+    *
+    * Cross-engine determinism without `sqrt()` (libm-dependent): the
+    * accept test is squared into pure integers — keep iff
+    * u²·c_l < c_min·2³², with u the [[weightedSample]] Knuth-hash uniform
+    * folded to a 2¹⁶ grid. Overflow headroom: u² < 2³², so the product is
+    * BIGINT-safe through c_l ≈ 2×10⁹ docs per group; groups beyond that
+    * shard first anyway. The RATES are corpus-derived (one tiny group-agg
+    * + one scalar min — both broadcast), the accept test is per-row: one
+    * scan, no data-sized shuffle, any partitioning, any engine.
+    */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val minc = counts.agg(min("n_lang").as("c_min"))
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(minc))
+      .selectExpr("doc_id", "lang", "n_lang", "c_min",
+        "((doc_id % 2147483647) * 2654435761) % 2147483647 % 65536 AS u_bucket")
+      .where("u_bucket * u_bucket * n_lang < c_min * 4294967296")
+      .selectExpr("doc_id", "lang", "n_lang", "u_bucket")
+      .orderBy("doc_id")
+  }
+
+  val temperatureSampleSql: String =
+    """WITH c AS (SELECT lang, count(*)::BIGINT AS n_lang
+      |           FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_lang)::BIGINT AS c_min FROM c),
+      |u AS (SELECT doc_id, lang,
+      |             ((doc_id % 2147483647) * 2654435761) % 2147483647 % 65536 AS u_bucket
+      |      FROM documents)
+      |SELECT u.doc_id, u.lang, c.n_lang, u.u_bucket
+      |FROM u JOIN c USING (lang) CROSS JOIN m
+      |WHERE u.u_bucket * u.u_bucket * c.n_lang < m.c_min * 4294967296
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ weighted sample
 
   /** Deterministic importance sampling — inclusion probability
@@ -513,6 +557,7 @@ object CorpusOps {
     "pipeline_chunk_documents" -> chunkDocuments,
     "pipeline_filter_funnel" -> filterFunnel,
     "pipeline_weighted_sample" -> weightedSample,
+    "pipeline_temperature_sample" -> temperatureSample,
     "text_pii_redact" -> piiRedact,
     "text_bigrams" -> bigramStats,
     "text_vocab" -> vocab,
@@ -527,6 +572,7 @@ object CorpusOps {
     "pipeline_chunk_documents" -> chunkDocumentsSql,
     "pipeline_filter_funnel" -> filterFunnelSql,
     "pipeline_weighted_sample" -> weightedSampleSql,
+    "pipeline_temperature_sample" -> temperatureSampleSql,
     "text_pii_redact" -> piiRedactSql,
     "text_bigrams" -> bigramStatsSql,
     "text_vocab" -> vocabSql,

@@ -50,6 +50,10 @@ object PlanAuditBudgets {
     "pipeline_pack_sequences" -> 2,
     "pipeline_split" -> 1,
     "pipeline_stratified_sample" -> 2,
+    // group-count agg materializes in BOTH broadcast subtrees (rates join
+    // + the scalar min over it), plus the min agg and the presentation
+    // sort — all metadata-scale exchanges over ≤ |groups| rows
+    "pipeline_temperature_sample" -> 4,
     "pipeline_weighted_sample" -> 1,
     "q1_parse" -> 1,
     "q2_global_bounds" -> 1,

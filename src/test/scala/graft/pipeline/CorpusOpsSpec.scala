@@ -178,6 +178,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("temperatureSample: smallest group kept whole, big groups flattened") {
+    val before = graft.Tables.load(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = CorpusOps.temperatureSample(spark, dir).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val minLang = before.minBy(_._2)._1
+    // rate of the argmin group is 1 by construction: u² < 2³² always holds
+    assert(kept(minLang) == before(minLang),
+      s"smallest group '$minLang' must be kept exactly whole")
+    // every strictly larger group is strictly subsampled
+    before.filter(_._2 > before(minLang)).foreach { case (l, c) =>
+      assert(kept(l) < c, s"group '$l' must shrink")
+      // and lands near its geometric-mean target √(c_min·c_l): the hash
+      // grid is uniform, so allow sampling noise of a few stddevs
+      val target = math.sqrt(before(minLang).toDouble * c)
+      assert(math.abs(kept(l) - target) < 4 * math.sqrt(target),
+        s"group '$l': kept ${kept(l)} vs target $target")
+    }
+    // the mix flattens: dominant/min ratio strictly decreases
+    val maxLang = before.maxBy(_._2)._1
+    assert(kept(maxLang).toDouble / kept(minLang) <
+      before(maxLang).toDouble / before(minLang))
+  }
+
   test("filterFunnel: stages chain and only shrink") {
     val rows = CorpusOps.filterFunnel(spark, dir).collect()
       .sortBy(_.getAs[Long]("stage"))
