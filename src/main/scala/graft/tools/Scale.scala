@@ -87,6 +87,8 @@ object Scale {
         rest.headOption.map(_.toInt).getOrElse(1))
     case "ivfprobe" :: batchDir :: indexDir :: Nil =>
       ivfProbe(session(), batchDir, indexDir)
+    case "bm25" :: indexDir :: Nil =>
+      bm25Probe(session(), indexDir)
     case "stream" :: dir :: Nil =>
       stream(dir)
     case "streamdiag" :: dir :: Nil =>
@@ -95,7 +97,7 @@ object Scale {
       sys.error("usage: gen <base> <out> <k> [corpusOnly|relOnly|eventsOnly]" +
         " | run <dir> <label> <q...> | show <dir> <q...> | append <dir>" +
         " | inplace <batchDir> <indexDir> | probe <batchDir> <indexDir> [batchDivisor]" +
-        " | ivfprobe <batchDir> <indexDir>" +
+        " | ivfprobe <batchDir> <indexDir> | bm25 <indexDir>" +
         s" | stream <dir> | streamdiag <dir>; got $other")
   }
 
@@ -310,6 +312,40 @@ object Scale {
     once() // untimed warmup
     val sec = math.min(once(), once())
     println(s"""[scale] {"ivfprobe_batch":"$batchDir","index":"$indexDir","centroids":$nCent,"index_rows":$indexRows,"sec_pruned":${num(sec)}}""")
+    spark.stop()
+  }
+
+  /** BM25 probe-cost attribution: the standing query set held FIXED while
+    * the index under it scales (1×/10×/100× corpora via `gen`), timing the
+    * manifest-pruned probe against the full-postings scorer on the same
+    * committed index. The design claim under test: pruned-probe wall is
+    * query-proportional (touched buckets only), full-scan wall grows with
+    * the corpus.
+    */
+  def bm25Probe(spark: SparkSession, indexDir: String): Unit = {
+    import graft.pipeline.Retrieval
+    val root = Retrieval.ensureBm25Index(spark, indexDir)
+    val postRows = spark.read.parquet(s"$root/postings").count()
+    val manifest = Retrieval.readTbManifest(spark, root)
+    val touched = Retrieval.Queries.flatMap(_._2.split(' '))
+      .map(Retrieval.termBucket).toSet.intersect(manifest).size
+    def once(df: => org.apache.spark.sql.DataFrame): Double = {
+      val t = timed(df.write.format("noop").mode("overwrite").save())
+      spark.catalog.clearCache()
+      t
+    }
+    def pruned() = once(Retrieval.prunedTopK(spark, root))
+    def full() = once(Retrieval.scoreTopK(
+      Retrieval.queryTerms(spark),
+      spark.read.parquet(s"$root/postings").select("term", "doc_id", "tf", "dl"),
+      spark.read.parquet(s"$root/stats").select("term", "df"),
+      spark.read.parquet(s"$root/meta")
+        .agg(org.apache.spark.sql.functions.max("n_docs").as("n_docs"),
+          org.apache.spark.sql.functions.max("total_tokens").as("total_tokens"))))
+    pruned(); full() // untimed warmup
+    val secP = math.min(pruned(), pruned())
+    val secF = math.min(full(), full())
+    println(s"""[scale] {"bm25probe_index":"$indexDir","postings_rows":$postRows,"buckets":${manifest.size},"touched_buckets":$touched,"sec_pruned":${num(secP)},"sec_full":${num(secF)}}""")
     spark.stop()
   }
 
