@@ -111,6 +111,7 @@ object SparkEntry {
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
       pipeline.Retrieval.all ++
+      pipeline.Tokenizer.all ++
       pipeline.Multimodal.all ++ Map(
       // reporting surface: flat `q_lo`/`q_hi` doubles (GenEvent shape) — the
       // struct API stays for library callers, but driver-facing output must
@@ -227,6 +228,7 @@ object SparkEntry {
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
       pipeline.Retrieval.oracles ++
+      pipeline.Tokenizer.oracles ++
       pipeline.Multimodal.oracles ++
       ops.FadsOracle.oracles ++
       Map(

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** BPE tokenizer TRAINING over `documents` — the missing first stage of
+  * every LLM data pipeline (Sennrich et al. 2016): learn the top-K merge
+  * rules from corpus statistics, and segment the vocabulary with them.
+  *
+  * Scale shape — the part that matters at 100 TB: the corpus is touched
+  * EXACTLY ONCE (word-count aggregation, one partial-agg shuffle, cached);
+  * all K merge rounds then run on the word-count table, whose size is the
+  * VOCABULARY, not the corpus — the same factoring production tokenizer
+  * trainers use (count words once, train on the count table). Each round
+  * is: pair-count aggregation over the vocab table → argmax collected to
+  * the driver (ONE row — metadata-scale, the Lloyd-round precedent in
+  * [[Similarity]]) → merge applied as a column expression. The output is
+  * the trained artifact, inherently bounded by K and the vocabulary.
+  *
+  * Cross-engine determinism:
+  *  - symbols ride in ONE string with every symbol angle-bracketed
+  *    (`column` → `<c><o><l>…`), so applying merge (l, r) is
+  *    `replace(syms, '<l><r>', '<lr>')` — both engines' `replace` scans
+  *    left-to-right non-overlapping, which IS BPE's greedy pairing, and
+  *    the brackets make cross-boundary false matches impossible (a match
+  *    must start at '<', and adjacent occurrences share no characters);
+  *  - argmax tie-break is (count DESC, left ASC, right ASC) — pure ASCII
+  *    compares, identical collation in both engines;
+  *  - pair counts are BIGINT sums of word counts — exact in any
+  *    aggregation order.
+  */
+object Tokenizer {
+
+  /** Number of merge rules to learn. */
+  val Merges = 8
+
+  private def symsInit(col: String): String =
+    s"concat_ws('', transform(split($col, ''), c -> concat('<', c, '>')))"
+
+  /** The vocabulary table: (word, cnt, syms) — one corpus scan, cached
+    * across the merge rounds.
+    */
+  def wordCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS word")
+      .where("word <> ''")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .selectExpr("word", "cnt", s"${symsInit("word")} AS syms")
+
+  /** One training run: returns (merge table rows, final vocab frame).
+    * The merge table row is (rank, left, right, merged, pair_count).
+    */
+  def train(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    val words = wordCounts(spark, dir).cache()
+    var w = words
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (rank <- 1 to Merges) {
+      val top = w
+        .selectExpr("cnt",
+          "split(substring(syms, 2, length(syms) - 2), '><') AS s")
+        .where("size(s) >= 2")
+        .selectExpr("cnt",
+          "explode(transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))) AS p")
+        .groupBy("p.l", "p.r").agg(sum("cnt").as("pc"))
+        .orderBy(desc("pc"), asc("l"), asc("r"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"BPE round $rank: no pairs left to merge")
+      val (l, r, pc) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((rank.toLong, l, r, l + r, pc))
+      w = w.withColumn("syms",
+        expr(s"replace(syms, '<$l><$r>', '<$l$r>')"))
+    }
+    (merges.result(), w)
+  }
+
+  /** Entry: the learned merge table — the tokenizer model itself. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, _) = train(spark, dir)
+    merges.toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** Entry: the vocabulary segmented by the learned merges — every word
+    * with its final symbol string and token count, so a wrong merge
+    * APPLICATION (not just a wrong rule) breaks the hash.
+    */
+  def bpeSegment(spark: SparkSession, dir: String): DataFrame = {
+    val (_, w) = train(spark, dir)
+    w.selectExpr("word", "cnt", "syms",
+      "CAST(size(split(substring(syms, 2, length(syms) - 2), '><')) AS BIGINT)" +
+        " AS n_tokens")
+      .orderBy("word")
+  }
+
+  // ------------------------------------------------------------- oracle
+
+  private def symsInitSql(col: String): String =
+    s"list_aggregate(list_transform(string_split($col, ''), " +
+      s"c -> '<' || c || '>'), 'string_agg', '')"
+
+  /** The K merge rounds unrolled into SQL stages: stage i computes pair
+    * counts over w(i−1), picks the argmax with the same tie-break, and
+    * applies it via the same bracketed `replace`.
+    */
+  private def stagesSql: String =
+    (1 to Merges).map { i =>
+      s"""p$i AS (SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS pc
+         |  FROM (SELECT cnt,
+         |          unnest(list_transform(range(1, len(s)),
+         |                 j -> {'l': s[j], 'r': s[j + 1]})) AS p
+         |        FROM (SELECT cnt,
+         |                string_split(substring(syms, 2, length(syms) - 2),
+         |                             '><') AS s
+         |              FROM w${i - 1})
+         |        WHERE len(s) >= 2)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |w$i AS (SELECT word, cnt,
+         |          replace(syms, '<' || l || '><' || r || '>',
+         |                  '<' || l || r || '>') AS syms
+         |        FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+
+  private def baseSql: String =
+    s"""w0 AS (SELECT word, cnt, ${symsInitSql("word")} AS syms
+       |       FROM (SELECT word, count(*)::BIGINT AS cnt
+       |             FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |                   FROM documents)
+       |             WHERE word <> '' GROUP BY 1)),
+       |$stagesSql""".stripMargin
+
+  val bpeTrainSql: String = {
+    val union = (1 to Merges).map { i =>
+      s"SELECT $i::BIGINT AS rank, l AS \"left\", r AS \"right\", " +
+        s"l || r AS merged, pc AS pair_count FROM m$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $baseSql
+       |SELECT * FROM (
+       |  $union
+       |) ORDER BY rank""".stripMargin
+  }
+
+  val bpeSegmentSql: String =
+    s"""WITH $baseSql
+       |SELECT word, cnt, syms,
+       |       len(string_split(substring(syms, 2, length(syms) - 2),
+       |                        '><'))::BIGINT AS n_tokens
+       |FROM w$Merges ORDER BY word""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> bpeTrain,
+    "text_bpe_segment" -> bpeSegment)
+
+  val oracles: Map[String, String] = Map(
+    "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_segment" -> bpeSegmentSql)
+}
