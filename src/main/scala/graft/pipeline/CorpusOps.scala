@@ -365,6 +365,84 @@ object CorpusOps {
        |       length(substring(text, (chunk_idx * $ChunkStride + 1)::INT, $ChunkSize))::BIGINT AS chunk_len
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ------------------------------------------------------- fuzzy match
+
+  /** Fuzzy vocabulary matching via DELETION-NEIGHBORHOOD blocking (the
+    * FastSS family) — the entity-resolution/spell-correction primitive at
+    * corpus scale: a probe term matches a vocabulary term when their edit
+    * distance is ≤ 1, found WITHOUT an all-pairs scan. Blocking rule: two
+    * strings within edit distance 1 always share a member of
+    * variants(x) = {x} ∪ {x minus one char}, so an equi-join on the
+    * exploded variant sets produces a candidate superset (≤ len+1 rows
+    * per term — bounded fan-out), and one exact `levenshtein` call per
+    * CANDIDATE (not per pair) confirms. Both engines run the same
+    * unit-cost DP levenshtein on integers, so verdicts hash-match.
+    *
+    * The probe side is derived deterministically from the corpus itself:
+    * every vocabulary word ≥ 3 chars corrupted by deleting the character
+    * the word's own polynomial hash picks — a reproducible stand-in for
+    * the dirty mentions an entity-resolution run receives. Every probe is
+    * guaranteed ≥ 1 match (its source word), and probes may legitimately
+    * hit several vocabulary words; the full (probe, match) verdict
+    * surface is emitted.
+    */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val vocabWords = Tables.load(spark, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .where("w <> ''")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val delExpr =
+      "transform(sequence(1, length(w)), " +
+        "i -> concat(substring(w, 1, i - 1), substring(w, i + 1)))"
+    val vocabVariants = vocabWords
+      .selectExpr("w", s"explode(array_union(array(w), $delExpr)) AS v")
+    val probes = vocabWords
+      .where("length(w) >= 3")
+      .selectExpr("w AS src",
+        s"CAST(pmod(${TextAnalysis.polyHashExpr("w")}, length(w)) + 1 AS INT) AS pos")
+      .selectExpr(
+        "concat(substring(src, 1, pos - 1), substring(src, pos + 1)) AS p")
+      .distinct()
+    val probeVariants = probes
+      .selectExpr("p",
+        "explode(array_union(array(p), " +
+          "transform(sequence(1, length(p)), " +
+          "i -> concat(substring(p, 1, i - 1), substring(p, i + 1))))) AS v")
+    probeVariants.join(vocabVariants, "v")
+      .select("p", "w").distinct()
+      .where("levenshtein(p, w) <= 1")
+      .join(vocabWords, "w")
+      .selectExpr("p AS probe", "w AS matched",
+        "CAST(levenshtein(p, w) AS BIGINT) AS dist", "cnt")
+      .orderBy("probe", "matched")
+  }
+
+  val fuzzyMatchSql: String = {
+    val ph = TextAnalysis.polyHashSql("w")
+    s"""WITH vocab AS (
+       |  SELECT w, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |vv AS (SELECT w, unnest(list_distinct(list_prepend(w,
+       |         list_transform(range(1, length(w) + 1),
+       |           i -> substring(w, 1, i - 1) || substring(w, i + 1))))) AS v
+       |       FROM vocab),
+       |probes AS (
+       |  SELECT DISTINCT substring(w, 1, pos - 1) || substring(w, pos + 1) AS p
+       |  FROM (SELECT w, ($ph % length(w) + 1)::INT AS pos
+       |        FROM vocab WHERE length(w) >= 3)),
+       |pv AS (SELECT p, unnest(list_distinct(list_prepend(p,
+       |         list_transform(range(1, length(p) + 1),
+       |           i -> substring(p, 1, i - 1) || substring(p, i + 1))))) AS v
+       |       FROM probes),
+       |cand AS (SELECT DISTINCT pv.p, vv.w FROM pv JOIN vv ON pv.v = vv.v)
+       |SELECT c.p AS probe, c.w AS matched,
+       |       levenshtein(c.p, c.w)::BIGINT AS dist, vocab.cnt
+       |FROM cand c JOIN vocab ON c.w = vocab.w
+       |WHERE levenshtein(c.p, c.w) <= 1
+       |ORDER BY probe, matched""".stripMargin
+  }
+
   // -------------------------------------------------- temperature sample
 
   /** Temperature-based mixture rebalancing — the multilingual-pretraining
@@ -558,6 +636,7 @@ object CorpusOps {
     "pipeline_filter_funnel" -> filterFunnel,
     "pipeline_weighted_sample" -> weightedSample,
     "pipeline_temperature_sample" -> temperatureSample,
+    "text_fuzzy_match" -> fuzzyMatch,
     "text_pii_redact" -> piiRedact,
     "text_bigrams" -> bigramStats,
     "text_vocab" -> vocab,
@@ -573,6 +652,7 @@ object CorpusOps {
     "pipeline_filter_funnel" -> filterFunnelSql,
     "pipeline_weighted_sample" -> weightedSampleSql,
     "pipeline_temperature_sample" -> temperatureSampleSql,
+    "text_fuzzy_match" -> fuzzyMatchSql,
     "text_pii_redact" -> piiRedactSql,
     "text_bigrams" -> bigramStatsSql,
     "text_vocab" -> vocabSql,

@@ -137,6 +137,11 @@ object PlanAuditBudgets {
     "taxi_inv_replay" -> 1,
     "taxi_parse" -> 1,
     "text_bigrams" -> 1,
+    // deletion-neighborhood blocking: vocab agg (shared by both variant
+    // sides and the count join), variant equi join, candidate distinct,
+    // verdict join, presentation sort — all vocab-scale after the one
+    // corpus-sized word count
+    "text_fuzzy_match" -> 5,
     // corpus-trained trigram LM: c3 agg, prefix agg, per-doc agg, and the
     // final presentation sort — train+score is four exchanges by design
     "text_lm_score" -> 4,

@@ -203,6 +203,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       before(maxLang).toDouble / before(minLang))
   }
 
+  test("fuzzyMatch: blocking finds every probe's source word") {
+    val rows = CorpusOps.fuzzyMatch(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) <= 1))
+    // recompute the deterministic corruption and demand recall = 1 on the
+    // known (probe, source) pairs — the FastSS guarantee under test
+    val vocab = graft.Tables.load(spark, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS w").where("w <> ''")
+      .distinct().collect().map(_.getString(0))
+    val matched = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    vocab.filter(_.length >= 3).foreach { w =>
+      val pos = (Retrieval.polyHashLocal(w) % w.length).toInt
+      val probe = w.substring(0, pos) + w.substring(pos + 1)
+      assert(matched.contains((probe, w)),
+        s"probe '$probe' must match its source '$w'")
+    }
+  }
+
   test("filterFunnel: stages chain and only shrink") {
     val rows = CorpusOps.filterFunnel(spark, dir).collect()
       .sortBy(_.getAs[Long]("stage"))
