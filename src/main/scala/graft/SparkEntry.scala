@@ -112,6 +112,7 @@ object SparkEntry {
       pipeline.Similarity.all ++
       pipeline.Retrieval.all ++
       pipeline.Tokenizer.all ++
+      pipeline.TextRank.all ++
       pipeline.Multimodal.all ++ Map(
       // reporting surface: flat `q_lo`/`q_hi` doubles (GenEvent shape) — the
       // struct API stays for library callers, but driver-facing output must
@@ -229,6 +230,7 @@ object SparkEntry {
       pipeline.Similarity.oracles ++
       pipeline.Retrieval.oracles ++
       pipeline.Tokenizer.oracles ++
+      pipeline.TextRank.oracles ++
       pipeline.Multimodal.oracles ++
       ops.FadsOracle.oracles ++
       Map(

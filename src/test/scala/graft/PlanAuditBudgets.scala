@@ -137,6 +137,11 @@ object PlanAuditBudgets {
     "taxi_inv_replay" -> 1,
     "taxi_parse" -> 1,
     "text_bigrams" -> 1,
+    // 8 weighted-PageRank iterations over the CACHED vocab-bounded edge
+    // list: bigram agg + out-weight agg + nodes distinct land in the
+    // cached subtrees; each iteration's in-edge agg reuses the edge
+    // partitioning, leaving the iteration aggs + presentation sort
+    "text_textrank" -> 9,
     // deletion-neighborhood blocking: vocab agg (shared by both variant
     // sides and the count join), variant equi join, candidate distinct,
     // verdict join, presentation sort — all vocab-scale after the one
