@@ -236,6 +236,63 @@ object EventAnalytics {
        |             RANGE BETWEEN $RangeDays PRECEDING AND CURRENT ROW)
        |ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------- gap fill
+
+  /** Time-series gap filling with forward fill — the dense-timeline
+    * operation every metrics/feature pipeline runs before windowed
+    * models: per-user hourly buckets are DENSIFIED over the user's own
+    * [min, max] span (`sequence` + explode — bounded by span, no
+    * calendar table join), missing hours flagged, and the last observed
+    * value carried forward via `last_value IGNORE NULLS` on the user
+    * partitioning. Values ride as exact cents BIGINTs (the
+    * [[timeRangeFrame]] quantization), so bucket sums and the carried
+    * fill are hash-stable cross-engine. One agg + one span agg + the
+    * dense left join + one partitioned window — all on the user_id key.
+    */
+  val HourUs = 3600000000L
+
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", s"($TsUs) div $HourUs AS bucket",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("user_id", "bucket")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+    val dense = ev.groupBy("user_id")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .selectExpr("user_id", "explode(sequence(b0, b1)) AS bucket")
+    dense.join(ev, Seq("user_id", "bucket"), "left")
+      .selectExpr("user_id", "bucket",
+        "coalesce(n_events, CAST(0 AS BIGINT)) AS n_events",
+        "CASE WHEN cents IS NULL THEN CAST(1 AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END AS is_gap",
+        "cents")
+      .withColumn("filled_cents", expr(
+        "last_value(cents) IGNORE NULLS" +
+          " OVER (PARTITION BY user_id ORDER BY bucket)"))
+      .selectExpr("user_id", "bucket", "n_events", "is_gap", "filled_cents")
+      .orderBy("user_id", "bucket")
+  }
+
+  val gapFillSql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) // $HourUs AS bucket,
+       |                   count(*)::BIGINT AS n_events,
+       |                   sum(round(value * 100)::BIGINT)::BIGINT AS cents
+       |            FROM events GROUP BY 1, 2),
+       |span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+       |         FROM ev GROUP BY 1),
+       |dense AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+       |          FROM span),
+       |j AS (SELECT d.user_id, d.bucket,
+       |             coalesce(e.n_events, 0)::BIGINT AS n_events,
+       |             (CASE WHEN e.cents IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_gap,
+       |             e.cents
+       |      FROM dense d LEFT JOIN ev e
+       |        ON d.user_id = e.user_id AND d.bucket = e.bucket)
+       |SELECT user_id, bucket::BIGINT AS bucket, n_events, is_gap,
+       |       last_value(cents IGNORE NULLS)
+       |         OVER (PARTITION BY user_id ORDER BY bucket) AS filled_cents
+       |FROM j ORDER BY user_id, bucket""".stripMargin
+
   // ----------------------------------------------------------- correlation
 
   /** Pearson correlation from exact integer moments (the [[AggFamilies
@@ -305,7 +362,8 @@ object EventAnalytics {
     "x_sessionize" -> sessionize,
     "x_scd2" -> scd2,
     "x_time_range_frame" -> timeRangeFrame,
-    "x_corr_stats" -> corrStats)
+    "x_corr_stats" -> corrStats,
+    "x_gapfill_ffill" -> gapFill)
 
   val oracles: Map[String, String] = Map(
     "x_funnel" -> funnelSql,
@@ -313,5 +371,6 @@ object EventAnalytics {
     "x_sessionize" -> sessionizeSql,
     "x_scd2" -> scd2Sql,
     "x_time_range_frame" -> timeRangeFrameSql,
-    "x_corr_stats" -> corrStatsSql)
+    "x_corr_stats" -> corrStatsSql,
+    "x_gapfill_ffill" -> gapFillSql)
 }

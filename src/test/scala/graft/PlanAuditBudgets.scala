@@ -203,6 +203,9 @@ object PlanAuditBudgets {
     "x_explode" -> 2,
     "x_funnel" -> 4,
     "x_gapfill" -> 2,
+    // per-user densify + forward fill: bucket agg, span agg (reuses the
+    // bucket partitioning for the dense join + window), presentation sort
+    "x_gapfill_ffill" -> 3,
     "x_grouping_id" -> 2,
     "x_histogram" -> 3,
     "x_hll_rollup" -> 5,
