@@ -124,17 +124,79 @@ object Formats {
     "FROM events GROUP BY 1",
     "FROM events WHERE (epoch_ns(ts) // 86400000000000) % 2 = 0 GROUP BY 1")
 
+  // ------------------------------------------------------------- z-order
+
+  /** Z-order (Morton-curve) data layout — the multi-dimensional clustering
+    * every lakehouse `OPTIMIZE ZORDER BY` runs so that range predicates on
+    * EITHER clustered dimension prune files: each (l_partkey, l_suppkey)
+    * pair is min/max-normalized onto a 16-bit grid and its bits
+    * interleaved into one 32-bit Morton key; range-bucketing rows by that
+    * key then bounds BOTH dimensions inside every bucket simultaneously
+    * (the top 5 bucket bits fix 3 high partkey bits AND 2 high suppkey
+    * bits — span ≤ range/8 and range/4 respectively), which a linear sort
+    * can only do for its leading column. The ENTRY output is the layout
+    * quality itself: per-bucket row counts and min/max spans of both
+    * dimensions — hash-checked, so the interleaving arithmetic and the
+    * locality claim are both under the oracle. Pure integer div/mod
+    * arithmetic (no shift builtins), identical text in both engines.
+    */
+  val ZGrid = 65536L
+  val ZBucketShift: Long = 1L << 27 // 2^32 z-space / 32 buckets
+
+  private def zExpr(div: String): String =
+    (0 until 16).map { i =>
+      s"((pa $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
+        s" + ((pb $div ${1L << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+    val bounds = li.agg(
+      min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+      min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+    li.crossJoin(broadcast(bounds))
+      .selectExpr("l_partkey", "l_suppkey",
+        s"((l_partkey - pmin) * $ZGrid) div (pmax - pmin + 1) AS pa",
+        s"((l_suppkey - smin) * $ZGrid) div (smax - smin + 1) AS pb")
+      .selectExpr("l_partkey", "l_suppkey", s"(${zExpr("div")}) AS z")
+      .selectExpr("l_partkey", "l_suppkey", s"z div $ZBucketShift AS zb")
+      .groupBy("zb")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("p_lo"), max("l_partkey").as("p_hi"),
+        min("l_suppkey").as("s_lo"), max("l_suppkey").as("s_hi"))
+      .orderBy("zb")
+  }
+
+  val zorderLayoutSql: String =
+    s"""WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+       |                  min(l_suppkey) AS smin, max(l_suppkey) AS smax
+       |           FROM lineitem),
+       |g AS (SELECT l_partkey, l_suppkey,
+       |             ((l_partkey - pmin) * $ZGrid) // (pmax - pmin + 1) AS pa,
+       |             ((l_suppkey - smin) * $ZGrid) // (smax - smin + 1) AS pb
+       |      FROM lineitem CROSS JOIN b),
+       |z AS (SELECT l_partkey, l_suppkey,
+       |             (${zExpr("//")}) // $ZBucketShift AS zb
+       |      FROM g)
+       |SELECT zb, count(*)::BIGINT AS n_rows,
+       |       min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
+       |       min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi
+       |FROM z GROUP BY zb ORDER BY zb""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_orc_roundtrip" -> orcRoundTrip,
     "x_jsonl_roundtrip" -> jsonlRoundTrip,
     "x_csv_gzip_roundtrip" -> csvGzipRoundTrip,
     "x_partitioned_roundtrip" -> partitionedRoundTrip,
-    "x_dpp_join" -> dppJoin)
+    "x_dpp_join" -> dppJoin,
+    "x_zorder_layout" -> zorderLayout)
 
   val oracles: Map[String, String] = Map(
     "x_orc_roundtrip" -> aggregateSql,
     "x_jsonl_roundtrip" -> aggregateSql,
     "x_csv_gzip_roundtrip" -> aggregateSql,
     "x_partitioned_roundtrip" -> partitionedRoundTripSql,
-    "x_dpp_join" -> dppJoinSql)
+    "x_dpp_join" -> dppJoinSql,
+    "x_zorder_layout" -> zorderLayoutSql)
 }
