@@ -365,6 +365,82 @@ object CorpusOps {
        |       length(substring(text, (chunk_idx * $ChunkStride + 1)::INT, $ChunkSize))::BIGINT AS chunk_len
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ------------------------------------- incremental materialized view
+
+  /** Incremental materialized-view maintenance — the warehouse op that
+    * keeps a pre-aggregated rollup current as batches land, WITHOUT
+    * re-scanning history: a per-(source, lang) aggregate table is built
+    * once from the historical split, persisted partitioned by `source`;
+    * the incoming wave is aggregated ALONE (delta rows), merged with only
+    * the TOUCHED source partitions' current rows (additive re-aggregation
+    * of old + delta — exact BIGINT sums), and committed through the same
+    * bucket-wise [[graft.streaming.Sinks.partitionedUpsertBatch]] the
+    * index families use. Maintenance cost is O(wave + touched partitions)
+    * — independent of history size. The oracle recomputes the rollup over
+    * the FULL corpus from scratch, so a lost delta, a double-merge, or a
+    * partition the merge failed to touch all break the hash.
+    */
+  def mvPath(spark: SparkSession, dir: String): String = {
+    val (rows, fp) = Dedup.docsStats(spark, dir)
+    "/tmp/graft_agg_mv/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_n${rows}_f$fp"
+  }
+
+  private def rollup(docs: DataFrame): DataFrame =
+    docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+
+  def ensureAggMv(spark: SparkSession, dir: String): String = {
+    val root = mvPath(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      rollup(Tables.load(spark, dir, "documents")
+        .where(s"doc_id % ${Dedup.IncrSplitMod} <> 0"))
+        .withColumn("ver", lit(0L))
+        .repartition(col("source"))
+        .sortWithinPartitions("source", "lang")
+        .write.mode("overwrite").partitionBy("source").parquet(root)
+    }
+    root
+  }
+
+  def incrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    val src = ensureAggMv(spark, dir)
+    val work = graft.TempDirs.scoped("agg-mv") + "/view"
+    graft.TempDirs.copyTree(spark, src, work) // hermeticity tax only
+    val delta = rollup(Tables.load(spark, dir, "documents")
+      .where(s"doc_id % ${Dedup.IncrSplitMod} = 0"))
+    val touched = delta.select("source").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // metadata-scale
+    val root = new org.apache.hadoop.fs.Path(work)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = touched
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(root, s"source=$s")))
+      .map(s => s"$work/source=$s")
+    val current =
+      if (existing.isEmpty)
+        delta.limit(0).withColumn("ver", lit(0L))
+      else spark.read.option("basePath", work).parquet(existing: _*)
+    val merged = current.select("source", "lang", "n_docs", "sum_chars")
+      .unionByName(delta)
+      .groupBy("source", "lang")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"))
+      .withColumn("ver", lit(1L))
+    graft.streaming.Sinks.partitionedUpsertBatch(
+      merged, work,
+      partitionCols = Seq("source"), keyCols = Seq("source", "lang"),
+      versionCols = Seq("ver"), sortCols = Seq("lang"))
+    spark.read.parquet(work)
+      .select("source", "lang", "n_docs", "sum_chars")
+      .orderBy("source", "lang")
+  }
+
+  val incrementalMvSql: String =
+    """SELECT source, lang, count(*)::BIGINT AS n_docs,
+      |       sum(n_chars)::BIGINT AS sum_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY source, lang""".stripMargin
+
   // ------------------------------------------------------- fuzzy match
 
   /** Fuzzy vocabulary matching via DELETION-NEIGHBORHOOD blocking (the
@@ -637,6 +713,7 @@ object CorpusOps {
     "pipeline_weighted_sample" -> weightedSample,
     "pipeline_temperature_sample" -> temperatureSample,
     "text_fuzzy_match" -> fuzzyMatch,
+    "pipeline_incremental_mv" -> incrementalMv,
     "text_pii_redact" -> piiRedact,
     "text_bigrams" -> bigramStats,
     "text_vocab" -> vocab,
@@ -653,6 +730,7 @@ object CorpusOps {
     "pipeline_weighted_sample" -> weightedSampleSql,
     "pipeline_temperature_sample" -> temperatureSampleSql,
     "text_fuzzy_match" -> fuzzyMatchSql,
+    "pipeline_incremental_mv" -> incrementalMvSql,
     "text_pii_redact" -> piiRedactSql,
     "text_bigrams" -> bigramStatsSql,
     "text_vocab" -> vocabSql,

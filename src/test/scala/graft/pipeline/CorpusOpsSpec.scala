@@ -203,6 +203,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       before(maxLang).toDouble / before(minLang))
   }
 
+  test("incrementalMv: delta merge equals the from-scratch rollup") {
+    val got = CorpusOps.incrementalMv(spark, dir).collect().map(_.toSeq)
+    val want = graft.Tables.load(spark, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum("n_chars").as("sum_chars"))
+      .orderBy("source", "lang").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      "incrementally maintained view must equal the full recompute")
+    // the persisted base view is reused, not rebuilt
+    val f = new java.io.File(s"${CorpusOps.ensureAggMv(spark, dir)}/_SUCCESS")
+    val before = f.lastModified()
+    CorpusOps.ensureAggMv(spark, dir)
+    assert(f.lastModified() == before)
+  }
+
   test("fuzzyMatch: blocking finds every probe's source word") {
     val rows = CorpusOps.fuzzyMatch(spark, dir).collect()
     assert(rows.nonEmpty)
