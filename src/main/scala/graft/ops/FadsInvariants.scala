@@ -72,14 +72,15 @@ object FadsInvariants {
       pidOrigCol: String,
       k: Int,
       usePids: Boolean,
-      suppFracBound: Double): DataFrame = {
+      suppFracBound: Double,
+      shardCol: Option[String] = None): DataFrame = {
     val boxCols = qidCols.flatMap(q => Seq(col(s"${q}_lo"), col(s"${q}_hi")))
     val groupSize =
       if (usePids) countDistinct(col(pidOrigCol)) else count(lit(1))
     // single aggregation tree (one pass over the replay, no caching): per-box
     // partials first, then a global roll-up — suppressed rows keep their own
     // box-groups but are excluded from the k-size gate
-    flat
+    val sums = flat
       .groupBy(col("suppressed") +: boxCols: _*)
       .agg(
         count(lit(1)).as("n_rows"),
@@ -90,8 +91,32 @@ object FadsInvariants {
         sum(col("viols")).as("contain_viol"),
         sum(when(!col("suppressed") && col("n_members") < k, 1L).otherwise(0L))
           .as("groups_lt_k"),
-        (sum(when(col("suppressed"), col("n_rows")).otherwise(0L)) <=
-          lit(suppFracBound) * sum(col("n_rows"))).as("supp_frac_ok"))
+        sum(when(col("suppressed"), col("n_rows")).otherwise(0L))
+          .as("supp_rows"))
+    val out = Seq(col("n_released"), col("contain_viol"), col("groups_lt_k"))
+    shardCol match {
+      case None =>
+        sums.select(out :+
+          (col("supp_rows") <= lit(suppFracBound) * col("n_released"))
+            .as("supp_frac_ok"): _*)
+      case Some(sc) =>
+        // CAPACITY-AWARE gate for sharded replays: the fraction bound is a
+        // quality expectation that only applies when at least one shard
+        // holds ≥ k distinct PIDs. Below that capacity NO shard can ever
+        // form a k-anonymous cluster, so FULL suppression is the only
+        // k-safe output and is what the gate must DEMAND (a partial
+        // release there would be the bug). One tiny per-shard distinct
+        // agg, broadcast onto the summary row.
+        val cap = flat.groupBy(col(sc))
+          .agg(countDistinct(col(pidOrigCol)).as("pids"))
+          .agg(max("pids").as("max_shard_pids"))
+        sums.crossJoin(broadcast(cap)).select(out :+
+          when(col("max_shard_pids") < k,
+            col("supp_rows") === col("n_released"))
+            .otherwise(
+              col("supp_rows") <= lit(suppFracBound) * col("n_released"))
+            .as("supp_frac_ok"): _*)
+    }
   }
 
   private def anonymizeEvents(
@@ -139,11 +164,13 @@ object FadsInvariants {
     * Measured suppressed fractions at reference parameters, sf0.01 (the
     * driver's correctness scale): replay 0.09%, hash-sharded 1.25%,
     * region-sharded 0.33%, refmode/taxi 0% — bound 0.5 leaves wide headroom
-    * while still failing a suppress-everything regression. Caveat for tiny
-    * inputs: at sf0.001 the HASH-sharded variant legitimately suppresses 100%
-    * (~70 distinct users split 8 ways ⇒ no shard ever sees k=10 distinct
-    * PIDs) — a real lesson in not over-sharding below ~k·PIDs per shard, and
-    * why these gates are declared at sf0.01, not sf0.001.
+    * while still failing a suppress-everything regression. Tiny inputs: the
+    * HASH-sharded variant at sf0.001 (15 distinct users split 8 ways ⇒ no
+    * shard ever sees k=10 distinct PIDs) legitimately suppresses 100% — a
+    * real lesson in not over-sharding below ~k·PIDs per shard — so the
+    * sharded gate is CAPACITY-AWARE ([[invariantRow]]'s `shardCol` branch):
+    * below capacity it demands exactly-full suppression (the only k-safe
+    * output), at operating scale it applies the fraction bound.
     */
   def kanonInvariants(spark: SparkSession, dir: String): DataFrame =
     invariantRow(
@@ -174,7 +201,8 @@ object FadsInvariants {
         cfg = eventsCfg),
       Seq("user_id", "value"))
     invariantRow(flat, Seq("user_id", "value"), "orig_user_id",
-      eventsCfg.k, usePids = true, suppFracBound = 0.5)
+      eventsCfg.k, usePids = true, suppFracBound = 0.5,
+      shardCol = Some("shard"))
   }
 
   val shardedInvariantsSql: String = invariantRowSql

@@ -73,7 +73,9 @@ object PlanAuditBudgets {
     "q9_inv_region" -> 4,
     "q9_inv_refmode_raw" -> 1,
     "q9_inv_replay" -> 1,
-    "q9_inv_sharded" -> 4,
+    // +3 for the capacity-aware gate: the per-shard distinct-PID agg pair
+    // + its one-row broadcast onto the summary (metadata-scale rows)
+    "q9_inv_sharded" -> 7,
     "sim_bruteforce_topk" -> 2,
     "sim_filtered_topk" -> 2,
     "sim_ivf_topk" -> 6,
