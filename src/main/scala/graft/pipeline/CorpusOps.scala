@@ -405,14 +405,19 @@ object CorpusOps {
     root
   }
 
-  def incrementalMv(spark: SparkSession, dir: String): DataFrame = {
-    val src = ensureAggMv(spark, dir)
-    val work = graft.TempDirs.scoped("agg-mv") + "/view"
-    graft.TempDirs.copyTree(spark, src, work) // hermeticity tax only
-    val delta = rollup(Tables.load(spark, dir, "documents")
-      .where(s"doc_id % ${Dedup.IncrSplitMod} = 0"))
+  /** Merge one delta batch of raw document rows into the persisted view at
+    * `work`, additively and touched-partition-only — the SAME body a
+    * streaming `foreachBatch` maintenance runs per micro-batch
+    * ([[incrementalMv]] calls it once; `StreamingMvSpec` drives it across
+    * a real micro-batched stream). `ver` is any strictly increasing batch
+    * version so the upsert keeps the newest merged row per key.
+    */
+  def mergeMvDelta(spark: SparkSession, work: String, docs: DataFrame,
+      ver: Long): Unit = {
+    val delta = rollup(docs)
     val touched = delta.select("source").distinct()
       .collect().map(_.getString(0)).toSeq.sorted // metadata-scale
+    if (touched.isEmpty) return
     val root = new org.apache.hadoop.fs.Path(work)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing = touched
@@ -426,11 +431,19 @@ object CorpusOps {
       .unionByName(delta)
       .groupBy("source", "lang")
       .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"))
-      .withColumn("ver", lit(1L))
+      .withColumn("ver", lit(ver))
     graft.streaming.Sinks.partitionedUpsertBatch(
       merged, work,
       partitionCols = Seq("source"), keyCols = Seq("source", "lang"),
       versionCols = Seq("ver"), sortCols = Seq("lang"))
+  }
+
+  def incrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    val src = ensureAggMv(spark, dir)
+    val work = graft.TempDirs.scoped("agg-mv") + "/view"
+    graft.TempDirs.copyTree(spark, src, work) // hermeticity tax only
+    mergeMvDelta(spark, work, Tables.load(spark, dir, "documents")
+      .where(s"doc_id % ${Dedup.IncrSplitMod} = 0"), ver = 1L)
     spark.read.parquet(work)
       .select("source", "lang", "n_docs", "sum_chars")
       .orderBy("source", "lang")
