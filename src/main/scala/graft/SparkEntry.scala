@@ -134,6 +134,11 @@ object SparkEntry {
         streaming.Windows.sessionCountsQuery(s, dir)),
       "stream_dedup_first" -> ((s: SparkSession, dir: String) =>
         streaming.StreamingDedup.firstPerKeyQuery(s, dir)),
+      // watermark late-data DROP semantics end-to-end: out-of-order chunk
+      // replay through a real watermarked append-mode aggregation, the
+      // watermark machine replicated row-exactly by the DuckDB oracle
+      "stream_late_data" -> ((s: SparkSession, dir: String) =>
+        streaming.LateData.lateDataQuery(s, dir)),
       "stream_interval_join" -> ((s: SparkSession, dir: String) =>
         streaming.StreamJoin.intervalJoinQuery(s, dir)),
       "stream_static_enrich" -> ((s: SparkSession, dir: String) =>
@@ -238,6 +243,7 @@ object SparkEntry {
         "stream_sliding_counts" -> streaming.Windows.slidingCountsSql,
         "stream_session_counts" -> streaming.Windows.sessionCountsSql,
         "stream_dedup_first" -> streaming.StreamingDedup.firstPerKeySql,
+        "stream_late_data" -> streaming.LateData.lateDataSql,
         "stream_interval_join" -> streaming.StreamJoin.intervalJoinSql,
         "stream_static_enrich" -> streaming.StaticEnrich.staticEnrichSql,
         "pipeline_clean_corpus" -> pipeline.CleanCorpus.sql,
