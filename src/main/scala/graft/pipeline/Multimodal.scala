@@ -622,17 +622,96 @@ object Multimodal {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  case class WavAutocorr(
+      doc_id: Long, n_samples: Long, r1: Long, r2: Long, r4: Long, r8: Long,
+      best_lag: Long)
+
+  /** Audio periodicity features: per-clip autocorrelation Σ sᵢ·sᵢ₊ₗ at
+    * lags {1, 2, 4, 8} over the samples DECODED through the real WAV
+    * codec — the integer core of pitch/periodicity detection, exact in
+    * BIGINTs (row-local fold, no FP, no shuffle), plus the dominant lag
+    * (argmax, ties to the smallest lag — the [[TextAnalysis.langId]]
+    * deterministic-argmax pattern). DuckDB replays the identical sums
+    * from the text-derived sample list.
+    */
+  def wavAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.load(spark, dir, "documents")
+      .where("n_chars > 0").select("doc_id", "text")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val text = r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val padded =
+            if (text.length % 2 == 0) text
+            else java.util.Arrays.copyOf(text, text.length + 1)
+          if (text.length % 2 != 0) padded(text.length) = 'x'.toByte
+          val samples = Array.tabulate(padded.length / 2)(i =>
+            ((((padded(2 * i + 1) & 0xff) << 8) | (padded(2 * i) & 0xff))
+              - WavOffset).toShort)
+          val au = WavCodec.decode(
+            WavCodec.encode(WavCodec.Audio(WavSampleRate, samples)))
+          val n = au.samples.length
+          def ac(lag: Int): Long = {
+            var s = 0L; var i = 0
+            while (i + lag < n) {
+              s += au.samples(i).toLong * au.samples(i + lag).toLong
+              i += 1
+            }
+            s
+          }
+          val (r1, r2, r4, r8) = (ac(1), ac(2), ac(4), ac(8))
+          val best =
+            if (r1 >= math.max(r2, math.max(r4, r8))) 1L
+            else if (r2 >= math.max(r4, r8)) 2L
+            else if (r4 >= r8) 4L
+            else 8L
+          WavAutocorr(docId, n.toLong, r1, r2, r4, r8, best)
+        }
+      }(Encoders.product[WavAutocorr])
+    out.toDF().orderBy("doc_id")
+  }
+
+  val wavAutocorrSql: String = {
+    def ac(l: Int) =
+      s"coalesce(list_sum(list_transform(range(1, (n - $l + 1)::INT), " +
+        s"i -> sm[i::INT] * sm[(i + $l)::INT])), 0)::BIGINT"
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         rpad(text, (length(text) + length(text) % 2)::INT, 'x') AS px,
+       |         (length(text) + 1) // 2 AS n
+       |  FROM documents WHERE length(text) > 0),
+       |s AS (
+       |  SELECT doc_id, n,
+       |         list_transform(range(0, n), i ->
+       |           ord(substring(px, (2 * i + 2)::INT, 1)) * 256
+       |             + ord(substring(px, (2 * i + 1)::INT, 1)) - $WavOffset) AS sm
+       |  FROM w),
+       |r AS (SELECT doc_id, n::BIGINT AS n_samples,
+       |             ${ac(1)} AS r1, ${ac(2)} AS r2,
+       |             ${ac(4)} AS r4, ${ac(8)} AS r8
+       |      FROM s)
+       |SELECT doc_id, n_samples, r1, r2, r4, r8,
+       |       (CASE WHEN r1 >= greatest(r2, r4, r8) THEN 1
+       |             WHEN r2 >= greatest(r4, r8) THEN 2
+       |             WHEN r4 >= r8 THEN 4
+       |             ELSE 8 END)::BIGINT AS best_lag
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> metadata,
     "mm_frame_features" -> frameFeatures,
     "mm_resize" -> resizeQuery,
     "mm_ppm_pixels" -> ppmPixels,
-    "mm_wav_features" -> wavFeatures)
+    "mm_wav_features" -> wavFeatures,
+    "mm_wav_autocorr" -> wavAutocorr)
 
   val oracles: Map[String, String] = Map(
     "mm_metadata" -> metadataSql,
     "mm_frame_features" -> frameFeaturesSql,
     "mm_resize" -> resizeSql,
     "mm_ppm_pixels" -> ppmPixelsSql,
-    "mm_wav_features" -> wavFeaturesSql)
+    "mm_wav_features" -> wavFeaturesSql,
+    "mm_wav_autocorr" -> wavAutocorrSql)
 }
