@@ -97,6 +97,31 @@ object Tokenizer {
       .orderBy("word")
   }
 
+  /** Entry: the ENCODE side — every document's BPE token budget under the
+    * learned merges. Key design point for 100 TB: encoding is a
+    * DICTIONARY JOIN, not a per-document merge replay — the trained
+    * per-word segmentation (vocabulary-bounded, broadcastable) is joined
+    * onto the corpus's exploded words and summed per document. That is
+    * how production tokenizers amortize training over petabytes: the word
+    * table carries the merges; the corpus pass is one join + one agg.
+    * `tokens_per_word` is one IEEE division of two exact BIGINTs.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, w) = train(spark, dir)
+    val seg = w.selectExpr("word",
+      "CAST(size(split(substring(syms, 2, length(syms) - 2), '><'))" +
+        " AS BIGINT) AS w_tokens")
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+      .where("word <> ''")
+      .join(seg, "word") // vocabulary is corpus-complete by construction
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("w_tokens").as("n_bpe_tokens"))
+      .selectExpr("doc_id", "n_words", "n_bpe_tokens",
+        "CAST(n_bpe_tokens AS DOUBLE) / n_words AS tokens_per_word")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- oracle
 
   private def symsInitSql(col: String): String =
@@ -152,11 +177,29 @@ object Tokenizer {
        |                        '><'))::BIGINT AS n_tokens
        |FROM w$Merges ORDER BY word""".stripMargin
 
+  val bpeEncodeSql: String =
+    s"""WITH $baseSql,
+       |seg AS (SELECT word,
+       |               len(string_split(substring(syms, 2, length(syms) - 2),
+       |                                '><'))::BIGINT AS w_tokens
+       |        FROM w$Merges),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |         FROM documents),
+       |enc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+       |               sum(w_tokens)::BIGINT AS n_bpe_tokens
+       |        FROM toks JOIN seg USING (word)
+       |        WHERE word <> '' GROUP BY 1)
+       |SELECT doc_id, n_words, n_bpe_tokens,
+       |       n_bpe_tokens::DOUBLE / n_words AS tokens_per_word
+       |FROM enc ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> bpeTrain,
-    "text_bpe_segment" -> bpeSegment)
+    "text_bpe_segment" -> bpeSegment,
+    "text_bpe_encode" -> bpeEncode)
 
   val oracles: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainSql,
-    "text_bpe_segment" -> bpeSegmentSql)
+    "text_bpe_segment" -> bpeSegmentSql,
+    "text_bpe_encode" -> bpeEncodeSql)
 }
