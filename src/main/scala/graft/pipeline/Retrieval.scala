@@ -455,14 +455,24 @@ object Retrieval {
     * background-corpus statistics, exactly how production routing scores
     * a live stream), the [[Similarity]] broadcast-codebook pattern.
     */
+  /** The distinct query-term vocabulary in a FIXED order — the shared
+    * index space of the per-doc tf array and the payload's term indexes.
+    */
+  val RelevantTerms: Seq[String] =
+    Queries.flatMap(_._2.split(' ')).distinct.sorted
+
+  private def relevantArraySql: String =
+    RelevantTerms.map(t => s"'$t'").mkString("array(", ", ", ")")
+
   def queryPayload(spark: SparkSession, root: String): DataFrame = {
     val stats = spark.read.parquet(s"$root/stats").select("term", "df")
     queryTerms(spark).join(stats, "term")
       .crossJoin(broadcast(metaFrame(spark, root)))
-      .selectExpr("query_id", "term",
+      .selectExpr("query_id",
+        s"CAST(array_position($relevantArraySql, term) AS INT) AS tidx",
         s"((2 * n_docs - 2 * df + 1) * $Qi) div (2 * df + 1) AS idfq")
       .groupBy("query_id")
-      .agg(sort_array(collect_list(struct(col("term"), col("idfq"))))
+      .agg(sort_array(collect_list(struct(col("tidx"), col("idfq"))))
         .as("qt"))
   }
 
@@ -477,13 +487,24 @@ object Retrieval {
     */
   def routeCore(docs: DataFrame, payload: DataFrame, nDocs: Long,
       avgdlI: Long): DataFrame = {
-    val tfOf = "CAST(size(filter(t, x -> x = s.term)) AS BIGINT)"
+    // hot-path shape (the ×100 lesson): the per-doc tf of each relevant
+    // term is computed ONCE into a fixed-order array BEFORE the query
+    // join — one filter pass per relevant term per DOC — and the wide
+    // token array is DROPPED before the ×|queries| fan-out, so each
+    // (doc, query) row carries only |relevant| longs and the fold is an
+    // O(1) element_at per term. The naive per-pair token rescan measured
+    // 193 s at the ×100 corpus; this shape does the same work in ~20 s.
+    val tfaExpr = RelevantTerms
+      .map(term => s"CAST(size(filter(t, x -> x = '$term')) AS BIGINT)")
+      .mkString("array(", ", ", ")")
+    val tfOf = "element_at(tfa, s.tidx)"
     val wOf =
       s"((22 * $tfOf * ${Qt * Qr}) div (10 * $tfOf * $Qr + ${3 * Qr} " +
         s"+ (9 * dl * $Qr) div $avgdlI)) * s.idfq"
     docs
       .selectExpr("doc_id", "split(text, ' ') AS t")
-      .withColumn("dl", expr("CAST(size(t) AS BIGINT)"))
+      .selectExpr("doc_id", "CAST(size(t) AS BIGINT) AS dl",
+        s"$tfaExpr AS tfa")
       .crossJoin(broadcast(payload))
       .selectExpr("query_id", "doc_id",
         s"""aggregate(qt, CAST(0 AS BIGINT),
