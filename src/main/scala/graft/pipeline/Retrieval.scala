@@ -120,9 +120,12 @@ object Retrieval {
     * (tf, dl, df, n_docs, total_tokens) — identical text in Spark and (via
     * [[bm25Sql]]) DuckDB, so both engines run the same integer ops.
     */
-  private def weightExpr(div: String): String =
+  private def tfFactorExpr(div: String): String =
     s"((22 * tf * ${Qt * Qr}) $div (10 * tf * $Qr + ${3 * Qr} " +
-      s"+ (9 * dl * $Qr) $div (total_tokens $div n_docs))) " +
+      s"+ (9 * dl * $Qr) $div (total_tokens $div n_docs)))"
+
+  private def weightExpr(div: String): String =
+    s"${tfFactorExpr(div)} " +
       s"* (((2 * n_docs - 2 * df + 1) * $Qi) $div (2 * df + 1))"
 
   /** Scoring core shared by every batch surface: postings × query terms
@@ -368,22 +371,26 @@ object Retrieval {
     * index-proportional. idf and avgdl come from `meta` + the pruned
     * stats, so the scores are identical to the full scan by construction.
     */
+  private def touchedBuckets(spark: SparkSession, root: String): Seq[Int] =
+    queryPairs.map(p => termBucket(p._2)).toSet
+      .intersect(readTbManifest(spark, root)) // fails loud if absent
+      .toSeq.sorted
+
+  /** Point-lookup read of `sub`'s touched `tb=` dirs (empty-touched ⇒ an
+    * empty frame with the right schema, NOT a full scan).
+    */
+  private def prunedRead(spark: SparkSession, root: String, sub: String,
+      touched: Seq[Int]): DataFrame =
+    if (touched.isEmpty) spark.read.parquet(s"$root/$sub").limit(0)
+    else spark.read.option("basePath", s"$root/$sub")
+      .parquet(touched.map(tb => s"$root/$sub/tb=$tb"): _*)
+
   def prunedTopK(spark: SparkSession, root: String): DataFrame = {
-    val manifest = readTbManifest(spark, root) // fails loud if absent
-    val touched = queryPairs.map(p => termBucket(p._2)).toSet
-      .intersect(manifest).toSeq.sorted
-    val (postings, stats) =
-      if (touched.isEmpty)
-        (spark.read.parquet(s"$root/postings").limit(0),
-          spark.read.parquet(s"$root/stats").limit(0))
-      else (
-        spark.read.option("basePath", s"$root/postings")
-          .parquet(touched.map(tb => s"$root/postings/tb=$tb"): _*),
-        spark.read.option("basePath", s"$root/stats")
-          .parquet(touched.map(tb => s"$root/stats/tb=$tb"): _*))
+    val touched = touchedBuckets(spark, root)
     scoreTopK(queryTerms(spark),
-      postings.select("term", "doc_id", "tf", "dl"),
-      stats.select("term", "df"),
+      prunedRead(spark, root, "postings", touched)
+        .select("term", "doc_id", "tf", "dl"),
+      prunedRead(spark, root, "stats", touched).select("term", "df"),
       metaFrame(spark, root))
   }
 
@@ -446,6 +453,154 @@ object Retrieval {
   }
 
   val indexAppendSql: String = bm25Sql("TRUE")
+
+  // ------------------------------------------------- block-max pruning
+
+  /** Documents per block-max block. Blocks are doc_id RANGES
+    * (`blk = doc_id div 64`), consistent across terms, so every document
+    * lives in exactly one block for all of its postings — the property
+    * that makes a per-block score bound a per-document one.
+    */
+  val BlockDocs = 64L
+
+  /** Build-or-reuse the `blockmax/` sidecar of an existing index — the
+    * skip metadata of Block-Max WAND (Ding & Suel, SIGIR 2011)
+    * re-expressed for set-at-a-time distributed search: per (term, block),
+    * the tf MAXIMUM and dl MINIMUM over the block's postings. The tf
+    * factor is increasing in tf and decreasing in dl (floor-division
+    * preserves both monotonicities), so tfq(max_tf, min_dl) · idfq
+    * upper-bounds every member posting's weight. Deliberately stored as
+    * the RAW (max_tf, min_dl) extrema rather than a precomputed impact:
+    * max/min are append-mergeable, and df/avgdl/N — which move under
+    * every append — are resolved at probe time from stats/meta, so the
+    * sidecar never goes stale the way a materialized impact would.
+    * Bucketed by the same `tb` as postings: the probe's sidecar reads
+    * stay query-proportional.
+    */
+  def ensureBlockMax(spark: SparkSession, root: String): Unit = {
+    val (fs, _) = hadoopFs(spark, root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/blockmax/_SUCCESS")))
+      spark.read.parquet(s"$root/postings")
+        .selectExpr("term", s"doc_id div $BlockDocs AS blk", "tf", "dl")
+        .groupBy("term", "blk")
+        .agg(max("tf").as("max_tf"), min("dl").as("min_dl"))
+        .withColumn("tb", expr(tbExpr))
+        .repartition(col("tb"))
+        .sortWithinPartitions("tb", "term", "blk")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$root/blockmax")
+  }
+
+  /** The one-row meta read driver-side (two longs — metadata-scale, the
+    * [[streamRouteQuery]] precedent) so the probe can inline N/TT as
+    * literals instead of cross-joining the meta frame repeatedly.
+    */
+  private def metaVals(spark: SparkSession, root: String): (Long, Long) = {
+    val m = spark.read.parquet(s"$root/meta").head()
+    (m.getLong(0), m.getLong(1))
+  }
+
+  /** Query-term stats with resolved idfq and inlined corpus globals —
+    * the probe-time join of the pruned `stats` buckets against the
+    * standing queries (≤ |query terms| rows; broadcast everywhere it is
+    * used).
+    */
+  private def qstatsIdf(spark: SparkSession, root: String,
+      touched: Seq[Int], nd: Long, tt: Long): DataFrame =
+    prunedRead(spark, root, "stats", touched).select("term", "df")
+      .join(broadcast(queryTerms(spark)), "term")
+      .selectExpr("query_id", "term", "df",
+        s"CAST($nd AS BIGINT) AS n_docs",
+        s"CAST($tt AS BIGINT) AS total_tokens",
+        s"((2 * $nd - 2 * df + 1) * $Qi) div (2 * df + 1) AS idfq")
+
+  /** The per-(query, block) admission decision, exposed for the spec's
+    * pruning accounting: every block of the index scored by its upper
+    * bound against the query's threshold θ. Returns
+    * (query_id, blk, ub, theta) for SURVIVING pairs only.
+    *
+    *  - θ_q (phase 1): the TopK-th score counting ONLY the query's
+    *    rarest term (max idfq, term-asc tie-break). Sound lower bound of
+    *    the true TopK-th score: each phase-1 doc's full score is ≥ its
+    *    single-term score (weights are non-negative), so ≥ TopK docs
+    *    score ≥ θ. Fewer than TopK postings ⇒ θ = 0 (no pruning, still
+    *    exact).
+    *  - ub(q, blk) (phase 2): Σ over the query's terms present in the
+    *    block of tfq(max_tf, min_dl) · idfq — an upper bound of any
+    *    member document's full score. `ub < θ` proves no document of the
+    *    block can displace the TopK (strictly below ≥ TopK others), so
+    *    the pair is pruned EXACTLY — result equality with the unpruned
+    *    probe is a theorem, not a tuning (spec-pinned, and the entry
+    *    shares [[indexTopKSql]] with the unpruned entry).
+    */
+  private[pipeline] def blockSurvivors(spark: SparkSession, root: String)
+      : DataFrame = {
+    val touched = touchedBuckets(spark, root)
+    val (nd, tt) = metaVals(spark, root)
+    val qstats = qstatsIdf(spark, root, touched, nd, tt)
+      .select("query_id", "term", "idfq", "n_docs", "total_tokens")
+    val best = qstats.withColumn("brk", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY idfq DESC, term)"))
+      .where("brk = 1")
+      .select("query_id", "term", "idfq", "n_docs", "total_tokens")
+    val postings = prunedRead(spark, root, "postings", touched)
+      .select("term", "doc_id", "tf", "dl")
+    val theta = postings.join(broadcast(best), "term")
+      .selectExpr("query_id", "doc_id", s"${tfFactorExpr("div")} * idfq AS w")
+      .withColumn("prk", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY w DESC, doc_id)"))
+      .where(s"prk <= $TopK")
+      .groupBy("query_id")
+      .agg(min("w").as("wk"), count(lit(1)).as("c"))
+      .selectExpr("query_id",
+        s"CASE WHEN c >= $TopK THEN wk ELSE CAST(0 AS BIGINT) END AS theta")
+    prunedRead(spark, root, "blockmax", touched)
+      .selectExpr("term", "blk", "max_tf AS tf", "min_dl AS dl")
+      .join(broadcast(qstats), "term")
+      .selectExpr("query_id", "blk", s"${tfFactorExpr("div")} * idfq AS ubw")
+      .groupBy("query_id", "blk").agg(sum("ubw").as("ub"))
+      .join(broadcast(theta), "query_id")
+      .where("ub >= theta")
+  }
+
+  /** The block-max probe: identical output to [[prunedTopK]], but the
+    * scoring aggregation admits only (query, block) pairs whose upper
+    * bound can reach the top-k — the candidate rows of pruned blocks
+    * never enter the (query, doc) shuffle, which is the distributed
+    * analog of WAND's pointer skipping (document-at-a-time traversal is
+    * inherently sequential; bound-and-prune over doc-range blocks is the
+    * set-at-a-time form that parallelizes). On the synthetic corpus the
+    * homogeneous vocabulary keeps most upper bounds above θ; the
+    * [[RetrievalBlockMaxSpec]] skewed-corpus fixture demonstrates the
+    * machinery actually dropping blocks, and equality holds either way.
+    */
+  def blockMaxTopK(spark: SparkSession, root: String): DataFrame = {
+    ensureBlockMax(spark, root)
+    val touched = touchedBuckets(spark, root)
+    val (nd, tt) = metaVals(spark, root)
+    val survivors = blockSurvivors(spark, root).select("query_id", "blk")
+    prunedRead(spark, root, "postings", touched)
+      .select("term", "doc_id", "tf", "dl")
+      .withColumn("blk", expr(s"doc_id div $BlockDocs"))
+      .join(broadcast(qstatsIdf(spark, root, touched, nd, tt)), "term")
+      .join(survivors, Seq("query_id", "blk"), "left_semi")
+      .selectExpr("query_id", "doc_id", s"${weightExpr("div")} AS w")
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum("w").as("w_sum"))
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY w_sum DESC, doc_id)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("query_id", "doc_id", "n_hit", "w_sum",
+        s"CAST(w_sum AS DOUBLE) / ${Qt * Qi}.0 AS score",
+        "CAST(rk AS BIGINT) AS rk")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Driver entry: block-max pruned top-k over the persisted index —
+    * shares the unpruned probe's oracle (equality IS the contract).
+    */
+  def blockMaxQuery(spark: SparkSession, dir: String): DataFrame =
+    blockMaxTopK(spark, ensureBm25Index(spark, dir))
 
   // ------------------------------------------------- streaming routing
 
@@ -570,6 +725,7 @@ object Retrieval {
     "text_bm25_index" -> indexSummary,
     "text_bm25_index_topk" -> indexTopK,
     "text_bm25_append" -> indexAppend,
+    "text_bm25_blockmax" -> blockMaxQuery,
     "stream_bm25_route" -> streamRouteQuery)
 
   val oracles: Map[String, String] = Map(
@@ -577,5 +733,6 @@ object Retrieval {
     "text_bm25_index" -> indexSummarySql,
     "text_bm25_index_topk" -> indexTopKSql,
     "text_bm25_append" -> indexAppendSql,
+    "text_bm25_blockmax" -> indexTopKSql,
     "stream_bm25_route" -> streamRouteSql)
 }

@@ -136,6 +136,11 @@ object PlanAuditBudgets {
     // returned plan = the same pruned probe over the augmented index
     // (the bucket-wise upsert runs before the returned frame is built)
     "text_bm25_append" -> 4,
+    // two-phase exact pruning is 3 more exchanges than the plain probe
+    // by design: the θ window + per-query agg (phase 1), the
+    // (query, blk) upper-bound agg, and the survivors semi join — the
+    // spend that removes pruned blocks' rows from the scoring shuffle
+    "text_bm25_blockmax" -> 7,
     "taxi_inv_replay" -> 1,
     "taxi_parse" -> 1,
     "text_bigrams" -> 1,

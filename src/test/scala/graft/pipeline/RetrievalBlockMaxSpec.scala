@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Block-max probe invariants that the shared hash oracle cannot show:
+  * (1) result equality with the unpruned probe on the real testdata
+  * (where the homogeneous synthetic vocabulary keeps pruning mostly
+  * idle), and (2) on a constructed skewed corpus, the pruning actually
+  * DROPS blocks — the upper-bound machinery is live, and equality still
+  * holds on exactly the input shape pruning exists for.
+  */
+class RetrievalBlockMaxSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("block-max probe equals the unpruned probe on testdata") {
+    val root = Retrieval.ensureBm25Index(spark, "/root/testdata/sf0.001")
+    val pruned = Retrieval.prunedTopK(spark, root).collect().map(_.toSeq)
+    val bm = Retrieval.blockMaxTopK(spark, root).collect().map(_.toSeq)
+    assert(bm.toSeq == pruned.toSeq,
+      "block-max pruning must not change the result")
+  }
+
+  /** Skewed fixture: block 0 (doc_id 0..63) holds every query term with
+    * high tf and short docs; blocks 1..9 carry only the common terms
+    * once each inside long filler docs. The rarest-term θ lands high
+    * (set by block-0 docs), the filler blocks' upper bounds land low —
+    * most (query, block) pairs must be provably prunable.
+    */
+  private def skewedCorpus(): String = {
+    val dir = graft.TempDirs.scoped("bm25-blockmax")
+    val allTerms = Retrieval.Queries.flatMap(_._2.split(' ')).distinct
+    val rows = (0L until 640L).map { id =>
+      val text =
+        if (id < 64)
+          // every query term, repeated: high tf, dl ≈ 5·|terms|
+          Seq.fill(5)(allTerms).flatten.mkString(" ")
+        else
+          // one hit of the two COMMON terms + 200 unique filler tokens
+          (Seq("slow", "query") ++
+            (0 until 200).map(i => s"f${id}x$i")).mkString(" ")
+      (id, text, "en", s"src${id % 3}", text.length.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("on a skewed corpus, blocks are pruned and the result is unchanged") {
+    val dir = skewedCorpus()
+    val root = Retrieval.ensureBm25Index(spark, dir)
+    Retrieval.ensureBlockMax(spark, root)
+
+    // pruning accounting: candidate (query, blk) pairs before the θ cut
+    // vs the survivors the probe admits
+    val qterms = Retrieval.queryTerms(spark)
+    val totalPairs = spark.read.parquet(s"$root/blockmax")
+      .join(qterms, "term")
+      .select("query_id", "blk").distinct().count()
+    val survivors = Retrieval.blockSurvivors(spark, root).count()
+    assert(survivors < totalPairs,
+      s"expected pruned blocks on the skewed corpus " +
+        s"(survivors=$survivors of $totalPairs candidate pairs)")
+    // the skew is strong: at least half the candidate pairs must go
+    assert(survivors * 2 <= totalPairs,
+      s"pruning too weak for the constructed skew: $survivors/$totalPairs")
+
+    val pruned = Retrieval.prunedTopK(spark, root).collect().map(_.toSeq)
+    val bm = Retrieval.blockMaxTopK(spark, root).collect().map(_.toSeq)
+    assert(bm.toSeq == pruned.toSeq,
+      "pruning dropped a block that held a true top-k document")
+  }
+}
