@@ -533,7 +533,7 @@ object Retrieval {
     *    probe is a theorem, not a tuning (spec-pinned, and the entry
     *    shares [[indexTopKSql]] with the unpruned entry).
     */
-  private[pipeline] def blockSurvivors(spark: SparkSession, root: String)
+  private[graft] def blockSurvivors(spark: SparkSession, root: String)
       : DataFrame = {
     val touched = touchedBuckets(spark, root)
     val (nd, tt) = metaVals(spark, root)

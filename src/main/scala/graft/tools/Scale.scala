@@ -342,10 +342,17 @@ object Scale {
       spark.read.parquet(s"$root/meta")
         .agg(org.apache.spark.sql.functions.max("n_docs").as("n_docs"),
           org.apache.spark.sql.functions.max("total_tokens").as("total_tokens"))))
-    pruned(); full() // untimed warmup
+    Retrieval.ensureBlockMax(spark, root)
+    val qterms = Retrieval.queryTerms(spark)
+    val candPairs = spark.read.parquet(s"$root/blockmax")
+      .join(qterms, "term").select("query_id", "blk").distinct().count()
+    val survPairs = Retrieval.blockSurvivors(spark, root).count()
+    def blockmax() = once(Retrieval.blockMaxTopK(spark, root))
+    pruned(); full(); blockmax() // untimed warmup
     val secP = math.min(pruned(), pruned())
     val secF = math.min(full(), full())
-    println(s"""[scale] {"bm25probe_index":"$indexDir","postings_rows":$postRows,"buckets":${manifest.size},"touched_buckets":$touched,"sec_pruned":${num(secP)},"sec_full":${num(secF)}}""")
+    val secB = math.min(blockmax(), blockmax())
+    println(s"""[scale] {"bm25probe_index":"$indexDir","postings_rows":$postRows,"buckets":${manifest.size},"touched_buckets":$touched,"sec_pruned":${num(secP)},"sec_full":${num(secF)},"sec_blockmax":${num(secB)},"blockmax_candidate_pairs":$candPairs,"blockmax_surviving_pairs":$survPairs}""")
     spark.stop()
   }
 
