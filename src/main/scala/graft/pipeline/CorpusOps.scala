@@ -715,7 +715,102 @@ object CorpusOps {
        |         / total::DOUBLE AS coverage
        |FROM top, total ORDER BY rk""".stripMargin
 
+  // ---------------------------------------------- importance resampling
+
+  /** Hashed-n-gram feature space of the importance sampler (DSIR, Xie et
+    * al. 2023, arXiv:2302.03169): word bigrams folded to 1024 buckets —
+    * the model stays a FIXED 1024-row table whatever the corpus size.
+    */
+  val DsirBuckets = 1024L
+  /** Quantization of the per-bucket target/raw ratio (parts-per-1e6). */
+  val DsirQ = 1000000L
+  /** The target slice standing in for the high-quality reference corpus. */
+  val DsirTarget = "src0"
+
+  /** DSIR-style data selection re-expressed Spark-first: score every
+    * document by how target-like its hashed-bigram distribution is, then
+    * importance-resample with acceptance probability ∝ score.
+    *
+    *  - features: word bigrams hashed to [[DsirBuckets]] buckets (the
+    *    paper's hashed n-grams — the "model" is a 1024-row bucket table,
+    *    bounded whatever the corpus size);
+    *  - per-bucket score `s_b = ((t_b + 1) · Q) div (r_b + 1)` — the
+    *    add-1-smoothed target/raw count ratio. The paper's global
+    *    p_target/p_raw normalizer (Σr+NB)/(Σt+NB) is a per-corpus
+    *    CONSTANT, so it cancels in the acceptance ratio imp/s_max and is
+    *    deliberately dropped — that keeps every factor inside BIGINT at
+    *    any corpus size ((t_b+1)·Q ≤ 1e18 through ~1e12 target grams);
+    *  - per-doc importance: the MEAN bucket score of the doc's own grams
+    *    (integer div — the sum is order-free exact BIGINT), the
+    *    sum-of-quantized-ratios form of the paper's sum-of-log-ratios
+    *    (log is not bit-stable cross-engine; the mean-ratio form keeps
+    *    the same target-likeness ordering on smoothed counts);
+    *  - acceptance: `u · s_max < imp · 1024` with u the
+    *    [[weightedSample]] Knuth-hash uniform — probability imp/s_max,
+    *    no RNG state, reproducible on any partitioning.
+    *
+    * Two corpus scans (gram counts, then per-doc scoring against the
+    * broadcast 1024-row score table), three combinable aggregations, no
+    * data-sized shuffle beyond them.
+    */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "split(text, ' ') AS t")
+      .selectExpr("doc_id", "source",
+        "explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+          " (a, b) -> concat(a, ' ', b))) AS gram")
+      // Knuth-mix the fingerprint before the bucket fold: the raw
+      // 31-polynomial maps near-arithmetic vocabularies ("a0 a1" vs
+      // "b1 b2") onto ARITHMETIC bucket progressions that collide
+      // systematically mod 1024; the multiplicative mix restores
+      // avalanche (caught by the skewed-corpus spec)
+      .selectExpr("doc_id", "source",
+        s"((${TextAnalysis.polyHashExpr("gram")} % 2147483647)" +
+          s" * 2654435761) % 2147483647 % $DsirBuckets AS b")
+    val raw = grams.groupBy("b").agg(count(lit(1)).as("r"))
+    val tgt = grams.where(s"source = '$DsirTarget'")
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val scores = raw.join(tgt, Seq("b"), "left")
+      .selectExpr("b",
+        s"((coalesce(tc, CAST(0 AS BIGINT)) + 1) * $DsirQ) div (r + 1) AS s")
+    val doc = grams.join(broadcast(scores), "b")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"), expr("sum(s) div count(1)").as("imp"))
+    doc.crossJoin(broadcast(doc.agg(max("imp").as("s_max"))))
+      .selectExpr("doc_id", "source", "n_grams", "imp", "s_max",
+        s"((doc_id % 2147483647) * 2654435761) % 2147483647" +
+          s" % $DsirBuckets AS u")
+      .where(s"u * s_max < imp * $DsirBuckets")
+      .select("doc_id", "source", "n_grams", "imp", "u")
+      .orderBy("doc_id")
+  }
+
+  val importanceSampleSql: String = {
+    val ph = TextAnalysis.polyHashSql("gram")
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+       |           FROM documents),
+       |g0 AS (SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS gram
+       |       FROM d, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+       |g AS (SELECT doc_id, source, (($ph % 2147483647) * 2654435761)
+       |        % 2147483647 % $DsirBuckets AS b FROM g0),
+       |r AS (SELECT b, count(*)::BIGINT AS r FROM g GROUP BY 1),
+       |tc AS (SELECT b, count(*)::BIGINT AS tc FROM g
+       |       WHERE source = '$DsirTarget' GROUP BY 1),
+       |s AS (SELECT r.b, ((coalesce(tc.tc, 0) + 1) * $DsirQ) // (r.r + 1) AS s
+       |      FROM r LEFT JOIN tc ON r.b = tc.b),
+       |doc AS (SELECT g.doc_id, g.source, count(*)::BIGINT AS n_grams,
+       |               (sum(s.s) // count(*))::BIGINT AS imp
+       |        FROM g JOIN s ON g.b = s.b GROUP BY 1, 2),
+       |mx AS (SELECT max(imp)::BIGINT AS s_max FROM doc),
+       |u AS (SELECT doc.*, ((doc_id % 2147483647) * 2654435761)
+       |               % 2147483647 % $DsirBuckets AS u FROM doc)
+       |SELECT doc_id, source, n_grams, imp, u
+       |FROM u, mx WHERE u * s_max < imp * $DsirBuckets
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_importance_sample" -> importanceSample,
     "pipeline_split" -> split,
     "pipeline_stratified_sample" -> stratifiedSample,
     "pipeline_decontaminate" -> decontaminate,
@@ -733,6 +828,7 @@ object CorpusOps {
     "sim_label_centroids" -> labelCentroids)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_importance_sample" -> importanceSampleSql,
     "pipeline_split" -> splitSql,
     "pipeline_stratified_sample" -> stratifiedSampleSql,
     "pipeline_decontaminate" -> decontaminateSql,

@@ -47,6 +47,9 @@ object PlanAuditBudgets {
     // +1 vs the exact twin: the bloom-sketch scalar subquery's aggregate
     "pipeline_decontaminate_bloom" -> 4,
     "pipeline_filter_funnel" -> 1,
+    // two bucket-count aggs (raw + target), the 1024-row score build,
+    // the per-doc agg, the one-row max, the presentation sort
+    "pipeline_importance_sample" -> 6,
     "pipeline_pack_sequences" -> 2,
     "pipeline_split" -> 1,
     "pipeline_stratified_sample" -> 2,

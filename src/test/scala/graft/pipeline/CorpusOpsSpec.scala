@@ -251,6 +251,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("importance sampling prefers target-like documents on a skewed corpus") {
+    // disjoint vocabularies: src0 (target) docs speak language A, the
+    // rest speak language B — A-bucket scores land near DsirQ (t ≈ r),
+    // B-bucket scores near DsirQ/r. Acceptance must keep (nearly) all
+    // target docs and reject (nearly) all off-target docs.
+    val tmp = graft.TempDirs.scoped("dsir-skew")
+    import spark.implicits._
+    val rows = (0L until 200L).map { id =>
+      val (src, words) =
+        if (id % 2 == 0) ("src0", (0 until 30).map(i => s"a${(id + i) % 7}"))
+        else ("src1", (0 until 30).map(i => s"b${(id + i) % 7}"))
+      (id, words.mkString(" "), "en", src, 0L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val kept = CorpusOps.importanceSample(spark, tmp).collect()
+    val keptTarget = kept.count(_.getString(1) == "src0")
+    val keptOther = kept.length - keptTarget
+    assert(keptTarget >= 90,
+      s"target slice must survive importance resampling ($keptTarget/100)")
+    assert(keptOther <= 10,
+      s"off-target docs must be (almost) all rejected ($keptOther/100)")
+    // determinism: no RNG state anywhere
+    val again = CorpusOps.importanceSample(spark, tmp).collect()
+    assert(again.map(_.toSeq).toSeq == kept.map(_.toSeq).toSeq)
+  }
+
   test("bloom-gated decontamination equals the exact join row-for-row") {
     // the structural guarantee stated in decontaminateBloom's scaladoc,
     // machine-checked: no false negatives means the Bloom pre-filter can
