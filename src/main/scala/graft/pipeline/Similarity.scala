@@ -396,6 +396,136 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
+  // ------------------------------------------- two-level coarse quantizer
+
+  /** Level-1 cell sizing of the hierarchical quantizer: each coarse cell
+    * targets [[L1FinePerCell]] fine lists (= ListTarget·64 vectors), with
+    * the same floor/cap discipline as [[nCentroids]]. At the
+    * [[NCentroidsMax]] cap this derives ~1,024 level-1 cells of ~64 fine
+    * lists each — the shape where the fine codebook (34 MB, too big to
+    * scan per query row) is itself reached through an index.
+    */
+  val L1Min = 4
+  val L1Max = 1024
+  val L1FinePerCell = 64L
+  /** Level-1 cells a query expands (the coarse analog of [[NProbe]]). */
+  val L1Probe = 2
+
+  def l1Cells(corpusRows: Long): Int = math.max(L1Min.toLong,
+    math.min(L1Max.toLong, corpusRows / (ListTarget * L1FinePerCell))).toInt
+
+  private def l1CellsSqlExpr: String =
+    s"greatest($L1Min, least($L1Max, " +
+      s"(SELECT count(*) // ${ListTarget * L1FinePerCell} FROM emb)))"
+
+  /** Two-level IVF — the rung past the flat-codebook cap that the
+    * [[NCentroidsMax]] scaladoc names (the coarse half of an inverted
+    * multi-index; Babenko & Lempitsky 2012 reach the same regime with
+    * product cells): an IVF over the CENTROIDS themselves. The fine
+    * codebook is bucketed by a tiny level-1 codebook at build time; a
+    * query first ranks the [[l1Cells]] coarse cells (broadcast of L1
+    * rows), expands the best [[L1Probe]], and ranks ONLY those cells'
+    * fine centroids (an equi join against the bucketed codebook — per
+    * query ~L1Probe·[[L1FinePerCell]] centroid rows instead of all
+    * [[nCentroids]]), then probes the winning [[NProbe]] inverted lists
+    * exactly as [[ivfTopK]]. Corpus-side cost is IDENTICAL to flat IVF
+    * (every vector still joins its one fine list); what the hierarchy
+    * bounds is the QUERY-side codebook work, which is what breaks first
+    * past ~52 B vectors. Recall trade: the true nearest fine list can sit
+    * in an unprobed coarse cell — [[SimilaritySpec]] gates the measured
+    * recall floor.
+    */
+  def ivf2TopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val nC = nCentroids(spark, dir)
+    val l1 = l1Cells(corpusStats(spark, dir)._1)
+    val cent = emb.where(s"vec_id < $nC")
+      .selectExpr("vec_id AS c_id", "emb AS c_emb", "nrm AS c_nrm")
+    val coarse = emb.where(s"vec_id < $l1")
+      .selectExpr("vec_id AS g_id", "emb AS g_emb", "nrm AS g_nrm")
+    // fine centroid → owning level-1 cell (codebook-sized, combinable)
+    val centCell = assignOne(
+      cent.selectExpr("c_id AS vec_id", "c_emb AS emb", "c_nrm AS nrm"),
+      coarse, "c_id", "g_id", "g_emb", "g_nrm", "gsim", "grk")
+      .select("c_id", "emb", "nrm", "g_id")
+    // corpus → fine list: unchanged from flat IVF (build-time, once)
+    val assigned = assignOne(emb, cent, "vec_id", "c_id", "c_emb", "c_nrm",
+      "csim", "crk").select("vec_id", "emb", "nrm", "c_id")
+    val qCells = emb.where(s"vec_id < $QuerySetSize")
+      .crossJoin(broadcast(coarse))
+      .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm", "g_id",
+        s"round(${cosineExpr("emb", "g_emb", "nrm", "g_nrm")}, 6) AS gsim")
+      .withColumn("grk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY gsim DESC, g_id)"))
+      .where(s"grk <= $L1Probe")
+      .select("q_id", "q_emb", "q_nrm", "g_id")
+    val qFine = qCells.join(broadcast(centCell), "g_id")
+      .selectExpr("q_id", "q_emb", "q_nrm", "c_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS fsim")
+      .withColumn("frk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY fsim DESC, c_id)"))
+      .where(s"frk <= $NProbe")
+      .select("q_id", "q_emb", "q_nrm", "c_id")
+    qFine.join(assigned, "c_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  val ivf2TopKSql: String =
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
+       |         WHERE vec_id < $nCentroidsSqlExpr),
+       |coarse AS (SELECT vec_id AS g_id, emb AS g_emb, nrm AS g_nrm FROM emb
+       |           WHERE vec_id < $l1CellsSqlExpr),
+       |centcell AS (
+       |  SELECT c_id, c_emb, c_nrm, g_id FROM (
+       |    SELECT c.c_id, c.c_emb, c.c_nrm, g.g_id,
+       |           row_number() OVER (PARTITION BY c.c_id ORDER BY
+       |             round(${cosineSql("c.c_emb", "g.g_emb", "c.c_nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM cent c, coarse g)
+       |  WHERE grk = 1),
+       |assigned AS (
+       |  SELECT vec_id, emb, nrm, c_id FROM (
+       |    SELECT e.vec_id, e.emb, e.nrm, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(${cosineSql("e.emb", "c.c_emb", "e.nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM emb e, cent c)
+       |  WHERE crk = 1),
+       |qcells AS (
+       |  SELECT q_id, q_emb, q_nrm, g_id FROM (
+       |    SELECT e.vec_id AS q_id, e.emb AS q_emb, e.nrm AS q_nrm, g.g_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(${cosineSql("e.emb", "g.g_emb", "e.nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM emb e, coarse g WHERE e.vec_id < $QuerySetSize)
+       |  WHERE grk <= $L1Probe),
+       |qfine AS (
+       |  SELECT q_id, q_emb, q_nrm, c_id FROM (
+       |    SELECT q.q_id, q.q_emb, q.q_nrm, cc.c_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             round(${cosineSql("q.q_emb", "cc.c_emb", "q.q_nrm", "cc.c_nrm")}, 6) DESC,
+       |             cc.c_id) AS frk
+       |    FROM qcells q JOIN centcell cc USING (g_id))
+       |  WHERE frk <= $NProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |         round(${cosineSql("p.q_emb", "a.emb", "p.q_nrm", "a.nrm")}, 6) AS sim
+       |  FROM qfine p JOIN assigned a USING (c_id) WHERE a.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+
   /** IVF with a TRAINED codebook: [[ivfTopK]]'s seeded centroids refined by
     * [[KmRounds]] Lloyd iterations (assign to nearest centroid, recompute
     * means). Cross-engine determinism of the means: per-dimension values are
@@ -1723,6 +1853,7 @@ object Similarity {
     "sim_lsh_topk" -> lshTopK,
     "sim_lsh_multi_topk" -> lshMultiTopK,
     "sim_ivf_topk" -> ivfTopK,
+    "sim_ivf2_topk" -> ivf2TopK,
     "sim_ivf_trained_topk" -> ivfTrainedTopK,
     "sim_pq_topk" -> pqTopK,
     "sim_sq8_topk" -> sq8TopK,
@@ -1741,6 +1872,7 @@ object Similarity {
     "sim_lsh_topk" -> lshTopKSql,
     "sim_lsh_multi_topk" -> lshMultiTopKSql,
     "sim_ivf_topk" -> ivfTopKSql,
+    "sim_ivf2_topk" -> ivf2TopKSql,
     "sim_ivf_trained_topk" -> ivfTrainedTopKSql,
     "sim_pq_topk" -> pqTopKSql,
     "sim_sq8_topk" -> sq8TopKSql,

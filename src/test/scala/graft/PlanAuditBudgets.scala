@@ -82,6 +82,10 @@ object PlanAuditBudgets {
     "sim_bruteforce_topk" -> 2,
     "sim_filtered_topk" -> 2,
     "sim_ivf_topk" -> 6,
+    // flat IVF's 6 plus the centroid→L1-cell assignment agg (codebook-
+    // sized rows; the query-side L1/fine rank windows ride the same
+    // Q-partitioned exchanges the flat probe already pays)
+    "sim_ivf2_topk" -> 7,
     "sim_ivf_trained_topk" -> 6,
     // IVF-PQ composes three indexes (coarse lists, per-subspace codes,
     // candidate ADC) plus an exact re-rank join — each stage shuffles once

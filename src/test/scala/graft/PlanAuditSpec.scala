@@ -41,6 +41,9 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljQueryBatchOk = Set(
     "sim_bruteforce_topk", "sim_sq8_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
     "sim_ivfpq_topk", // coarse codebook broadcast: vec_id < NCentroids (16)
+    // two-level IVF: the L1 coarse codebook broadcast (vec_id < l1Cells,
+    // capped at 1024 rows) — same bounded-codebook shape as the family
+    "sim_ivf2_topk",
     "sim_recall_gate", "sim_recall_gate_x10",
     // incremental IVF: nearestLists crossJoins the broadcast 16-row
     // codebook (vec_id < NCentroids) for list assignment / probe set
