@@ -261,7 +261,97 @@ object Sketches {
        |ORDER BY exact_cnt DESC, token""".stripMargin
   }
 
+  // ---------------------------------------------------------------- KMV
+
+  /** Sketch size: k minimum hash values kept per scope. With k = 32 the
+    * standard error is ≈ 1/√(k−2) ≈ 18%; the emitted gate allows 50%.
+    * Deliberately BELOW sf0.01's ~150 distinct users so the estimation
+    * path is live at the driver's gate scale, while sf0.001 (~15 users)
+    * exercises the exact small-cardinality path — both regimes under the
+    * same hash oracle.
+    */
+  val KmvK = 32
+  /** Hash domain (the Knuth-mix modulus): estimates scale against it. */
+  val KmvP = 2147483647L
+
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) — the
+    * third mergeable summary (HLL answers "how many distinct", CMS "how
+    * often each"; KMV adds SET ALGEBRA over the sketches, which HLL
+    * cannot intersect). Deterministic by construction: the "random" hash
+    * is the Knuth multiplicative mix of user_id, so both engines keep the
+    * same k minima and the estimate `(k−1)·M / h_k` is exact integer
+    * arithmetic — a sketch the hash oracle can check VALUE-FOR-VALUE, not
+    * just within tolerance. Scopes: one sketch per event_type, plus the
+    * `all` row built by MERGING the per-type sketches (re-rank of
+    * ≤ types·k kept hashes — the 100 TB shape, where partial sketches
+    * merge without rescanning the data). Each row carries the exact
+    * distinct count and an error-gate boolean, so an estimator regression
+    * breaks the hash.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val hashes = ev.selectExpr("event_type",
+        s"((user_id % $KmvP) * 2654435761) % $KmvP AS h")
+      .distinct()
+    val kept = hashes.withColumn("hrk", expr(
+        "row_number() OVER (PARTITION BY event_type ORDER BY h)"))
+      .where(s"hrk <= $KmvK")
+    val perType = kept.groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), max("h").as("h_k"))
+      .join(ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact")), "event_type")
+      .selectExpr("event_type AS scope", "n_exact", "n_kept", "h_k")
+    val merged = kept.select("h").distinct()
+      .withColumn("hrk", expr("row_number() OVER (ORDER BY h)"))
+      .where(s"hrk <= $KmvK")
+      .agg(count(lit(1)).as("n_kept"), max("h").as("h_k"))
+      .crossJoin(ev.agg(countDistinct("user_id").as("n_exact")))
+      .selectExpr("'all' AS scope", "n_exact", "n_kept", "h_k")
+    perType.union(merged)
+      .selectExpr("scope", "n_exact", "n_kept", "h_k",
+        s"CASE WHEN n_kept < $KmvK THEN n_kept " +
+          s"ELSE (${(KmvK - 1) * KmvP} div h_k) END AS est")
+      .selectExpr("scope", "n_exact", "n_kept", "h_k", "est",
+        "abs(est - n_exact) * 2 <= n_exact AS est_ok")
+      .orderBy("scope")
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH hashes AS (
+       |  SELECT DISTINCT event_type,
+       |         ((user_id % $KmvP) * 2654435761) % $KmvP AS h FROM events),
+       |kept AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS hrk
+       |    FROM hashes)
+       |  WHERE hrk <= $KmvK),
+       |per_type AS (
+       |  SELECT k.event_type AS scope, x.n_exact,
+       |         k.n_kept, k.h_k
+       |  FROM (SELECT event_type, count(*)::BIGINT AS n_kept,
+       |               max(h)::BIGINT AS h_k FROM kept GROUP BY 1) k
+       |  JOIN (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+       |        FROM events GROUP BY 1) x USING (event_type)),
+       |merged AS (
+       |  SELECT 'all' AS scope,
+       |         (SELECT count(DISTINCT user_id)::BIGINT FROM events) AS n_exact,
+       |         count(*)::BIGINT AS n_kept, max(h)::BIGINT AS h_k
+       |  FROM (SELECT h FROM (
+       |          SELECT h, row_number() OVER (ORDER BY h) AS hrk
+       |          FROM (SELECT DISTINCT h FROM kept))
+       |        WHERE hrk <= $KmvK)),
+       |u AS (SELECT * FROM per_type UNION ALL SELECT * FROM merged),
+       |e AS (SELECT scope, n_exact, n_kept, h_k,
+       |             CASE WHEN n_kept < $KmvK THEN n_kept
+       |                  ELSE (${(KmvK - 1) * KmvP} // h_k) END AS est
+       |      FROM u)
+       |SELECT scope, n_exact, n_kept, h_k, est,
+       |       abs(est - n_exact) * 2 <= n_exact AS est_ok
+       |FROM e ORDER BY scope""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_kmv_distinct" -> kmvDistinct,
     "x_sketch_stats" -> approxStats,
     "x_bounds_agg" -> boundsAgg,
     "x_hll_rollup" -> hllRollup,
@@ -269,6 +359,7 @@ object Sketches {
     "stream_cms_heavy" -> streamCmsHeavy)
 
   val oracles: Map[String, String] = Map(
+    "x_kmv_distinct" -> kmvDistinctSql,
     "x_sketch_stats" -> approxStatsSql,
     "x_bounds_agg" -> boundsAggSql,
     "x_hll_rollup" -> hllRollupSql,

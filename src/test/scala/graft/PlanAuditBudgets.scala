@@ -46,6 +46,11 @@ object PlanAuditBudgets {
     "pipeline_decontaminate" -> 3,
     // +1 vs the exact twin: the bloom-sketch scalar subquery's aggregate
     "pipeline_decontaminate_bloom" -> 4,
+    // hash distinct + per-type rank window + sketch agg + two exact
+    // countDistinct pairs + the sketch-sized merge re-rank + output sort:
+    // the exact columns are the verification yardstick the entry ships
+    // next to the sketch (the x_sketch_stats convention)
+    "x_kmv_distinct" -> 10,
     "pipeline_filter_funnel" -> 1,
     // two bucket-count aggs (raw + target), the 1024-row score build,
     // the per-doc agg, the one-row max, the presentation sort

@@ -28,7 +28,10 @@ class PlanAuditSpec extends AnyFunSuite {
     * TakeOrderedAndProject, so its global window never sees more than K
     * rows regardless of corpus size (CorpusOps.vocab scaladoc).
     */
-  private val globalWindowOk = Set("text_vocab")
+  private val globalWindowOk = Set("text_vocab",
+    // the merged-KMV re-rank: its input is the union of per-type kept
+    // minima (≤ |event_types| · KmvK rows — sketch-sized, not data-sized)
+    "x_kmv_distinct")
 
   /** ANN entries whose nested-loop join broadcasts the QUERY BATCH (a
     * `vec_id < QuerySetSize` filter — bounded by a constant, not by data;

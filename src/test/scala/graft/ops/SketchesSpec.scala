@@ -54,6 +54,36 @@ class SketchesSpec extends AnyFunSuite {
       "cell-wise sum of split sketches diverged from the whole-corpus sketch")
   }
 
+  test("kmv: merge of disjoint sketches equals the direct union sketch") {
+    // the property the testdata can't show (every event_type there sees
+    // every user): two DISJOINT user populations, sketched separately,
+    // merged by re-ranking the kept minima — must equal the sketch built
+    // directly over the union, because the k smallest of A ∪ B are a
+    // subset of (k smallest of A) ∪ (k smallest of B)
+    import spark.implicits._
+    def mix(u: Long) = ((u % Sketches.KmvP) * 2654435761L) % Sketches.KmvP
+    def kmv(users: Seq[Long]): Seq[Long] =
+      users.map(mix).distinct.sorted.take(Sketches.KmvK)
+    val a = (0L until 500L).map(_ * 7 + 1)
+    val b = (0L until 500L).map(_ * 11 + 100000L)
+    val merged = (kmv(a) ++ kmv(b)).distinct.sorted.take(Sketches.KmvK)
+    assert(merged == kmv(a ++ b),
+      "re-ranked merge of partial KMV sketches diverged from direct build")
+    // estimator sanity on the same population: within the 50% gate
+    val hk = kmv(a ++ b).last
+    val est = (Sketches.KmvK - 1) * Sketches.KmvP / hk
+    val exact = (a ++ b).distinct.size
+    assert(math.abs(est - exact) * 2 <= exact,
+      s"KMV estimate $est vs exact $exact outside the 50% gate")
+    // and the engine agrees with the driver-side mirror: the entry's
+    // 'all' row must carry the same h_k as a local replay over testdata
+    val evUsers = graft.Tables.load(spark, dir, "events")
+      .select("user_id").distinct().as[Long].collect().toSeq
+    val allRow = Sketches.kmvDistinct(spark, dir).collect()
+      .find(_.getAs[String]("scope") == "all").get
+    assert(allRow.getAs[Long]("h_k") == kmv(evUsers).last)
+  }
+
   test("streaming count-min equals the batch sketch and is re-runnable") {
     val first = Sketches.streamCmsHeavy(spark, dir).collect().toSeq
     // bench executes every entry multiple times in one session: the memory
