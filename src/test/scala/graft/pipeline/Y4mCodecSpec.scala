@@ -92,4 +92,19 @@ class Y4mCodecSpec extends AnyFunSuite {
     val v = Y4mCodec.decode("YUV4MPEG2 W2 H2 F25:1 C444\n".getBytes)
     assert(v.frames.isEmpty && v.width == 2)
   }
+
+  test("luma SAD detects a constructed hard cut and stays quiet on a freeze") {
+    def solid(v: Int): Frame = {
+      val p = Array.fill(64)(v.toByte); Frame(p, p.clone(), p.clone())
+    }
+    // freeze → hard cut → freeze: exactly one transition clears the gate
+    val vid = Y4mCodec.decode(Y4mCodec.encode(
+      Video(8, 8, 25, 1, Vector(solid('a'), solid('a'), solid('z'), solid('z')))))
+    val sads = Multimodal.lumaSads(vid)
+    assert(sads.map(_._1) == Vector(1, 2, 3))
+    assert(sads.map(_._2) == Vector(0L, 64L * ('z' - 'a'), 0L))
+    val cuts = sads.filter(_._2 >= Multimodal.SceneCutSad)
+    assert(cuts == Vector((2, 64L * ('z' - 'a'))),
+      "exactly the constructed boundary must be called a cut")
+  }
 }
