@@ -307,13 +307,7 @@ object Sketches {
       .agg(count(lit(1)).as("n_kept"), max("h").as("h_k"))
       .crossJoin(ev.agg(countDistinct("user_id").as("n_exact")))
       .selectExpr("'all' AS scope", "n_exact", "n_kept", "h_k")
-    perType.union(merged)
-      .selectExpr("scope", "n_exact", "n_kept", "h_k",
-        s"CASE WHEN n_kept < $KmvK THEN n_kept " +
-          s"ELSE (${(KmvK - 1) * KmvP} div h_k) END AS est")
-      .selectExpr("scope", "n_exact", "n_kept", "h_k", "est",
-        "abs(est - n_exact) * 2 <= n_exact AS est_ok")
-      .orderBy("scope")
+    kmvVerdict(perType.union(merged))
   }
 
   val kmvDistinctSql: String =
@@ -350,8 +344,66 @@ object Sketches {
        |       abs(est - n_exact) * 2 <= n_exact AS est_ok
        |FROM e ORDER BY scope""".stripMargin
 
+  /** The est/est_ok presentation tail shared by the batch and streaming
+    * KMV entries — both must emit the identical surface for the shared
+    * oracle.
+    */
+  private def kmvVerdict(u: DataFrame): DataFrame =
+    u.selectExpr("scope", "n_exact", "n_kept", "h_k",
+        s"CASE WHEN n_kept < $KmvK THEN n_kept " +
+          s"ELSE (${(KmvK - 1) * KmvP} div h_k) END AS est")
+      .selectExpr("scope", "n_exact", "n_kept", "h_k", "est",
+        "abs(est - n_exact) * 2 <= n_exact AS est_ok")
+      .orderBy("scope")
+
+  /** Streaming twin of [[kmvDistinct]]: events replayed as 4 micro-batch
+    * chunks, the sketch maintained as LIVE streaming state through the
+    * [[KmvAgg]] typed aggregator in complete mode — per-group state is
+    * the ≤ k sorted minima themselves (the whole point of a sketch in an
+    * ingest hot path: the state store holds ≤ |scopes|·k longs forever,
+    * where an exact distinct would grow with users). The memory-sink end
+    * state is then dressed with the same exact-count yardsticks and
+    * gates; the entry SHARES the batch oracle, so the hash asserts
+    * streamed end-state == one-shot build (the [[streamCmsHeavy]]
+    * contract).
+    */
+  def streamKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.PacedReplay
+    KmvAgg.register(spark)
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("event_id", "event_type", "user_id")
+    val stageDir = graft.TempDirs.scoped("kmv-stage") + "/events"
+    val rowsPerFile = math.max(1L, ev.count() / 4L).toInt
+    PacedReplay.stage(ev, Seq("event_id"), rowsPerFile, stageDir)
+    val agg = PacedReplay.stream(spark, stageDir, ev.schema)
+      .selectExpr("event_type",
+        s"((user_id % $KmvP) * 2654435761) % $KmvP AS h")
+      .groupBy("event_type").agg(expr("graft_kmv(h)").as("mins"))
+    val qn = "graft_stream_kmv_sketch"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val sk = spark.table(qn)
+    val perType = sk
+      .selectExpr("event_type", "CAST(size(mins) AS BIGINT) AS n_kept",
+        "element_at(mins, -1) AS h_k")
+      .join(ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact")), "event_type")
+      .selectExpr("event_type AS scope", "n_exact", "n_kept", "h_k")
+    val merged = sk.selectExpr("explode(mins) AS h")
+      .agg(expr("graft_kmv(h)").as("mins"))
+      .selectExpr("CAST(size(mins) AS BIGINT) AS n_kept",
+        "element_at(mins, -1) AS h_k")
+      .crossJoin(ev.agg(countDistinct("user_id").as("n_exact")))
+      .selectExpr("'all' AS scope", "n_exact", "n_kept", "h_k")
+    kmvVerdict(perType.union(merged))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_kmv_distinct" -> kmvDistinct,
+    "stream_kmv_distinct" -> streamKmvDistinct,
     "x_sketch_stats" -> approxStats,
     "x_bounds_agg" -> boundsAgg,
     "x_hll_rollup" -> hllRollup,
@@ -360,6 +412,8 @@ object Sketches {
 
   val oracles: Map[String, String] = Map(
     "x_kmv_distinct" -> kmvDistinctSql,
+    // streamed KMV end state must equal the batch build — shared oracle
+    "stream_kmv_distinct" -> kmvDistinctSql,
     "x_sketch_stats" -> approxStatsSql,
     "x_bounds_agg" -> boundsAggSql,
     "x_hll_rollup" -> hllRollupSql,
@@ -386,4 +440,32 @@ object BoundsAgg extends Aggregator[Double, (Double, Double), (Double, Double)] 
   /** Register as `graft_bounds(col)` for SQL use. */
   def register(spark: SparkSession): Unit =
     spark.udf.register("graft_bounds", org.apache.spark.sql.functions.udaf(this))
+}
+
+/** Typed `Aggregator` keeping the k smallest DISTINCT hash values — the
+  * KMV sketch as a first-class combinable aggregate (map-side partial
+  * merge like any built-in agg; registered as `graft_kmv`). The buffer is
+  * a sorted Vector capped at [[Sketches.KmvK]], so streaming state built
+  * from it is bounded whatever the cardinality.
+  */
+object KmvAgg extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  private def insert(b: Seq[Long], h: Long): Seq[Long] =
+    if (b.contains(h) ||
+      (b.size >= Sketches.KmvK && h >= b.last)) b
+    else {
+      val nb = (b :+ h).sorted
+      if (nb.size > Sketches.KmvK) nb.take(Sketches.KmvK) else nb
+    }
+  def zero: Seq[Long] = Vector.empty
+  def reduce(b: Seq[Long], h: Long): Seq[Long] = insert(b, h)
+  def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert)
+  def finish(b: Seq[Long]): Seq[Long] = b
+  def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+
+  /** Register as `graft_kmv(col)` for SQL use. */
+  def register(spark: SparkSession): Unit =
+    spark.udf.register("graft_kmv", org.apache.spark.sql.functions.udaf(this))
 }

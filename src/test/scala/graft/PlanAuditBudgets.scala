@@ -51,6 +51,9 @@ object PlanAuditBudgets {
     // the exact columns are the verification yardstick the entry ships
     // next to the sketch (the x_sketch_stats convention)
     "x_kmv_distinct" -> 10,
+    // the returned verdict frame (stream already ran in foreground): two
+    // exact countDistinct pairs, the sketch-sized merge agg, output sort
+    "stream_kmv_distinct" -> 6,
     "pipeline_filter_funnel" -> 1,
     // two bucket-count aggs (raw + target), the 1024-row score build,
     // the per-doc agg, the one-row max, the presentation sort

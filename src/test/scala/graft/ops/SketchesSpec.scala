@@ -84,6 +84,17 @@ class SketchesSpec extends AnyFunSuite {
     assert(allRow.getAs[Long]("h_k") == kmv(evUsers).last)
   }
 
+  test("streaming kmv equals the batch entry and is re-runnable") {
+    val batch = Sketches.kmvDistinct(spark, dir).collect().map(_.toSeq)
+    val first = Sketches.streamKmvDistinct(spark, dir).collect().map(_.toSeq)
+    assert(first.toSeq == batch.toSeq,
+      "streamed KMV end state diverged from the one-shot build")
+    // bench runs entries repeatedly in one session: staged dirs and the
+    // memory sink name must not collide across runs
+    val again = Sketches.streamKmvDistinct(spark, dir).collect().map(_.toSeq)
+    assert(again.toSeq == batch.toSeq)
+  }
+
   test("streaming count-min equals the batch sketch and is re-runnable") {
     val first = Sketches.streamCmsHeavy(spark, dir).collect().toSeq
     // bench executes every entry multiple times in one session: the memory
