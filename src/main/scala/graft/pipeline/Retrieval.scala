@@ -479,12 +479,18 @@ object Retrieval {
     */
   def ensureBlockMax(spark: SparkSession, root: String): Unit = {
     val (fs, _) = hadoopFs(spark, root)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/blockmax/_SUCCESS")))
+    // committed = _SUCCESS present AND the upsert-layout `ver` column
+    // exists (a sidecar from before the append support is rebuilt — the
+    // schema read is metadata-only)
+    val committed =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/blockmax/_SUCCESS")) &&
+        spark.read.parquet(s"$root/blockmax").columns.contains("ver")
+    if (!committed)
       spark.read.parquet(s"$root/postings")
         .selectExpr("term", s"doc_id div $BlockDocs AS blk", "tf", "dl")
         .groupBy("term", "blk")
         .agg(max("tf").as("max_tf"), min("dl").as("min_dl"))
-        .withColumn("tb", expr(tbExpr))
+        .withColumn("tb", expr(tbExpr)).withColumn("ver", lit(0L))
         .repartition(col("tb"))
         .sortWithinPartitions("tb", "term", "blk")
         .write.mode("overwrite").partitionBy("tb")
@@ -601,6 +607,58 @@ object Retrieval {
     */
   def blockMaxQuery(spark: SparkSession, dir: String): DataFrame =
     blockMaxTopK(spark, ensureBm25Index(spark, dir))
+
+  /** The sidecar's append-mergeability, proven end-to-end: the same
+    * bucket-wise wave merge as [[indexAppend]], PLUS a blockmax rebuild
+    * for exactly the touched buckets (recomputed from the merged postings
+    * — the stats-recompute pattern; raw (max_tf, min_dl) extrema make
+    * this a touched-bucket agg, no global inputs), then the BLOCK-MAX
+    * probe against the augmented index. The oracle recomputes BM25 over
+    * the FULL corpus from scratch, so a stale sidecar row — an old
+    * max_tf surviving where the wave raised it, which could wrongly
+    * prune the block under the new θ — breaks the hash.
+    */
+  def blockMaxAppend(spark: SparkSession, dir: String): DataFrame = {
+    val src = ensureBm25Index(spark, dir)
+    ensureBlockMax(spark, src)
+    val work = graft.TempDirs.scoped("bm25-bmappend") + "/index"
+    graft.TempDirs.copyTree(spark, src, work) // hermeticity tax only
+    val wave = Tables.load(spark, dir, "documents")
+      .where(s"doc_id % ${Dedup.IncrSplitMod} = 0")
+    val wavePostings = postingsOf(wave)
+      .withColumn("tb", expr(tbExpr)).withColumn("ver", lit(1L))
+    graft.streaming.Sinks.partitionedUpsertBatch(
+      wavePostings, s"$work/postings",
+      partitionCols = Seq("tb"), keyCols = Seq("term", "doc_id"),
+      versionCols = Seq("ver"), sortCols = Seq("term", "doc_id"))
+    val touched = wavePostings.select("tb").distinct()
+      .collect().map(_.getInt(0)).toSet // metadata-scale
+    if (touched.nonEmpty) {
+      val merged = spark.read.option("basePath", s"$work/postings")
+        .parquet(touched.toSeq.sorted.map(tb => s"$work/postings/tb=$tb"): _*)
+      val newStats = merged.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("tb", expr(tbExpr)).withColumn("ver", lit(1L))
+      graft.streaming.Sinks.partitionedUpsertBatch(
+        newStats, s"$work/stats",
+        partitionCols = Seq("tb"), keyCols = Seq("term"),
+        versionCols = Seq("ver"), sortCols = Seq("term"))
+      val newBlockMax = merged
+        .selectExpr("term", s"doc_id div $BlockDocs AS blk", "tf", "dl")
+        .groupBy("term", "blk")
+        .agg(max("tf").as("max_tf"), min("dl").as("min_dl"))
+        .withColumn("tb", expr(tbExpr)).withColumn("ver", lit(1L))
+      graft.streaming.Sinks.partitionedUpsertBatch(
+        newBlockMax, s"$work/blockmax",
+        partitionCols = Seq("tb"), keyCols = Seq("term", "blk"),
+        versionCols = Seq("ver"), sortCols = Seq("term", "blk"))
+    }
+    val old = spark.read.parquet(s"$src/meta").head()
+    val add = metaOf(wave).head()
+    writeMeta(spark, s"$work/meta",
+      old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1))
+    augmentTbManifest(spark, work, touched)
+    blockMaxTopK(spark, work)
+  }
 
   // ------------------------------------------------- streaming routing
 
@@ -726,6 +784,7 @@ object Retrieval {
     "text_bm25_index_topk" -> indexTopK,
     "text_bm25_append" -> indexAppend,
     "text_bm25_blockmax" -> blockMaxQuery,
+    "text_bm25_blockmax_append" -> blockMaxAppend,
     "stream_bm25_route" -> streamRouteQuery)
 
   val oracles: Map[String, String] = Map(
@@ -734,5 +793,6 @@ object Retrieval {
     "text_bm25_index_topk" -> indexTopKSql,
     "text_bm25_append" -> indexAppendSql,
     "text_bm25_blockmax" -> indexTopKSql,
+    "text_bm25_blockmax_append" -> indexAppendSql,
     "stream_bm25_route" -> streamRouteSql)
 }

@@ -156,6 +156,9 @@ object PlanAuditBudgets {
     // (query, blk) upper-bound agg, and the survivors semi join — the
     // spend that removes pruned blocks' rows from the scoring shuffle
     "text_bm25_blockmax" -> 7,
+    // the returned plan is the same block-max probe (the bucket-wise
+    // merge ran in the upsert sink before this frame was built)
+    "text_bm25_blockmax_append" -> 7,
     "taxi_inv_replay" -> 1,
     "taxi_parse" -> 1,
     "text_bigrams" -> 1,
