@@ -114,6 +114,30 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
+  /** The window-free brute-force construction — the "aggregate top-k"
+    * scale pattern [[bruteForceTopK]]'s scaladoc names: per-query top-k
+    * kept by the bounded [[TopKAgg]] typed aggregator instead of a rank
+    * window. The agg is map-side combinable, so each partition reduces
+    * its candidates to ≤ k rows BEFORE the exchange — the per-query
+    * shuffle carries Q·k·partials instead of every scored pair, and
+    * nothing sorts N/Q-row partitions. Same output, same oracle; the
+    * spec asserts the plan carries NO Window node.
+    */
+  def bruteForceAggTopK(spark: SparkSession, dir: String): DataFrame = {
+    TopKAgg.register(spark)
+    val corpus = embDouble(spark, dir)
+    val queries = corpus.where(s"vec_id < $QuerySetSize")
+      .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm")
+    corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .groupBy("q_id").agg(expr("graft_topk(sim, vec_id)").as("tk"))
+      .selectExpr("q_id", "posexplode(tk) AS (i, p)")
+      .selectExpr("q_id", "p._2 AS vec_id", "p._1 AS sim",
+        "CAST(i + 1 AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
   /** LSH bucket id: sign bits of `NBits` hyperplane dot products. */
   val NBits = 4
 
@@ -1850,6 +1874,7 @@ object Similarity {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_filtered_topk" -> filteredTopK,
     "sim_bruteforce_topk" -> bruteForceTopK,
+    "sim_bruteforce_agg_topk" -> bruteForceAggTopK,
     "sim_lsh_topk" -> lshTopK,
     "sim_lsh_multi_topk" -> lshMultiTopK,
     "sim_ivf_topk" -> ivfTopK,
@@ -1869,6 +1894,8 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_filtered_topk" -> filteredTopKSql,
     "sim_bruteforce_topk" -> bruteForceTopKSql,
+    // window-free construction, identical output — shared oracle
+    "sim_bruteforce_agg_topk" -> bruteForceTopKSql,
     "sim_lsh_topk" -> lshTopKSql,
     "sim_lsh_multi_topk" -> lshMultiTopKSql,
     "sim_ivf_topk" -> ivfTopKSql,
@@ -1884,4 +1911,38 @@ object Similarity {
     "stream_incremental_ivf" -> streamIncrementalIvfSql,
     "sim_semdedup" -> semDedupSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql)
+}
+
+/** Bounded per-group top-k as a typed `Aggregator` (registered as
+  * `graft_topk(sim, id)`): the buffer holds at most [[Similarity.TopK]]
+  * (sim, id) pairs ordered by (sim DESC, id ASC) — map-side combinable,
+  * so a rank window's partition-wide sort shuffle is replaced by
+  * partial-reduced ≤ k-row partials per group per partition. Determinism:
+  * sims arrive pre-rounded (the family's round(·, 6) discipline) and ties
+  * break on id, exactly the window form's ORDER BY.
+  */
+object TopKAgg extends org.apache.spark.sql.expressions.Aggregator[
+    (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  private def insert(b: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] =
+    if (b.size >= Similarity.TopK && !better(v, b.last)) b
+    else {
+      val nb = (b :+ v).sortWith(better)
+      if (nb.size > Similarity.TopK) nb.take(Similarity.TopK) else nb
+    }
+  def zero: Seq[(Double, Long)] = Vector.empty
+  def reduce(b: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] =
+    insert(b, v)
+  def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    b.foldLeft(a)(insert)
+  def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+  def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+
+  /** Register as `graft_topk(sim, id)` for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.udf.register("graft_topk", org.apache.spark.sql.functions.udaf(this))
 }

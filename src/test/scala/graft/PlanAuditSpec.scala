@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * the join is exactly what turns filtered search into a hash join.
     */
   private val bnljQueryBatchOk = Set(
-    "sim_bruteforce_topk", "sim_sq8_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
+    "sim_bruteforce_topk", "sim_bruteforce_agg_topk",
+    "sim_sq8_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
     "sim_ivfpq_topk", // coarse codebook broadcast: vec_id < NCentroids (16)
     // two-level IVF: the L1 coarse codebook broadcast (vec_id < l1Cells,
     // capped at 1024 rows) — same bounded-codebook shape as the family

@@ -115,6 +115,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(bf.nonEmpty)
   }
 
+  test("aggregate top-k equals the window construction, with no Window node") {
+    val window = Similarity.bruteForceTopK(spark, dir).collect().map(_.toSeq)
+    val agg = Similarity.bruteForceAggTopK(spark, dir)
+    assert(agg.collect().map(_.toSeq).toSeq == window.toSeq,
+      "bounded-aggregator top-k diverged from the rank-window form")
+    val hasWindow = agg.queryExecution.executedPlan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.nonEmpty
+    assert(!hasWindow, "the whole point is a plan with no Window sort")
+  }
+
   test("two-level IVF recall clears its floor against brute-force truth") {
     val bf = Similarity.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
