@@ -401,7 +401,161 @@ object Sketches {
     kmvVerdict(perType.union(merged))
   }
 
+  // ------------------------------------------------------------ QSKETCH
+
+  /** Sub-buckets per power-of-two octave. Bucket width is 2^e / S inside
+    * octave [2^e, 2^{e+1}), so the midpoint representative is within
+    * 1/(2·S) ≈ 3.1% relative error of ANY value in its bucket — the
+    * DDSketch/HdrHistogram guarantee, here with the log-free exponent
+    * `length(bin(v)) - 1` (exact integer in both engines; `floor(log2)`
+    * through libm is last-ulp-unstable at powers of two).
+    */
+  val QsS = 16L
+
+  /** Bucket id of a positive BIGINT column `c`: octave = bit-length − 1,
+    * then the linear sub-bucket within the octave. Pure integer ops.
+    */
+  private def qsBucketExpr(c: String): String =
+    s"(CAST(length(bin($c)) - 1 AS BIGINT) * $QsS" +
+      s" + ($c * $QsS) div shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 1) - $QsS)"
+
+  /** Midpoint representative of bucket id `b` (integer cents). */
+  private def qsEstExpr(b: String): String =
+    s"(shiftleft(CAST(1 AS BIGINT), CAST($b div $QsS AS INT))" +
+      s" + ((2 * ($b % $QsS) + 1) * shiftleft(CAST(1 AS BIGINT), CAST($b div $QsS AS INT))) div ${2 * QsS})"
+
+  /** Quantiles emitted per group, as integer percents. */
+  val QsPcts = Seq(50L, 90L, 99L)
+
+  /** lineitem prices as exact integer cents — `floor(x·100 + 0.5)` is the
+    * same IEEE multiply/add/floor in both engines (a plain CAST truncates
+    * in Spark but rounds in DuckDB; `round()` half-behavior also differs).
+    */
+  private[graft] def qsCents(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_returnflag AS rf", "l_orderkey", "l_linenumber",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c")
+
+  /** The bounded log-bucket histogram — the sketch itself: ≤ 64·S rows per
+    * group whatever the corpus size, mergeable by bucket-wise sum across
+    * any data split (spec-proven on the real builder).
+    */
+  private[graft] def qsHist(cents: DataFrame): DataFrame =
+    cents.selectExpr("rf", s"${qsBucketExpr("c")} AS b")
+      .groupBy("rf", "b").agg(count(lit(1)).as("cnt"))
+
+  /** Shared verdict tail: answer p50/p90/p99 from whichever histogram is
+    * supplied (batch-built or streamed state), yardsticked against the
+    * EXACT quantile computed over the value-distinct cumulative table
+    * (group-by-value + a window over distinct values — never a per-row
+    * rank; the x_percentiles lesson), with the structural relative-error
+    * gate `|est − exact|·2S ≤ exact + 2S` hash-checked per row.
+    */
+  private def qsVerdict(cents: DataFrame, hist: DataFrame): DataFrame = {
+    val targets = cents.groupBy("rf").agg(count(lit(1)).as("n"))
+      .selectExpr("rf", "n", s"explode(array(${QsPcts.map(p => s"${p}L").mkString(", ")})) AS qpct")
+      .selectExpr("rf", "n", "qpct", "(qpct * n + 99) div 100 AS rn")
+    val nb = hist.groupBy("rf").agg(count(lit(1)).as("n_buckets"))
+    val cum = hist.withColumn("cum", expr(
+      "sum(cnt) OVER (PARTITION BY rf ORDER BY b)"))
+    val est = cum.join(broadcast(targets), "rf").where("cum >= rn")
+      .groupBy("rf", "qpct", "n").agg(min("b").as("b"))
+      .selectExpr("rf", "qpct", "n", s"${qsEstExpr("b")} AS est_c")
+    val vcum = cents.groupBy("rf", "c").agg(count(lit(1)).as("vcnt"))
+      .withColumn("cum", expr("sum(vcnt) OVER (PARTITION BY rf ORDER BY c)"))
+    val exact = vcum.join(broadcast(targets), "rf").where("cum >= rn")
+      .groupBy("rf", "qpct").agg(min("c").as("exact_c"))
+    est.join(exact, Seq("rf", "qpct")).join(broadcast(nb), "rf")
+      .selectExpr("rf", "qpct", "n", "n_buckets", "exact_c", "est_c",
+        s"abs(est_c - exact_c) * ${2 * QsS} <= exact_c + ${2 * QsS} AS rel_ok")
+      .orderBy("rf", "qpct")
+  }
+
+  /** Log-bucketed quantile sketch (DDSketch, Masson et al. VLDB 2019 /
+    * HdrHistogram) over lineitem prices — the FOURTH mergeable summary:
+    * HLL answers "how many distinct", CMS "how often each", KMV adds set
+    * algebra; the quantile sketch answers "what is p99" in bounded space,
+    * the summary every latency/size dashboard over 100 TB actually wants.
+    * Deterministic by construction (integer bucket arithmetic), so the
+    * oracle checks bucket estimates VALUE-for-value and the relative-error
+    * guarantee rides as a hash-gated boolean per quantile. Plan shape: one
+    * map-side-combined histogram agg is the only corpus-sized shuffle;
+    * everything downstream is bucket- or value-distinct-scale.
+    */
+  def qsketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = qsCents(spark, dir)
+    qsVerdict(cents, qsHist(cents))
+  }
+
+  val qsketchSql: String = {
+    val pctRows = QsPcts.map(p => s"($p)").mkString(",")
+    s"""WITH src AS (SELECT l_returnflag AS rf,
+       |                    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+       |             FROM lineitem),
+       |bk AS (SELECT rf,
+       |              (length(bin(c)) - 1)::BIGINT * $QsS
+       |               + (c * $QsS) // (1::BIGINT << (length(bin(c)) - 1)) - $QsS AS b
+       |       FROM src),
+       |hist AS (SELECT rf, b, count(*)::BIGINT AS cnt FROM bk GROUP BY 1, 2),
+       |nb AS (SELECT rf, count(*)::BIGINT AS n_buckets FROM hist GROUP BY 1),
+       |t AS (SELECT rf, n, qpct::BIGINT AS qpct, (qpct * n + 99) // 100 AS rn
+       |      FROM (SELECT rf, count(*)::BIGINT AS n FROM src GROUP BY 1)
+       |      CROSS JOIN (VALUES $pctRows) AS q(qpct)),
+       |cum AS (SELECT rf, b, sum(cnt) OVER (PARTITION BY rf ORDER BY b) AS cum
+       |        FROM hist),
+       |sel AS (SELECT t.rf, t.qpct, t.n, min(c.b) AS b
+       |        FROM t JOIN cum c ON c.rf = t.rf AND c.cum >= t.rn
+       |        GROUP BY 1, 2, 3),
+       |est AS (SELECT rf, qpct, n,
+       |               (1::BIGINT << (b // $QsS))
+       |                + ((2 * (b % $QsS) + 1) * (1::BIGINT << (b // $QsS))) // ${2 * QsS} AS est_c
+       |        FROM sel),
+       |vcum AS (SELECT rf, c, sum(vcnt) OVER (PARTITION BY rf ORDER BY c) AS cum
+       |         FROM (SELECT rf, c, count(*)::BIGINT AS vcnt FROM src GROUP BY 1, 2)),
+       |ex AS (SELECT t.rf, t.qpct, min(v.c) AS exact_c
+       |       FROM t JOIN vcum v ON v.rf = t.rf AND v.cum >= t.rn
+       |       GROUP BY 1, 2)
+       |SELECT e.rf, e.qpct, e.n, nb.n_buckets, ex.exact_c, e.est_c,
+       |       abs(e.est_c - ex.exact_c) * ${2 * QsS} <= ex.exact_c + ${2 * QsS} AS rel_ok
+       |FROM est e
+       |JOIN ex ON e.rf = ex.rf AND e.qpct = ex.qpct
+       |JOIN nb ON e.rf = nb.rf
+       |ORDER BY e.rf, e.qpct""".stripMargin
+  }
+
+  /** The SAME log-bucket histogram maintained as LIVE streaming state:
+    * lineitem replays as 4 micro-batch chunks and each batch folds into a
+    * `groupBy(rf, b)` streaming aggregation whose state IS the sketch —
+    * ≤ groups·64·S rows forever (vs the unbounded per-value state an exact
+    * streaming quantile would need). The verdict tail then answers the
+    * quantiles from the STREAMED histogram and shares [[qsketchSql]], so
+    * the hash gate asserts streamed end-state == one-shot build (the
+    * [[streamCmsHeavy]] contract).
+    */
+  def streamQsketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.PacedReplay
+    val cents = qsCents(spark, dir)
+    val stageDir = graft.TempDirs.scoped("qsketch-stage") + "/lineitem"
+    val rowsPerFile = math.max(1L, cents.count() / 4L).toInt
+    PacedReplay.stage(cents, Seq("l_orderkey", "l_linenumber"), rowsPerFile, stageDir)
+    val streamHist = PacedReplay.stream(spark, stageDir, cents.schema)
+      .selectExpr("rf", s"${qsBucketExpr("c")} AS b")
+      .groupBy("rf", "b").agg(count(lit(1)).as("cnt"))
+    val qn = "graft_stream_qsketch_hist"
+    val q = streamHist.writeStream
+      .outputMode("complete").format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // the verdict tail uses the histogram TWICE (cum + n_buckets); a
+    // memory-sink view self-join trips analyzer reference dedup, so break
+    // lineage on the sketch-sized (≤ groups·64·S rows) table first
+    qsVerdict(cents, spark.table(qn).localCheckpoint(true))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_qsketch_quantiles" -> qsketchQuantiles,
+    "stream_qsketch_quantiles" -> streamQsketchQuantiles,
     "x_kmv_distinct" -> kmvDistinct,
     "stream_kmv_distinct" -> streamKmvDistinct,
     "x_sketch_stats" -> approxStats,
@@ -411,6 +565,9 @@ object Sketches {
     "stream_cms_heavy" -> streamCmsHeavy)
 
   val oracles: Map[String, String] = Map(
+    "x_qsketch_quantiles" -> qsketchSql,
+    // streamed histogram end state must equal the batch build — shared
+    "stream_qsketch_quantiles" -> qsketchSql,
     "x_kmv_distinct" -> kmvDistinctSql,
     // streamed KMV end state must equal the batch build — shared oracle
     "stream_kmv_distinct" -> kmvDistinctSql,

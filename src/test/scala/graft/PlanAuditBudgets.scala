@@ -51,6 +51,14 @@ object PlanAuditBudgets {
     // the exact columns are the verification yardstick the entry ships
     // next to the sketch (the x_sketch_stats convention)
     "x_kmv_distinct" -> 10,
+    // only three corpus-sized (all map-side-combined) exchanges: the
+    // bucket histogram, the per-group count, and the exact-quantile
+    // yardstick's value-distinct agg — the rest are bucket-/group-scale
+    // (cum windows, est/exact argmins, n_buckets, presentation sort)
+    "x_qsketch_quantiles" -> 10,
+    // the batch plan minus the streamed histogram's two exchanges (the
+    // sketch arrives as a localCheckpoint of the memory-sink end state)
+    "stream_qsketch_quantiles" -> 8,
     // the returned verdict frame (stream already ran in foreground): two
     // exact countDistinct pairs, the sketch-sized merge agg, output sort
     "stream_kmv_distinct" -> 6,

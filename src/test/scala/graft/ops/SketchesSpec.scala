@@ -54,6 +54,46 @@ class SketchesSpec extends AnyFunSuite {
       "cell-wise sum of split sketches diverged from the whole-corpus sketch")
   }
 
+  test("qsketch: split histograms merge by bucket-wise sum, bounded size") {
+    val cents = Sketches.qsCents(spark, dir)
+    def histOf(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
+      Sketches.qsHist(df).collect()
+        .map(r => (r.getAs[String]("rf"), r.getAs[Long]("b")) -> r.getAs[Long]("cnt"))
+        .toMap
+    val whole = histOf(cents)
+    val a = histOf(cents.where("l_orderkey % 2 = 0"))
+    val b = histOf(cents.where("l_orderkey % 2 = 1"))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole,
+      "bucket-wise sum of split histograms diverged from the whole build")
+    // bounded whatever the corpus: ≤ 64 octaves × S sub-buckets per group
+    val perGroup = whole.keys.groupBy(_._1).view.mapValues(_.size)
+    assert(perGroup.values.forall(_ <= 64 * Sketches.QsS),
+      s"histogram exceeded the structural bound: $perGroup")
+  }
+
+  test("qsketch: every quantile inside the guarantee, estimation live") {
+    val rows = Sketches.qsketchQuantiles(spark, dir).collect()
+    assert(rows.length == 3 * Sketches.QsPcts.length)
+    assert(rows.forall(_.getAs[Boolean]("rel_ok")),
+      "a quantile estimate escaped the 1/(2S) relative-error guarantee")
+    // the estimator must actually be approximating (CmsW lesson: a gate
+    // over a vacuous surface proves nothing) — at S=16 the bucket midpoint
+    // almost never lands exactly on the true quantile value
+    assert(rows.exists(r => r.getAs[Long]("est_c") != r.getAs[Long]("exact_c")),
+      "every estimate exactly equals the exact quantile — vacuous gate")
+  }
+
+  test("streaming qsketch equals the batch entry and is re-runnable") {
+    val batch = Sketches.qsketchQuantiles(spark, dir).collect().map(_.toSeq)
+    val first = Sketches.streamQsketchQuantiles(spark, dir).collect().map(_.toSeq)
+    assert(first.toSeq == batch.toSeq,
+      "streamed histogram end-state diverged from the one-shot build")
+    val again = Sketches.streamQsketchQuantiles(spark, dir).collect().map(_.toSeq)
+    assert(again.toSeq == batch.toSeq, "second streaming run diverged")
+  }
+
   test("kmv: merge of disjoint sketches equals the direct union sketch") {
     // the property the testdata can't show (every event_type there sees
     // every user): two DISJOINT user populations, sketched separately,
