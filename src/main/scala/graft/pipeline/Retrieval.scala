@@ -778,7 +778,111 @@ object Retrieval {
        |       w_sum::DOUBLE / ${Qt * Qi}.0 AS score
        |FROM agg WHERE w_sum > 0 ORDER BY query_id, doc_id""".stripMargin
 
+  // ------------------------------------------------- hybrid RRF fusion
+
+  /** Per-leg rank depth and final k of the hybrid entry. */
+  val HybridK = 10
+  /** Quantized reciprocal-rank contribution: `RrfQ div (RrfC + rank)` —
+    * the standard RRF c = 60 (Cormack et al. SIGIR 2009) cleared to exact
+    * BIGINT so fused scores hash cross-engine.
+    */
+  val RrfC = 60L
+  val RrfQ = 1000000000000L
+
+  /** Hybrid lexical + vector retrieval fused by Reciprocal Rank Fusion —
+    * what a RAG serving stack actually runs: the SAME query set scored by
+    * BOTH engines of this library (BM25 over `documents`, exact cosine
+    * over the aligned `embeddings` rows), each leg's top-[[HybridK]]
+    * ranks combined as Σ 1/(60 + rank) and re-ranked. Queries are
+    * query-by-example — doc_id < 5 supplies the lexical terms AND (as
+    * vec_id) the query embedding, self excluded from both legs. Rank
+    * fusion needs only (id, rank) pairs from each leg, so the fuse stage
+    * is k·|queries|-scale whatever the corpus size; each leg keeps its
+    * own production plan (broadcast query terms / broadcast query batch).
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val qterms = docs.where(s"doc_id < ${Similarity.QuerySetSize}")
+      .selectExpr("doc_id AS query_id",
+        "explode(array_distinct(split(text, ' '))) AS term")
+    val postings = postingsOf(docs)
+    val qstats = statsOf(postings).join(broadcast(qterms), "term")
+    val lexRanks = postings.join(broadcast(qstats), "term")
+      .where("doc_id <> query_id")
+      .crossJoin(broadcast(metaOf(docs)))
+      .selectExpr("query_id", "doc_id", s"${weightExpr("div")} AS w")
+      .groupBy("query_id", "doc_id").agg(sum("w").as("w_sum"))
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY w_sum DESC, doc_id)"))
+      .where(s"rk <= $HybridK")
+      .selectExpr("query_id", "doc_id", "CAST(rk AS BIGINT) AS lex_rk")
+    val vecRanks = Similarity.cosineRanks(spark, dir, HybridK)
+      .selectExpr("q_id AS query_id", "vec_id AS doc_id", "rk AS vec_rk")
+    def contrib(c: String) =
+      s"CASE WHEN $c IS NOT NULL THEN $RrfQ div ($RrfC + $c) ELSE CAST(0 AS BIGINT) END"
+    lexRanks.join(vecRanks, Seq("query_id", "doc_id"), "full_outer")
+      .selectExpr("query_id", "doc_id",
+        "coalesce(lex_rk, CAST(0 AS BIGINT)) AS lex_rk",
+        "coalesce(vec_rk, CAST(0 AS BIGINT)) AS vec_rk",
+        s"${contrib("lex_rk")} + ${contrib("vec_rk")} AS rrf")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id)"))
+      .where(s"rk <= $HybridK")
+      .selectExpr("query_id", "doc_id", "lex_rk", "vec_rk", "rrf",
+        "CAST(rk AS BIGINT) AS rk")
+      .orderBy("query_id", "rk")
+  }
+
+  val hybridRrfSql: String = {
+    def contrib(c: String) =
+      s"CASE WHEN $c IS NOT NULL THEN $RrfQ // ($RrfC + $c) ELSE 0::BIGINT END"
+    s"""WITH ${Similarity.cosineRanksCtes(HybridK)},
+       |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM d),
+       |toks AS (SELECT doc_id, unnest(t) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |meta AS (SELECT count(*)::BIGINT AS n_docs,
+       |                sum(len(t))::BIGINT AS total_tokens FROM d),
+       |lq AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+       |       FROM d WHERE doc_id < ${Similarity.QuerySetSize}),
+       |lscored AS (
+       |  SELECT lq.query_id, tf.doc_id,
+       |         ((22 * tf.tf * ${Qt * Qr}) // (10 * tf.tf * $Qr + ${3 * Qr}
+       |          + (9 * dl.dl * $Qr) // (m.total_tokens // m.n_docs)))
+       |         * (((2 * m.n_docs - 2 * df.df + 1) * $Qi) // (2 * df.df + 1)) AS w
+       |  FROM lq JOIN tf ON lq.term = tf.term AND tf.doc_id <> lq.query_id
+       |  JOIN df ON tf.term = df.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN meta m),
+       |lagg AS (SELECT query_id, doc_id, sum(w)::BIGINT AS w_sum
+       |         FROM lscored GROUP BY 1, 2),
+       |lex_rk AS (
+       |  SELECT query_id, doc_id, rk::BIGINT AS rk FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY w_sum DESC, doc_id) AS rk
+       |    FROM lagg)
+       |  WHERE rk <= $HybridK),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, v.q_id) AS query_id,
+       |         coalesce(l.doc_id, v.vec_id) AS doc_id,
+       |         coalesce(l.rk, 0::BIGINT) AS lex_rk,
+       |         coalesce(v.rk, 0::BIGINT) AS vec_rk,
+       |         ${contrib("l.rk")} + ${contrib("v.rk")} AS rrf
+       |  FROM lex_rk l FULL OUTER JOIN vec_rk v
+       |    ON l.query_id = v.q_id AND l.doc_id = v.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY rrf DESC, doc_id) AS rk
+       |  FROM fused)
+       |SELECT query_id, doc_id, lex_rk, vec_rk, rrf, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $HybridK ORDER BY query_id, rk""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hybrid_rrf" -> hybridRrf,
     "text_bm25_topk" -> bm25TopK,
     "text_bm25_index" -> indexSummary,
     "text_bm25_index_topk" -> indexTopK,
@@ -788,6 +892,7 @@ object Retrieval {
     "stream_bm25_route" -> streamRouteQuery)
 
   val oracles: Map[String, String] = Map(
+    "text_hybrid_rrf" -> hybridRrfSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_bm25_index" -> indexSummarySql,
     "text_bm25_index_topk" -> indexTopKSql,

@@ -114,6 +114,40 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
+  /** Exact cosine ranks at depth `k` — the VECTOR LEG the hybrid RRF
+    * entry ([[Retrieval.hybridRrf]]) fuses with lexical BM25 ranks. Same
+    * scoring and (sim DESC, vec_id) tie-break as [[bruteForceTopK]], rank
+    * depth decoupled from [[TopK]].
+    */
+  private[pipeline] def cosineRanks(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val corpus = embDouble(spark, dir)
+    val queries = corpus.where(s"vec_id < $QuerySetSize")
+      .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm")
+    corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $k")
+      .selectExpr("q_id", "vec_id", "CAST(rk AS BIGINT) AS rk")
+  }
+
+  /** DuckDB CTE fragment replaying [[cosineRanks]] — defines `emb`, `vq`
+    * and `vec_rk(q_id, vec_id, rk)`; splice after WITH in a caller query.
+    */
+  private[pipeline] def cosineRanksCtes(k: Int): String =
+    s"""$embCte,
+       |vq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
+       |       WHERE vec_id < $QuerySetSize),
+       |vec_rk AS (
+       |  SELECT q_id, vec_id, rk::BIGINT AS rk FROM (
+       |    SELECT vq.q_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY vq.q_id ORDER BY
+       |             round(${cosineSql("vq.q_emb", "e.emb", "vq.q_nrm", "e.nrm")}, 6) DESC,
+       |             e.vec_id) AS rk
+       |    FROM emb e, vq WHERE e.vec_id <> vq.q_id)
+       |  WHERE rk <= $k)""".stripMargin
+
   /** The window-free brute-force construction — the "aggregate top-k"
     * scale pattern [[bruteForceTopK]]'s scaladoc names: per-query top-k
     * kept by the bounded [[TopKAgg]] typed aggregator instead of a rank

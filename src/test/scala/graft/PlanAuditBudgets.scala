@@ -59,6 +59,11 @@ object PlanAuditBudgets {
     // the batch plan minus the streamed histogram's two exchanges (the
     // sketch arrives as a localCheckpoint of the memory-sink end state)
     "stream_qsketch_quantiles" -> 8,
+    // two full retrieval legs in one plan: the lexical side's postings/
+    // df aggs + (query, doc) partial agg + rank window, the vector side's
+    // rank window, the k·|queries|-scale fuse join and final sort — each
+    // leg keeps exactly its standalone production shape
+    "text_hybrid_rrf" -> 11,
     // the returned verdict frame (stream already ran in foreground): two
     // exact countDistinct pairs, the sketch-sized merge agg, output sort
     "stream_kmv_distinct" -> 6,

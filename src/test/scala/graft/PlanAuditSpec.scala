@@ -43,6 +43,8 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val bnljQueryBatchOk = Set(
     "sim_bruteforce_topk", "sim_bruteforce_agg_topk",
+    // vector leg = the brute-force query-batch broadcast (vec_id < 5)
+    "text_hybrid_rrf",
     "sim_sq8_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
     "sim_ivfpq_topk", // coarse codebook broadcast: vec_id < NCentroids (16)
     // two-level IVF: the L1 coarse codebook broadcast (vec_id < l1Cells,

@@ -108,4 +108,29 @@ class RetrievalSpec extends AnyFunSuite {
       s"cardinality: streaming ${got.length} vs batch ${want.length}")
     assert(got.toSeq == want.toSeq, "streaming output must equal batch")
   }
+
+  test("hybrid RRF actually fuses: both-leg and single-leg docs coexist") {
+    val rows = Retrieval.hybridRrf(spark, dir).collect()
+    assert(rows.length == Similarity.QuerySetSize * Retrieval.HybridK)
+    // per query the emitted ranks are exactly 1..k
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to Retrieval.HybridK).toSeq, s"rank gap for query $q")
+    }
+    // fusion must be LIVE (vacuity guard): docs found by both legs, and
+    // docs each leg contributes alone, all present in the fused top-k
+    assert(rows.exists(r =>
+      r.getAs[Long]("lex_rk") > 0 && r.getAs[Long]("vec_rk") > 0),
+      "no doc retrieved by both legs — overlap surface vacuous")
+    assert(rows.exists(r => r.getAs[Long]("lex_rk") == 0),
+      "every fused doc has a lexical rank — vector leg adds nothing")
+    assert(rows.exists(r => r.getAs[Long]("vec_rk") == 0),
+      "every fused doc has a vector rank — lexical leg adds nothing")
+    // the RRF identity: score == sum of the two quantized contributions
+    rows.foreach { r =>
+      def c(rk: Long) = if (rk > 0) Retrieval.RrfQ / (Retrieval.RrfC + rk) else 0L
+      assert(r.getAs[Long]("rrf") ==
+        c(r.getAs[Long]("lex_rk")) + c(r.getAs[Long]("vec_rk")))
+    }
+  }
 }
