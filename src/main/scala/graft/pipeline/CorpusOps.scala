@@ -454,6 +454,101 @@ object CorpusOps {
       |       sum(n_chars)::BIGINT AS sum_chars
       |FROM documents GROUP BY 1, 2 ORDER BY source, lang""".stripMargin
 
+  // -------------------------------------------------------- compaction
+
+  /** Seed waves of the compaction harness — each partition dir accumulates
+    * exactly this many files before the compactor runs.
+    */
+  val CompactWaves = 4
+
+  /** Small-file compaction of a hive-partitioned table — the operational
+    * chore every streaming/append sink eventually needs (Delta OPTIMIZE /
+    * Iceberg rewrite_data_files, re-expressed Spark-native): a partitioned
+    * `documents` copy is seeded by [[CompactWaves]] append waves (the
+    * streaming-upsert fragmentation shape — one file per partition per
+    * wave), then the compactor (1) reads the FILE LISTING of the partition
+    * dirs — metadata-scale, the same physical plan step Delta's OPTIMIZE
+    * planner runs — to find partitions whose file count exceeds target,
+    * (2) rewrites ONLY those partitions via dynamic partition overwrite
+    * with the data re-clustered one task per partition value, so each dir
+    * collapses to a single file. Non-fragmented partitions' bytes are
+    * never touched (at 100 TB the rewrite is also where a target file
+    * size / `maxRecordsPerFile` bin-pack would apply; one file per
+    * partition is the toy-scale instance of that policy).
+    *
+    * The emitted surface hash-gates BOTH halves of the contract: exact
+    * per-partition file counts before (= [[CompactWaves]]) and after (= 1)
+    * prove the fragmentation existed and was removed — deterministic
+    * because `repartition(source)` routes each partition value to exactly
+    * one task — and rows/chars aggregates read back from the COMPACTED
+    * files prove no row was lost or duplicated (oracle recomputes them
+    * from the source table).
+    */
+  def compactPartitions(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    val work = graft.TempDirs.scoped("compact") + "/docs"
+    // fragment seed: 4 append waves, wave = rank within partition mod 4
+    // (doc_id is source-strided in the testdata, so doc_id % 4 would
+    // correlate with the partition key and starve waves)
+    val waved = docs.withColumn("wave", expr(
+      s"pmod(row_number() OVER (PARTITION BY source ORDER BY doc_id), $CompactWaves)"))
+      .cache()
+    try {
+      (0 until CompactWaves).foreach { w =>
+        waved.where(s"wave = $w").drop("wave")
+          .repartition(col("source"))
+          .write.mode("append").partitionBy("source").parquet(work)
+      }
+    } finally waved.unpersist()
+    val (before, after) = compactFragmented(spark, work)
+    import spark.implicits._
+    val counts = before.keys.toSeq.sorted
+      .map(s => (s, before(s), after(s)))
+      .toDF("source", "files_before", "files_after")
+    spark.read.parquet(work).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .join(broadcast(counts), "source")
+      .select("source", "n_docs", "sum_chars", "files_before", "files_after")
+      .orderBy("source")
+  }
+
+  /** The compactor itself, reusable over any `source=`-partitioned parquet
+    * dir: list per-partition file counts (metadata-scale), rewrite ONLY
+    * the partitions with more than one file via dynamic partition
+    * overwrite, return (before, after) counts. Partitions already at one
+    * file are never read or written — the spec pins their bytes unchanged.
+    */
+  private[graft] def compactFragmented(spark: SparkSession,
+      work: String): (Map[String, Long], Map[String, Long]) = {
+    def filesPer(): Map[String, Long] = {
+      val p = new org.apache.hadoop.fs.Path(work)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
+        .map(d => d.getPath.getName.stripPrefix("source=") ->
+          fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")).toLong)
+        .toMap
+    }
+    val before = filesPer()
+    val fragmented = before.filter(_._2 > 1).keys.toSeq.sorted
+    require(fragmented.nonEmpty, "compaction harness seeded no fragmentation")
+    spark.read.parquet(work)
+      .where(col("source").isin(fragmented: _*))
+      .repartition(col("source"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("source").parquet(work)
+    (before, filesPer())
+  }
+
+  val compactPartitionsSql: String =
+    s"""SELECT source, count(*)::BIGINT AS n_docs,
+       |       sum(n_chars)::BIGINT AS sum_chars,
+       |       $CompactWaves::BIGINT AS files_before, 1::BIGINT AS files_after
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------- fuzzy match
 
   /** Fuzzy vocabulary matching via DELETION-NEIGHBORHOOD blocking (the
@@ -822,6 +917,7 @@ object CorpusOps {
     "pipeline_temperature_sample" -> temperatureSample,
     "text_fuzzy_match" -> fuzzyMatch,
     "pipeline_incremental_mv" -> incrementalMv,
+    "pipeline_compact_partitions" -> compactPartitions,
     "text_pii_redact" -> piiRedact,
     "text_bigrams" -> bigramStats,
     "text_vocab" -> vocab,
@@ -840,6 +936,7 @@ object CorpusOps {
     "pipeline_temperature_sample" -> temperatureSampleSql,
     "text_fuzzy_match" -> fuzzyMatchSql,
     "pipeline_incremental_mv" -> incrementalMvSql,
+    "pipeline_compact_partitions" -> compactPartitionsSql,
     "text_pii_redact" -> piiRedactSql,
     "text_bigrams" -> bigramStatsSql,
     "text_vocab" -> vocabSql,

@@ -286,4 +286,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     val gated = CorpusOps.decontaminateBloom(spark, dir).collect().map(_.toSeq)
     assert(gated.toSeq == exact.toSeq)
   }
+
+  test("compaction rewrites only fragmented partitions, preserving rows") {
+    import spark.implicits._
+    val work = graft.TempDirs.scoped("compact-spec") + "/t"
+    // partition a: ONE file (not fragmented); partition b: three files
+    Seq((1L, "a"), (2L, "a")).toDF("id", "source")
+      .coalesce(1).write.mode("append").partitionBy("source").parquet(work)
+    (0 until 3).foreach { i =>
+      Seq((10L + i, "b")).toDF("id", "source")
+        .coalesce(1).write.mode("append").partitionBy("source").parquet(work)
+    }
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileIds(part: String): Set[(String, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/source=$part"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => (f.getPath.getName, f.getModificationTime)).toSet
+    val aBefore = fileIds("a")
+    val (before, after) = CorpusOps.compactFragmented(spark, work)
+    assert(before == Map("a" -> 1L, "b" -> 3L) &&
+      after == Map("a" -> 1L, "b" -> 1L), s"$before -> $after")
+    // the untouched partition keeps its exact file (name AND mtime)
+    assert(fileIds("a") == aBefore,
+      "compaction touched a partition that was not fragmented")
+    val rows = spark.read.parquet(work).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(rows == Seq(1L, 2L, 10L, 11L, 12L), "rows lost or duplicated")
+  }
+
+  test("compaction entry: every partition 4 files before, 1 after") {
+    val rows = CorpusOps.compactPartitions(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("files_before") == CorpusOps.CompactWaves.toLong &&
+        r.getAs[Long]("files_after") == 1L,
+        s"unexpected file counts for ${r.getAs[String]("source")}")
+    }
+  }
 }
