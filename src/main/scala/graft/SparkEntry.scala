@@ -107,6 +107,7 @@ object SparkEntry {
       ops.TpchQueries2.all ++
       ops.Formats.all ++
       pipeline.CorpusOps.all ++
+      pipeline.SnapshotMv.all ++
       pipeline.TextAnalysis.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
@@ -230,6 +231,7 @@ object SparkEntry {
       ops.TpchQueries2.oracles ++
       ops.Formats.oracles ++
       pipeline.CorpusOps.oracles ++
+      pipeline.SnapshotMv.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++

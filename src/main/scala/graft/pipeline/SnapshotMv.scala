@@ -1,0 +1,251 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Snapshot-versioned partitioned table — the MVCC commit protocol every
+  * serious table format runs at 100 TB (Iceberg snapshots, Delta's
+  * transaction log), re-expressed minimally on plain parquet + manifests:
+  *
+  *  - DATA FILES ARE IMMUTABLE. An update writes NEW files for the
+  *    touched partitions only; it never rewrites or deletes a committed
+  *    file. (The in-place upsert sink the incremental indexes use trades
+  *    this away for layout stability — this module is the other point in
+  *    the design space, and the one that gives readers isolation.)
+  *  - A VERSION IS A MANIFEST, not a directory state: `_versions/v<N>`
+  *    lists exactly the (partition, file) pairs visible at snapshot N —
+  *    untouched partitions carry their previous files forward. Readers
+  *    NEVER list the filesystem (the object-store contract shared with
+  *    the index manifests).
+  *  - COMMIT IS ONE RENAME: the manifest is staged under a dot-prefixed
+  *    temp name and renamed into place, so a concurrent reader sees
+  *    either the old snapshot or the new one, never a torn state.
+  *  - TIME TRAVEL IS FREE: any retained snapshot remains byte-identically
+  *    readable after later commits (`SnapshotMvSpec` pins file
+  *    name+mtime equality under a post-commit read).
+  *  - [[vacuum]] reclaims space by deleting exactly the files no retained
+  *    manifest references — the only deletion in the protocol, and it
+  *    never touches the current snapshot.
+  *
+  * The committed entry versions the [[CorpusOps.incrementalMv]] rollup:
+  * snapshot 1 = the corpus minus the standard wave split, snapshot 2 =
+  * wave delta merged in (touched-partition-only, batch-proportional IO —
+  * the old rows re-read for the merge are selected through snapshot 1's
+  * manifest, never a dir listing). The entry reads snapshot 1 AFTER
+  * snapshot 2 is committed, so the oracle's hash gate IS the isolation
+  * property: a protocol that mutated v1's files would change v1's rows.
+  */
+object SnapshotMv {
+
+  private val VersionsDir = "_versions"
+
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Write manifest `lines` for snapshot `ver` and commit it atomically
+    * (temp file + rename — the protocol's only commit primitive).
+    */
+  private def commitManifest(fs: FileSystem, work: String, ver: Long,
+      entries: Seq[(String, String)]): Unit = {
+    fs.mkdirs(new Path(work, VersionsDir))
+    val tmp = new Path(s"$work/$VersionsDir/.tmp-v$ver")
+    val out = fs.create(tmp, true)
+    try out.write(entries.sorted.map { case (s, f) => s"$s,$f" }
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fin = new Path(s"$work/$VersionsDir/v$ver")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"manifest commit failed for v$ver")
+  }
+
+  /** The (partition, file) pairs of snapshot `ver`. FAILS LOUD when the
+    * manifest is absent (vacuumed or never committed) — a reader must
+    * never silently fall back to a directory listing.
+    */
+  def readSnapshotManifest(spark: SparkSession, work: String,
+      ver: Long): Seq[(String, String)] = {
+    val (fs, _) = fsOf(spark, work)
+    val mf = new Path(s"$work/$VersionsDir/v$ver")
+    if (!fs.exists(mf))
+      throw new IllegalStateException(
+        s"snapshot v$ver has no manifest at $work — vacuumed or never committed")
+    val in = fs.open(mf)
+    val text = try {
+      val bs = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 65536, false)
+      bs.toString("UTF-8")
+    } finally in.close()
+    text.split('\n').iterator.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf(',')
+      (l.substring(0, i), l.substring(i + 1))
+    }.toSeq
+  }
+
+  /** Read snapshot `ver`, optionally restricted to `sources` (manifest-
+    * level pruning: only the named partitions' files are opened — the
+    * touched-partition-only IO contract of the merge path).
+    */
+  def readSnapshot(spark: SparkSession, work: String, ver: Long,
+      sources: Option[Set[String]] = None): DataFrame = {
+    val entries = readSnapshotManifest(spark, work, ver)
+    val picked = sources match {
+      case Some(keep) => entries.filter { case (s, _) => keep(s) }
+      case None => entries
+    }
+    val paths = picked.map { case (s, f) => s"$work/source=$s/$f" }
+    if (paths.isEmpty)
+      throw new IllegalArgumentException(
+        s"no partition of snapshot v$ver matches ${sources.getOrElse(Set())} " +
+          "— callers must intersect with the manifest's partitions first")
+    spark.read.option("basePath", work).parquet(paths: _*)
+  }
+
+  /** Write `rows` (must carry a `source` column) as one NEW immutable file
+    * per touched partition and return the (source, file) pairs — staged
+    * through a scoped dir, then moved under version-prefixed unique names
+    * so no committed file is ever overwritten.
+    */
+  private def writePartitionFiles(spark: SparkSession, work: String,
+      ver: Long, rows: DataFrame): Seq[(String, String)] = {
+    val staging = graft.TempDirs.scoped(s"snap-v$ver")
+    rows.repartition(col("source"))
+      .write.mode("overwrite").partitionBy("source").parquet(staging)
+    val (fs, _) = fsOf(spark, work)
+    fs.listStatus(new Path(staging))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
+      .flatMap { d =>
+        val src = d.getPath.getName.stripPrefix("source=")
+        val tgtDir = new Path(s"$work/source=$src")
+        fs.mkdirs(tgtDir)
+        fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val name = s"v$ver-${f.getPath.getName}"
+            if (!fs.rename(f.getPath, new Path(tgtDir, name)))
+              throw new java.io.IOException(s"failed to place $name")
+            (src, name)
+          }
+      }.toSeq
+  }
+
+  /** Commit snapshot 1: the full rollup as the initial file set. */
+  def commitInitial(spark: SparkSession, work: String, docs: DataFrame): Unit = {
+    val (fs, _) = fsOf(spark, work)
+    val files = writePartitionFiles(spark, work, 1L, rollup(docs))
+    commitManifest(fs, work, 1L, files)
+  }
+
+  /** Commit snapshot `ver`: merge a delta of raw document rows into the
+    * touched partitions of snapshot `ver - 1` — old rows come through the
+    * PREVIOUS manifest restricted to the touched sources, merged rows land
+    * in NEW files, and the new manifest carries every untouched partition's
+    * files forward verbatim.
+    */
+  def commitDelta(spark: SparkSession, work: String, docs: DataFrame,
+      ver: Long): Unit = {
+    val (fs, _) = fsOf(spark, work)
+    val delta = rollup(docs)
+    val touched = delta.select("source").distinct()
+      .collect().map(_.getString(0)).toSet // metadata-scale: partition keys
+    val prev = readSnapshotManifest(spark, work, ver - 1)
+    // only partitions that EXIST in the previous snapshot have old rows to
+    // merge; a delta can also open brand-new partitions (no old files)
+    val overlap = touched.intersect(prev.map(_._1).toSet)
+    val base =
+      if (overlap.isEmpty) delta
+      else readSnapshot(spark, work, ver - 1, Some(overlap))
+        .select("source", "lang", "n_docs", "sum_chars")
+        .unionByName(delta)
+    val merged = base.groupBy("source", "lang")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"))
+    val newFiles = writePartitionFiles(spark, work, ver, merged)
+    val carried = prev.filter { case (s, _) => !touched(s) }
+    commitManifest(fs, work, ver, carried ++ newFiles)
+  }
+
+  /** Delete every data file not referenced by the `keep` manifest, and
+    * every other version's manifest — the retention boundary. Never
+    * touches a file the kept snapshot references.
+    */
+  def vacuum(spark: SparkSession, work: String, keep: Long): Unit = {
+    val (fs, root) = fsOf(spark, work)
+    val referenced = readSnapshotManifest(spark, work, keep)
+      .map { case (s, f) => s"source=$s/$f" }.toSet
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
+      .foreach { d =>
+        fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            if (!referenced(s"${d.getPath.getName}/${f.getPath.getName}"))
+              fs.delete(f.getPath, false)
+          }
+      }
+    fs.listStatus(new Path(work, VersionsDir))
+      .filter(m => m.getPath.getName.matches("v\\d+") &&
+        m.getPath.getName != s"v$keep")
+      .foreach(m => fs.delete(m.getPath, false))
+  }
+
+  private def rollup(docs: DataFrame): DataFrame =
+    docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+
+  /** The committed entry: build snapshot 1 (corpus minus wave), commit
+    * snapshot 2 (wave merged), then read BOTH snapshots — v1 read AFTER
+    * v2's commit, so the hash gate proves time travel returns the exact
+    * pre-commit rows. Emits the rollup of each snapshot tagged by
+    * snapshot id.
+    */
+  /** The entry's wave split, STRUCTURAL rather than id-arithmetic: the
+    * first [[WaveRanks]] docs (by id) of every source whose md5 starts
+    * below '8' — so whatever the testdata's id↔source layout, the delta
+    * (1) merges into partitions that already hold rows (the additive
+    * path), and (2) leaves the other ~half of the partitions untouched
+    * (the carry-forward path). The `doc_id % mod` split the dedup/MV
+    * family uses is source-aligned in this corpus and would make one of
+    * the two paths vacuous.
+    */
+  val WaveRanks = 5
+
+  private[graft] def waved(docs: DataFrame): DataFrame =
+    docs.withColumn("srk", expr(
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id)"))
+      .withColumn("in_wave", expr(s"srk <= $WaveRanks AND md5(source) < '8'"))
+
+  def mvSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.TempDirs.scoped("snap-mv") + "/t"
+    val docs = waved(Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars"))
+    commitInitial(spark, work, docs.where("NOT in_wave"))
+    commitDelta(spark, work, docs.where("in_wave"), 2L)
+    val read = (v: Long) => readSnapshot(spark, work, v)
+      .selectExpr(s"CAST($v AS BIGINT) AS snapshot",
+        "source", "lang", "n_docs", "sum_chars")
+    read(1L).unionByName(read(2L)).orderBy("snapshot", "source", "lang")
+  }
+
+  val mvSnapshotSql: String =
+    s"""WITH r AS (
+       |  SELECT source, lang, n_chars,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS srk,
+       |         md5(source) < '8' AS hot
+       |  FROM documents)
+       |SELECT 1::BIGINT AS snapshot, source, lang, count(*)::BIGINT AS n_docs,
+       |       sum(n_chars)::BIGINT AS sum_chars
+       |FROM r WHERE NOT (srk <= $WaveRanks AND hot) GROUP BY 2, 3
+       |UNION ALL
+       |SELECT 2::BIGINT, source, lang, count(*)::BIGINT, sum(n_chars)::BIGINT
+       |FROM r GROUP BY 2, 3
+       |ORDER BY snapshot, source, lang""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_mv_snapshot" -> mvSnapshot)
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_mv_snapshot" -> mvSnapshotSql)
+}
