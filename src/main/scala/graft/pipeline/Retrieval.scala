@@ -881,8 +881,114 @@ object Retrieval {
        |FROM ranked WHERE rk <= $HybridK ORDER BY query_id, rk""".stripMargin
   }
 
+  /** The PRODUCTION twin of [[hybridRrf]]: the same query-by-example
+    * fusion, but each leg probes its PERSISTED index instead of scanning
+    * the corpus — lexical ranks from the bucketed BM25 index
+    * (manifest-pruned, query-proportional IO) and vector ranks from the
+    * IVF index (probed lists only). This is the shape a serving stack
+    * runs at 100 TB: the exact entry measured linear in corpus size
+    * (1.6 → 24 s across ×100 at sf0.1) while both index probes are
+    * batch-proportional. Both indexes hold the standard historical split
+    * (`id % ${Dedup.IncrSplitMod} <> 0`), so fused results cover the
+    * indexed corpus — the oracle recomputes BOTH legs from raw tables
+    * under that split, so a stale posting, a mispruned bucket, or a lost
+    * inverted list all break the hash. Collecting the ~query-set's
+    * distinct terms to the driver for bucket pruning is query-scale
+    * metadata (queries are INPUT), mirroring [[touchedBuckets]]'s
+    * zero-job contract.
+    */
+  def hybridRrfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureBm25Index(spark, dir)
+    val qterms = Tables.load(spark, dir, "documents")
+      .where(s"doc_id < ${Similarity.QuerySetSize}")
+      .selectExpr("doc_id AS query_id",
+        "explode(array_distinct(split(text, ' '))) AS term")
+    val termStrs = qterms.select("term").distinct()
+      .collect().map(_.getString(0)) // query-scale: the example docs' terms
+    val touched = termStrs.map(termBucket).toSet
+      .intersect(readTbManifest(spark, root)).toSeq.sorted
+    val qstats = prunedRead(spark, root, "stats", touched)
+      .select("term", "df").join(broadcast(qterms), "term")
+    val lexRanks = prunedRead(spark, root, "postings", touched)
+      .select("term", "doc_id", "tf", "dl")
+      .join(broadcast(qstats), "term")
+      .where("doc_id <> query_id")
+      .crossJoin(broadcast(metaFrame(spark, root)))
+      .selectExpr("query_id", "doc_id", s"${weightExpr("div")} AS w")
+      .groupBy("query_id", "doc_id").agg(sum("w").as("w_sum"))
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY w_sum DESC, doc_id)"))
+      .where(s"rk <= $HybridK")
+      .selectExpr("query_id", "doc_id", "CAST(rk AS BIGINT) AS lex_rk")
+    val vecRanks = Similarity.ivfRanks(spark, dir, HybridK)
+      .selectExpr("q_id AS query_id", "vec_id AS doc_id", "rk AS vec_rk")
+    def contrib(c: String) =
+      s"CASE WHEN $c IS NOT NULL THEN $RrfQ div ($RrfC + $c) ELSE CAST(0 AS BIGINT) END"
+    lexRanks.join(vecRanks, Seq("query_id", "doc_id"), "full_outer")
+      .selectExpr("query_id", "doc_id",
+        "coalesce(lex_rk, CAST(0 AS BIGINT)) AS lex_rk",
+        "coalesce(vec_rk, CAST(0 AS BIGINT)) AS vec_rk",
+        s"${contrib("lex_rk")} + ${contrib("vec_rk")} AS rrf")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id)"))
+      .where(s"rk <= $HybridK")
+      .selectExpr("query_id", "doc_id", "lex_rk", "vec_rk", "rrf",
+        "CAST(rk AS BIGINT) AS rk")
+      .orderBy("query_id", "rk")
+  }
+
+  val hybridRrfIndexedSql: String = {
+    def contrib(c: String) =
+      s"CASE WHEN $c IS NOT NULL THEN $RrfQ // ($RrfC + $c) ELSE 0::BIGINT END"
+    s"""WITH ${Similarity.ivfRanksCtes(HybridK)},
+       |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |      WHERE doc_id % ${Dedup.IncrSplitMod} <> 0),
+       |dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM d),
+       |toks AS (SELECT doc_id, unnest(t) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |meta AS (SELECT count(*)::BIGINT AS n_docs,
+       |                sum(len(t))::BIGINT AS total_tokens FROM d),
+       |lq AS (SELECT doc_id AS query_id, unnest(list_distinct(string_split(text, ' '))) AS term
+       |       FROM documents WHERE doc_id < ${Similarity.QuerySetSize}),
+       |lscored AS (
+       |  SELECT lq.query_id, tf.doc_id,
+       |         ((22 * tf.tf * ${Qt * Qr}) // (10 * tf.tf * $Qr + ${3 * Qr}
+       |          + (9 * dl.dl * $Qr) // (m.total_tokens // m.n_docs)))
+       |         * (((2 * m.n_docs - 2 * df.df + 1) * $Qi) // (2 * df.df + 1)) AS w
+       |  FROM lq JOIN tf ON lq.term = tf.term AND tf.doc_id <> lq.query_id
+       |  JOIN df ON tf.term = df.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN meta m),
+       |lagg AS (SELECT query_id, doc_id, sum(w)::BIGINT AS w_sum
+       |         FROM lscored GROUP BY 1, 2),
+       |lex_rk AS (
+       |  SELECT query_id, doc_id, rk::BIGINT AS rk FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY w_sum DESC, doc_id) AS rk
+       |    FROM lagg)
+       |  WHERE rk <= $HybridK),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, v.q_id) AS query_id,
+       |         coalesce(l.doc_id, v.vec_id) AS doc_id,
+       |         coalesce(l.rk, 0::BIGINT) AS lex_rk,
+       |         coalesce(v.rk, 0::BIGINT) AS vec_rk,
+       |         ${contrib("l.rk")} + ${contrib("v.rk")} AS rrf
+       |  FROM lex_rk l FULL OUTER JOIN vec_rk v
+       |    ON l.query_id = v.q_id AND l.doc_id = v.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY rrf DESC, doc_id) AS rk
+       |  FROM fused)
+       |SELECT query_id, doc_id, lex_rk, vec_rk, rrf, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $HybridK ORDER BY query_id, rk""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_hybrid_rrf" -> hybridRrf,
+    "text_hybrid_rrf_indexed" -> hybridRrfIndexed,
     "text_bm25_topk" -> bm25TopK,
     "text_bm25_index" -> indexSummary,
     "text_bm25_index_topk" -> indexTopK,
@@ -893,6 +999,7 @@ object Retrieval {
 
   val oracles: Map[String, String] = Map(
     "text_hybrid_rrf" -> hybridRrfSql,
+    "text_hybrid_rrf_indexed" -> hybridRrfIndexedSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_bm25_index" -> indexSummarySql,
     "text_bm25_index_topk" -> indexTopKSql,

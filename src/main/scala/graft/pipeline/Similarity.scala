@@ -1523,7 +1523,7 @@ object Similarity {
     * the index root). Output shape matches the other topk entries.
     */
   def incrementalIvfProbe(spark: SparkSession, queries: DataFrame,
-      cent: DataFrame, indexPath: String): DataFrame = {
+      cent: DataFrame, indexPath: String, k: Int = TopK): DataFrame = {
     val probes = nearestLists(queries, cent, "q_id", NProbe)
       .selectExpr("q_id", "emb AS q_emb", "nrm AS q_nrm", "c_id")
     val manifest = listsManifestRead(spark, indexPath) // fails loud if absent
@@ -1541,10 +1541,65 @@ object Similarity {
         s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
       .withColumn("rk", expr(
         "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
-      .where(s"rk <= $TopK")
+      .where(s"rk <= $k")
       .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
       .orderBy("q_id", "rk")
   }
+
+  /** Manifest-pruned IVF ranks at depth `k` for the standard
+    * `vec_id < QuerySetSize` query set — the INDEXED vector leg of
+    * [[Retrieval.hybridRrfIndexed]]: same persisted index, codebook and
+    * probe IO contract as [[incrementalIvf]], rank depth decoupled.
+    */
+  private[pipeline] def ivfRanks(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val path = ensureIvfIndex(spark, dir)
+    incrementalIvfProbe(spark,
+      embDouble(spark, dir).where(s"vec_id < $QuerySetSize"),
+      indexCodebook(spark, path), path, k)
+      .select("q_id", "vec_id", "rk")
+  }
+
+  /** DuckDB CTE fragment replaying [[ivfRanks]] — defines `emb`, `cent`,
+    * `hist`, `lists`, `vq`, `probes` and `vec_rk(q_id, vec_id, rk)`;
+    * splice after WITH in a caller query.
+    */
+  private[pipeline] def ivfRanksCtes(k: Int): String =
+    s"""$embCte,
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
+       |         WHERE vec_id < $nCentroidsSqlExpr),
+       |hist AS (SELECT vec_id, emb, nrm FROM emb
+       |         WHERE vec_id % $IvfSplitMod <> 0),
+       |lists AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT h.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY h.vec_id ORDER BY
+       |             round(${cosineSql("h.emb", "c.c_emb", "h.nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM hist h, cent c)
+       |  WHERE crk = 1),
+       |vq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
+       |       WHERE vec_id < $QuerySetSize),
+       |probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT vq.q_id, c.c_id,
+       |           row_number() OVER (PARTITION BY vq.q_id ORDER BY
+       |             round(${cosineSql("vq.q_emb", "c.c_emb", "vq.q_nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM vq, cent c)
+       |  WHERE crk <= $NProbe),
+       |vec_rk AS (
+       |  SELECT q_id, vec_id, rk::BIGINT AS rk FROM (
+       |    SELECT p.q_id, l.vec_id,
+       |           row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |             round(${cosineSql("vq.q_emb", "e.emb", "vq.q_nrm", "e.nrm")}, 6) DESC,
+       |             l.vec_id) AS rk
+       |    FROM probes p
+       |    JOIN lists l USING (c_id)
+       |    JOIN emb e ON e.vec_id = l.vec_id
+       |    JOIN vq ON vq.q_id = p.q_id
+       |    WHERE l.vec_id <> p.q_id)
+       |  WHERE rk <= $k)""".stripMargin
 
   /** Wave-`rem` query vectors: the first [[QuerySetSize]] wave members. */
   private def waveQueries(emb: DataFrame, rem: Int): DataFrame = {

@@ -64,6 +64,11 @@ object PlanAuditBudgets {
     // rank window, the k·|queries|-scale fuse join and final sort — each
     // leg keeps exactly its standalone production shape
     "text_hybrid_rrf" -> 11,
+    // the indexed twin: pruned-postings (query, doc) agg + lex rank
+    // window, the IVF probe's assignment/rank exchanges, the fuse join
+    // and final sort — both corpus-scan legs replaced by index point
+    // lookups, so every exchange is query- or bucket-proportional
+    "text_hybrid_rrf_indexed" -> 9,
     // the returned verdict frame (stream already ran in foreground): two
     // exact countDistinct pairs, the sketch-sized merge agg, output sort
     "stream_kmv_distinct" -> 6,

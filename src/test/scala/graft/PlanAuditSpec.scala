@@ -54,6 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // incremental IVF: nearestLists crossJoins the broadcast 16-row
     // codebook (vec_id < NCentroids) for list assignment / probe set
     "sim_incremental_ivf", "sim_incremental_ivf_append",
+    // vector leg = the incremental-IVF probe's bounded codebook broadcast
+    "text_hybrid_rrf_indexed",
     // SemDeDup cluster assignment: the same bounded coarse-codebook
     // broadcast (vec_id < nCentroids, corpus-adaptive with a hard
     // NCentroidsMax cap) as the IVF family

@@ -133,4 +133,20 @@ class RetrievalSpec extends AnyFunSuite {
         c(r.getAs[Long]("lex_rk")) + c(r.getAs[Long]("vec_rk")))
     }
   }
+
+  test("indexed hybrid fuses live and returns only indexed documents") {
+    val rows = Retrieval.hybridRrfIndexed(spark, dir).collect()
+    assert(rows.length == Similarity.QuerySetSize * Retrieval.HybridK)
+    // every result comes from the indexed historical split — a doc from
+    // the excluded wave appearing would mean a leg escaped its index
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % Dedup.IncrSplitMod != 0,
+        s"non-indexed doc ${r.getAs[Long]("doc_id")} surfaced")
+    }
+    // both legs contribute (vacuity guards, as in the exact entry)
+    assert(rows.exists(r =>
+      r.getAs[Long]("lex_rk") > 0 && r.getAs[Long]("vec_rk") > 0))
+    assert(rows.exists(_.getAs[Long]("lex_rk") == 0))
+    assert(rows.exists(_.getAs[Long]("vec_rk") == 0))
+  }
 }
