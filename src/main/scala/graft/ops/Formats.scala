@@ -184,7 +184,51 @@ object Formats {
        |       min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi
        |FROM z GROUP BY zb ORDER BY zb""".stripMargin
 
+  /** Schema evolution across file generations — the operational reality of
+    * any long-lived 100 TB table: generation 1 is written WITHOUT the
+    * `quality` column (docs ranked ≤ half per source — the structural wave
+    * of the compaction/snapshot family), generation 2 adds it; one
+    * `mergeSchema` read reconciles both (parquet's per-file schema union —
+    * old files surface the new column as NULL, no rewrite/backfill of
+    * historical data). The emitted surface proves BOTH halves: per-source
+    * totals over the unioned read, the NULL accounting (`n_legacy` = rows
+    * whose file predates the column), and the backfill-expression result
+    * (`sum_q` over `coalesce(quality, 0)`) — a reader that dropped legacy
+    * rows, mis-unified the schema, or defaulted wrongly breaks the hash.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempDirs.scoped("schema-evo") + "/docs"
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("srk", expr(
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id)"))
+      .withColumn("nsrc", expr("count(*) OVER (PARTITION BY source)"))
+    docs.where("srk * 2 <= nsrc")
+      .select("doc_id", "source") // generation 1: no quality column
+      .write.mode("append").parquet(out)
+    docs.where("srk * 2 > nsrc")
+      .selectExpr("doc_id", "source", "n_chars AS quality") // generation 2
+      .write.mode("append").parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CASE WHEN quality IS NULL THEN 1 ELSE 0 END")).as("n_legacy"),
+        sum(expr("coalesce(quality, CAST(0 AS BIGINT))")).as("sum_q"))
+      .orderBy("source")
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS srk,
+      |         count(*) OVER (PARTITION BY source) AS nsrc
+      |  FROM documents)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |       sum(CASE WHEN srk * 2 <= nsrc THEN 1 ELSE 0 END)::BIGINT AS n_legacy,
+      |       sum(CASE WHEN srk * 2 > nsrc THEN n_chars ELSE 0 END)::BIGINT AS sum_q
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_schema_evolution" -> schemaEvolution,
     "x_orc_roundtrip" -> orcRoundTrip,
     "x_jsonl_roundtrip" -> jsonlRoundTrip,
     "x_csv_gzip_roundtrip" -> csvGzipRoundTrip,
@@ -193,6 +237,7 @@ object Formats {
     "x_zorder_layout" -> zorderLayout)
 
   val oracles: Map[String, String] = Map(
+    "x_schema_evolution" -> schemaEvolutionSql,
     "x_orc_roundtrip" -> aggregateSql,
     "x_jsonl_roundtrip" -> aggregateSql,
     "x_csv_gzip_roundtrip" -> aggregateSql,

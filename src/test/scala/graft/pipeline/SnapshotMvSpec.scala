@@ -71,6 +71,60 @@ class SnapshotMvSpec extends AnyFunSuite {
       "harness degenerate: every partition touched (carry-forward untested)")
   }
 
+  test("streaming ingest: one snapshot per micro-batch, all retained readable") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    val rows = docs.as[(Long, String, String, Long)].collect()
+    val work = graft.TempDirs.scoped("snap-stream") + "/t"
+    val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+
+    SnapshotMv.commitInitial(spark, work, spark.createDataFrame(
+      chunks.head.toIndexedSeq).toDF("doc_id", "source", "lang", "n_chars"))
+    // capture the per-version expected rollup as each commit lands
+    var expected = Map[Long, Seq[Seq[Any]]]()
+    def rollupOf(upTo: Int): Seq[Seq[Any]] =
+      spark.createDataFrame(chunks.take(upTo).flatten.toIndexedSeq)
+        .toDF("doc_id", "source", "lang", "n_chars")
+        .groupBy("source", "lang")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum("n_chars").as("sum_chars"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    expected += 1L -> rollupOf(1)
+
+    val src = MemoryStream[(Long, String, String, Long)]
+    val q = src.toDS().toDF("doc_id", "source", "lang", "n_chars")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // a production ingest commits ONE snapshot per micro-batch; the
+        // batchId maps onto the version chain after the initial commit
+        SnapshotMv.commitDelta(batch.sparkSession, work, batch, ver = id + 2)
+      }
+      .option("checkpointLocation", graft.TempDirs.scoped("snap-stream-ckpt"))
+      .start()
+    try {
+      chunks.drop(1).zipWithIndex.foreach { case (chunk, i) =>
+        src.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+        expected += (i + 2L) -> rollupOf(i + 2)
+      }
+    } finally q.stop()
+
+    // EVERY retained snapshot — not just the head — reads back exactly
+    // the rollup that was current when its commit landed
+    expected.foreach { case (ver, want) =>
+      val got = SnapshotMv.readSnapshot(spark, work, ver)
+        .select("source", "lang", "n_docs", "sum_chars")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(got.toSeq == want,
+        s"snapshot v$ver drifted after ${expected.size - 1} later commits")
+    }
+  }
+
   test("vacuum deletes exactly the unreferenced files; kept snapshot intact") {
     val work = graft.TempDirs.scoped("snap-spec3") + "/t"
     val docs = SnapshotMv.waved(graft.Tables.load(spark, dir, "documents")
