@@ -391,6 +391,110 @@ object Multimodal {
        |FROM sad ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** aHash (average-hash) of an 8×8 luma raster — the canonical
+    * perceptual frame fingerprint (the pHash family's integer-exact
+    * member): bit i set iff the pixel is STRICTLY above the frame mean,
+    * compared division-free as `64·y[i] > Σy`. Returned as two 32-bit
+    * halves carried in BIGINTs so neither engine's arithmetic ever
+    * touches the sign bit (a 64-bit `1 << 63` weight overflows DuckDB's
+    * BIGINT sum and flips Spark's sign).
+    */
+  private[pipeline] def aHashHalves(y: Array[Byte]): (Long, Long) = {
+    var s = 0L
+    y.foreach(b => s += b & 0xff)
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < y.length) {
+      if (64L * (y(i) & 0xff) > s) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  case class Y4mPhashClass(
+      phash_hi: Long, phash_lo: Long, n_frames: Long, n_docs: Long,
+      min_doc: Long, min_frame: Long)
+
+  /** Exemplar key packing: doc_id · 2^20 + frame_idx (frame counts are
+    * ≤ text/192, far under 2^20), so the lexicographic-minimum (doc,
+    * frame) pair is one integer `min` in both engines.
+    */
+  private val PhashKeyMul = 1048576L
+
+  /** Perceptual frame dedup over the REAL video path — the video analog
+    * of [[Dedup]]'s SimHash text dedup and the second stage (after
+    * [[sceneCuts]]) of a video dedup pipeline: every frame demuxed by
+    * [[Y4mCodec.decode]] is fingerprinted by [[aHashHalves]] and exact
+    * fingerprint classes with more than one member are emitted (class
+    * size, distinct clips, lexicographic-min exemplar). Padding tails
+    * and shared vocabulary make both within-clip and CROSS-CLIP classes
+    * live on the synthetic corpus (spec-guarded). Plan shape: the codec
+    * pass is partition-local; the only shuffle is the map-side-combined
+    * class agg on the 64-bit key — at 100 TB the banded near-dup join
+    * (16-bit bands, exactly [[Dedup.simhash]]'s blocking) is the next
+    * rung and needs no new machinery.
+    */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Tables.load(spark, dir, "documents")
+      .where("n_chars > 0").select("doc_id", "text")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val docId = r.getLong(0)
+          val text = r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val vid = Y4mCodec.decode(Y4mCodec.encode(y4mVideo(text)))
+          vid.frames.zipWithIndex.map { case (f, idx) =>
+            val (hi, lo) = aHashHalves(f.y)
+            (docId, idx.toLong, hi, lo)
+          }
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("doc_id", "frame_idx", "phash_hi", "phash_lo")
+    frames.groupBy("phash_hi", "phash_lo")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(expr(s"doc_id * $PhashKeyMul + frame_idx")).as("mk"))
+      .where("n_frames > 1")
+      .selectExpr("phash_hi", "phash_lo", "n_frames", "n_docs",
+        s"mk div $PhashKeyMul AS min_doc", s"mk % $PhashKeyMul AS min_frame")
+      .orderBy("phash_hi", "phash_lo")
+  }
+
+  val phashDedupSql: String = {
+    val fb = Y4mFrameBytes; val pl = Y4mPlane
+    s"""WITH f AS (
+       |  SELECT doc_id, unnest(range(0, (length(text) + ${fb - 1}) // $fb)) AS frame_idx,
+       |         rpad(text, ($fb * ((length(text) + ${fb - 1}) // $fb))::INT, 'x') AS px
+       |  FROM documents WHERE length(text) > 0),
+       |fr AS (
+       |  SELECT doc_id, frame_idx, substring(px, frame_idx * $fb + 1, $fb) AS fx
+       |  FROM f),
+       |pxl AS (
+       |  SELECT doc_id, frame_idx, unnest(range(0, $pl)) AS i,
+       |         list_transform(range(1, ${pl + 1}),
+       |           j -> ord(substring(fx, j, 1))) AS ys
+       |  FROM fr),
+       |bits AS (
+       |  SELECT doc_id, frame_idx,
+       |         sum(CASE WHEN i >= 32 AND $pl * ys[(i + 1)::INT] > list_sum(ys)
+       |                  THEN (1::BIGINT << ((i - 32)::INT)) ELSE 0 END)::BIGINT AS phash_hi,
+       |         sum(CASE WHEN i < 32 AND $pl * ys[(i + 1)::INT] > list_sum(ys)
+       |                  THEN (1::BIGINT << (i::INT)) ELSE 0 END)::BIGINT AS phash_lo
+       |  FROM pxl GROUP BY 1, 2),
+       |cls AS (
+       |  SELECT phash_hi, phash_lo, count(*)::BIGINT AS n_frames,
+       |         count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |         min(doc_id * $PhashKeyMul + frame_idx) AS mk
+       |  FROM bits GROUP BY 1, 2)
+       |SELECT phash_hi, phash_lo, n_frames, n_docs,
+       |       (mk // $PhashKeyMul)::BIGINT AS min_doc,
+       |       (mk % $PhashKeyMul)::BIGINT AS min_frame
+       |FROM cls WHERE n_frames > 1 ORDER BY phash_hi, phash_lo""".stripMargin
+  }
+
   // ---- real-format path: P6 PPM images (round-7 verdict item 7) ----
 
   /** Synthesized image geometry: each doc becomes a [[PpmW]]-wide RGB
@@ -775,6 +879,7 @@ object Multimodal {
     "mm_metadata" -> metadata,
     "mm_frame_features" -> frameFeatures,
     "mm_scene_cut" -> sceneCuts,
+    "mm_phash_dedup" -> phashDedup,
     "mm_resize" -> resizeQuery,
     "mm_ppm_pixels" -> ppmPixels,
     "mm_wav_features" -> wavFeatures,
@@ -784,6 +889,7 @@ object Multimodal {
     "mm_metadata" -> metadataSql,
     "mm_frame_features" -> frameFeaturesSql,
     "mm_scene_cut" -> sceneCutsSql,
+    "mm_phash_dedup" -> phashDedupSql,
     "mm_resize" -> resizeSql,
     "mm_ppm_pixels" -> ppmPixelsSql,
     "mm_wav_features" -> wavFeaturesSql,

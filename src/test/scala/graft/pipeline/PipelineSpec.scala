@@ -126,6 +126,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(!hasWindow, "the whole point is a plan with no Window sort")
   }
 
+  test("phash dedup: cross-clip classes live, not only padding frames") {
+    val classes = Multimodal.phashDedup(spark, dir).collect()
+    assert(classes.nonEmpty, "no duplicate frame classes at all")
+    assert(classes.exists(_.getAs[Long]("n_docs") > 1),
+      "no CROSS-clip duplicate class — the dedup surface is vacuous")
+    assert(classes.exists(r =>
+      r.getAs[Long]("phash_hi") != 0L || r.getAs[Long]("phash_lo") != 0L),
+      "only the constant-padding class deduped — content hashing vacuous")
+    classes.foreach { r =>
+      assert(r.getAs[Long]("n_frames") > 1 &&
+        r.getAs[Long]("n_docs") <= r.getAs[Long]("n_frames"))
+    }
+  }
+
   test("two-level IVF recall clears its floor against brute-force truth") {
     val bf = Similarity.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet

@@ -107,4 +107,22 @@ class Y4mCodecSpec extends AnyFunSuite {
     assert(cuts == Vector((2, 64L * ('z' - 'a'))),
       "exactly the constructed boundary must be called a cut")
   }
+
+  test("aHash: strictly-above-mean bits, constant frame hashes to zero") {
+    // constant raster: no pixel is STRICTLY above the mean → both halves 0
+    val flat = Array.fill(64)(100.toByte)
+    assert(Multimodal.aHashHalves(flat) == (0L, 0L))
+    // one bright pixel at raster index 5: only that bit (low half) sets —
+    // every other pixel sits below the lifted mean
+    val spike = Array.fill(64)(10.toByte); spike(5) = 255.toByte
+    assert(Multimodal.aHashHalves(spike) == (0L, 1L << 5))
+    // and at index 40: the high half carries bit 40 − 32
+    val spikeHi = Array.fill(64)(10.toByte); spikeHi(40) = 255.toByte
+    assert(Multimodal.aHashHalves(spikeHi) == (1L << 8, 0L))
+    // exactly-at-mean must NOT set (strict comparison): half 0s, half 200s
+    val bimodal = Array.tabulate(64)(i => if (i < 32) 0.toByte else 200.toByte)
+    val (hi, lo) = Multimodal.aHashHalves(bimodal)
+    assert(lo == 0L && hi == -1L >>> 32,
+      "200 > mean(100) sets exactly the upper half's 32 bits")
+  }
 }
