@@ -986,8 +986,102 @@ object Retrieval {
        |FROM ranked WHERE rk <= $HybridK ORDER BY query_id, rk""".stripMargin
   }
 
+  // ------------------------------------------------- phrase search
+
+  /** Standing phrase queries (literals — queries are INPUT): two live
+    * bigrams, a REPEATED-TERM phrase (the alignment logic's hard case),
+    * and a trigram; all verified present in the corpus (spec-guarded
+    * against a vacuous surface).
+    */
+  val Phrases: Seq[(Long, String)] = Seq(
+    0L -> "order fast",
+    1L -> "window join",
+    2L -> "order order",
+    3L -> "big order scan")
+
+  /** Exact phrase search — the retrieval capability BM25's bag-of-words
+    * scoring cannot express, re-expressed as ONE relational alignment
+    * instead of the positional-index intersect-and-walk: each phrase
+    * term carries its offset; a posting (term, doc, pos) matching offset
+    * `qoff` votes for candidate start `pos − qoff`; a start where the
+    * DISTINCT offsets voting equal the phrase length is an occurrence
+    * (count-distinct, not count, so a repeated term can't double-vote
+    * one offset). Plan shape: one positional explode (the map side of
+    * any positional index build), a broadcast join against the ≤ Σ|phrase|
+    * literal terms, and group-by aggs on (query, doc, start) —
+    * occurrence detection costs one combinable shuffle, no per-document
+    * walk. At 100 TB positions ride in the same `tb`-bucketed postings
+    * as [[ensureBm25Index]] (an array column per posting) and this exact
+    * alignment runs over the pruned buckets.
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pterms = Phrases.flatMap { case (id, p) =>
+      p.split(' ').zipWithIndex.map { case (t, o) => (id, o.toLong, t) }
+    }.toDF("query_id", "qoff", "term")
+    val plens = Phrases.map { case (id, p) =>
+      (id, p.split(' ').length.toLong)
+    }.toDF("query_id", "plen")
+    val postings = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, term)")
+    postings.join(broadcast(pterms), "term")
+      .selectExpr("query_id", "doc_id", "qoff", "pos - qoff AS start")
+      .where("start >= 0")
+      .groupBy("query_id", "doc_id", "start")
+      .agg(countDistinct(col("qoff")).as("n_off"))
+      .join(broadcast(plens), "query_id")
+      .where("n_off = plen")
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_occ"), min("start").as("first_start"))
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY n_occ DESC, doc_id)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("query_id", "doc_id", "n_occ", "first_start",
+        "CAST(rk AS BIGINT) AS rk")
+      .orderBy("query_id", "rk")
+  }
+
+  val phraseSearchSql: String = {
+    val termRows = Phrases.flatMap { case (id, p) =>
+      p.split(' ').zipWithIndex.map { case (t, o) => s"($id,$o,'$t')" }
+    }.mkString(",")
+    val lenRows = Phrases.map { case (id, p) =>
+      s"($id,${p.split(' ').length})"
+    }.mkString(",")
+    s"""WITH pterms AS (
+       |  SELECT query_id::BIGINT AS query_id, qoff::BIGINT AS qoff, term
+       |  FROM (VALUES $termRows) AS v(query_id, qoff, term)),
+       |plens AS (
+       |  SELECT query_id::BIGINT AS query_id, plen::BIGINT AS plen
+       |  FROM (VALUES $lenRows) AS v(query_id, plen)),
+       |p AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i::INT] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |       LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+       |votes AS (
+       |  SELECT q.query_id, p.doc_id, q.qoff, p.pos - q.qoff AS start
+       |  FROM p JOIN pterms q ON p.term = q.term
+       |  WHERE p.pos - q.qoff >= 0),
+       |occ AS (
+       |  SELECT v.query_id, v.doc_id, v.start,
+       |         count(DISTINCT v.qoff)::BIGINT AS n_off
+       |  FROM votes v GROUP BY 1, 2, 3),
+       |hits AS (
+       |  SELECT o.query_id, o.doc_id, count(*)::BIGINT AS n_occ,
+       |         min(o.start)::BIGINT AS first_start
+       |  FROM occ o JOIN plens l ON o.query_id = l.query_id
+       |  WHERE o.n_off = l.plen GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY n_occ DESC, doc_id) AS rk
+       |  FROM hits)
+       |SELECT query_id, doc_id, n_occ, first_start, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_hybrid_rrf" -> hybridRrf,
+    "text_phrase_search" -> phraseSearch,
     "text_hybrid_rrf_indexed" -> hybridRrfIndexed,
     "text_bm25_topk" -> bm25TopK,
     "text_bm25_index" -> indexSummary,
@@ -1000,6 +1094,7 @@ object Retrieval {
   val oracles: Map[String, String] = Map(
     "text_hybrid_rrf" -> hybridRrfSql,
     "text_hybrid_rrf_indexed" -> hybridRrfIndexedSql,
+    "text_phrase_search" -> phraseSearchSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_bm25_index" -> indexSummarySql,
     "text_bm25_index_topk" -> indexTopKSql,

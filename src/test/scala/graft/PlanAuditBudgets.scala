@@ -69,6 +69,10 @@ object PlanAuditBudgets {
     // and final sort — both corpus-scan legs replaced by index point
     // lookups, so every exchange is query- or bucket-proportional
     "text_hybrid_rrf_indexed" -> 9,
+    // positional explode → broadcast term join, then the (q, doc, start)
+    // vote agg, the per-doc occurrence agg, rank window and final sort —
+    // one corpus-sized combinable exchange, the rest candidate-scale
+    "text_phrase_search" -> 5,
     // the returned verdict frame (stream already ran in foreground): two
     // exact countDistinct pairs, the sketch-sized merge agg, output sort
     "stream_kmv_distinct" -> 6,

@@ -134,6 +134,32 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase search matches a brute-force sliding replay, all phrases live") {
+    val texts = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ')).toMap
+    // brute truth: slide every phrase over every token array
+    val truth = (for {
+      (qid, phrase) <- Retrieval.Phrases
+      terms = phrase.split(' ')
+      (doc, toks) <- texts
+      occs = (0 to toks.length - terms.length)
+        .count(s => terms.indices.forall(o => toks(s + o) == terms(o)))
+      if occs > 0
+    } yield (qid, doc) -> occs.toLong).toMap
+    val got = Retrieval.phraseSearch(spark, dir).collect()
+    got.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      assert(truth.get(k).contains(r.getAs[Long]("n_occ")),
+        s"occurrence count mismatch for $k")
+    }
+    // every phrase — including the trigram and the REPEATED-TERM phrase —
+    // must actually match documents, or the surface is vacuous
+    val liveQueries = got.map(_.getAs[Long]("query_id")).toSet
+    assert(liveQueries == Retrieval.Phrases.map(_._1).toSet,
+      s"phrases without any match: ${Retrieval.Phrases.map(_._1).toSet -- liveQueries}")
+  }
+
   test("indexed hybrid fuses live and returns only indexed documents") {
     val rows = Retrieval.hybridRrfIndexed(spark, dir).collect()
     assert(rows.length == Similarity.QuerySetSize * Retrieval.HybridK)
