@@ -1079,9 +1079,98 @@ object Retrieval {
        |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
   }
 
+  /** Per-document occurrence count of a phrase as ONE per-row expression:
+    * candidate starts 0..size−len filtered by the unrolled per-offset
+    * token equalities — a pure higher-order-function fold, no explode, no
+    * shuffle, no state. This is what lets phrase routing ride an ingest
+    * hot path: the whole match is row-local.
+    */
+  private def phraseOccExpr(terms: Seq[String]): String = {
+    val len = terms.length
+    val cond = terms.zipWithIndex.map { case (w, o) =>
+      s"element_at(t, CAST(s + ${o + 1} AS INT)) = '$w'"
+    }.mkString(" AND ")
+    s"CASE WHEN size(t) >= $len THEN CAST(size(filter(" +
+      s"sequence(0, size(t) - $len), s -> $cond)) AS BIGINT) " +
+      s"ELSE CAST(0 AS BIGINT) END"
+  }
+
+  /** The row-local match pipeline over a (streaming or batch) frame of
+    * (doc_id, text): every standing phrase evaluated by [[phraseOccExpr]],
+    * matches kept. Shared by the entry and the spec's statelessness probe.
+    */
+  private[pipeline] def phraseRouteFrame(docs: DataFrame): DataFrame = {
+    val matches = Phrases.map { case (id, p) =>
+      s"named_struct('query_id', CAST($id AS BIGINT), " +
+        s"'n_occ', ${phraseOccExpr(p.split(' ').toSeq)})"
+    }.mkString("array(", ", ", ")")
+    docs
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr("doc_id", s"explode($matches) AS m")
+      .selectExpr("m.query_id AS query_id", "doc_id", "m.n_occ AS n_occ")
+      .where("n_occ > 0")
+  }
+
+  /** STATELESS streaming phrase routing — documents replayed as real
+    * micro-batches, every row matched against all standing [[Phrases]]
+    * by [[phraseOccExpr]] (row-local HOF work, so the plan carries zero
+    * state stores and no watermark — spec-asserted); matching (doc,
+    * phrase) pairs land in an append-mode sink. Shares its oracle with
+    * the batch alignment semantics: the streamed match set must equal
+    * the full-corpus phrase-occurrence table.
+    */
+  def streamPhraseRoute(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.PacedReplay
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val stage = graft.TempDirs.scoped("phrase-route") + "/docs"
+    val rowsPerFile = math.max(1L, docs.count() / 4L).toInt
+    PacedReplay.stage(docs, Seq("doc_id"), rowsPerFile, stage)
+    val out = phraseRouteFrame(
+      PacedReplay.stream(spark, stage, docs.schema))
+    val qn = "graft_stream_phrase_route"
+    val q = out.writeStream
+      .outputMode("append").format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(qn).orderBy("query_id", "doc_id")
+  }
+
+  val streamPhraseRouteSql: String = {
+    val termRows = Phrases.flatMap { case (id, p) =>
+      p.split(' ').zipWithIndex.map { case (t, o) => s"($id,$o,'$t')" }
+    }.mkString(",")
+    val lenRows = Phrases.map { case (id, p) =>
+      s"($id,${p.split(' ').length})"
+    }.mkString(",")
+    s"""WITH pterms AS (
+       |  SELECT query_id::BIGINT AS query_id, qoff::BIGINT AS qoff, term
+       |  FROM (VALUES $termRows) AS v(query_id, qoff, term)),
+       |plens AS (
+       |  SELECT query_id::BIGINT AS query_id, plen::BIGINT AS plen
+       |  FROM (VALUES $lenRows) AS v(query_id, plen)),
+       |p AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i::INT] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |       LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+       |votes AS (
+       |  SELECT q.query_id, p.doc_id, q.qoff, p.pos - q.qoff AS start
+       |  FROM p JOIN pterms q ON p.term = q.term
+       |  WHERE p.pos - q.qoff >= 0),
+       |occ AS (
+       |  SELECT v.query_id, v.doc_id, v.start,
+       |         count(DISTINCT v.qoff)::BIGINT AS n_off
+       |  FROM votes v GROUP BY 1, 2, 3)
+       |SELECT o.query_id, o.doc_id, count(*)::BIGINT AS n_occ
+       |FROM occ o JOIN plens l ON o.query_id = l.query_id
+       |WHERE o.n_off = l.plen GROUP BY 1, 2
+       |ORDER BY o.query_id, o.doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_hybrid_rrf" -> hybridRrf,
     "text_phrase_search" -> phraseSearch,
+    "stream_phrase_route" -> streamPhraseRoute,
     "text_hybrid_rrf_indexed" -> hybridRrfIndexed,
     "text_bm25_topk" -> bm25TopK,
     "text_bm25_index" -> indexSummary,
@@ -1095,6 +1184,7 @@ object Retrieval {
     "text_hybrid_rrf" -> hybridRrfSql,
     "text_hybrid_rrf_indexed" -> hybridRrfIndexedSql,
     "text_phrase_search" -> phraseSearchSql,
+    "stream_phrase_route" -> streamPhraseRouteSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_bm25_index" -> indexSummarySql,
     "text_bm25_index_topk" -> indexTopKSql,

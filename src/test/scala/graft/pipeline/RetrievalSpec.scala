@@ -160,6 +160,41 @@ class RetrievalSpec extends AnyFunSuite {
       s"phrases without any match: ${Retrieval.Phrases.map(_._1).toSet -- liveQueries}")
   }
 
+  test("streamed phrase routing is stateless and equals the batch matches") {
+    // the same row-local frame over a real stream: zero state operators
+    import graft.streaming.PacedReplay
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+    val stage = graft.TempDirs.scoped("phrase-route-spec") + "/docs"
+    PacedReplay.stage(docs, Seq("doc_id"),
+      math.max(1L, docs.count() / 4L).toInt, stage)
+    val qn = "graft_spec_phrase_route"
+    val q = Retrieval.phraseRouteFrame(
+        PacedReplay.stream(spark, stage, docs.schema))
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "phrase routing must carry no state store")
+    val streamed = spark.table(qn)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = Retrieval.phraseRouteFrame(docs)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.toSeq == batch.toSeq,
+      "streamed match set diverged from the batch evaluation")
+    // the row-local counts agree with the alignment construction's totals
+    val aligned = Retrieval.phraseSearch(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("n_occ")).toMap
+    val routed = spark.table(qn).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("n_occ")).toMap
+    aligned.foreach { case (k, n) =>
+      assert(routed.get(k).contains(n),
+        s"HOF count and positional alignment disagree for $k")
+    }
+  }
+
   test("indexed hybrid fuses live and returns only indexed documents") {
     val rows = Retrieval.hybridRrfIndexed(spark, dir).collect()
     assert(rows.length == Similarity.QuerySetSize * Retrieval.HybridK)
