@@ -95,17 +95,23 @@ object Retrieval {
 
   // ------------------------------------------------- building blocks
 
-  /** Postings of a document set: (term, doc_id, tf, dl) — dl denormalized
-    * onto every posting (the impact-ordered-index trick) so a probe needs
-    * no document-side join. One explode + one partial-agg shuffle.
+  /** Postings of a document set: (term, doc_id, tf, dl, positions) — dl
+    * denormalized onto every posting (the impact-ordered-index trick) so a
+    * probe needs no document-side join, and the term's sorted POSITION
+    * LIST rides on the same row (the positional-index layout Lucene/ES
+    * store), so exact phrase/proximity probes run over the same bucketed
+    * files as BM25 — one explode + one partial-agg shuffle either way.
+    * Invariant (spec-pinned): tf == size(positions).
     */
   def postingsOf(docs: DataFrame): DataFrame =
     docs
       .selectExpr("doc_id", "split(text, ' ') AS t")
       .selectExpr("doc_id", "CAST(size(t) AS BIGINT) AS dl",
-        "explode(t) AS term")
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .select("term", "doc_id", "tf", "dl")
+        "posexplode(t) AS (pos, term)")
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .select("term", "doc_id", "tf", "dl", "positions")
 
   /** Per-term document frequency, derived from postings (second agg). */
   def statsOf(postings: DataFrame): DataFrame =
@@ -205,8 +211,10 @@ object Retrieval {
     */
   def indexPath(spark: SparkSession, dir: String): String = {
     val (rows, fp) = Dedup.docsStats(spark, dir)
+    // p1 = positional-postings layout generation: a committed pre-positions
+    // index at the old path must not be silently reused by phrase probes
     "/tmp/graft_bm25_index/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_t${TermBuckets}_n${rows}_f$fp"
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_p1_t${TermBuckets}_n${rows}_f$fp"
   }
 
   /** Bucket manifest (`_postings`): one `tb` line per non-empty bucket —
@@ -1041,7 +1049,8 @@ object Retrieval {
       .orderBy("query_id", "rk")
   }
 
-  val phraseSearchSql: String = {
+  /** Oracle for phrase top-k over `documents WHERE docFilter`. */
+  def phraseSql(docFilter: String): String = {
     val termRows = Phrases.flatMap { case (id, p) =>
       p.split(' ').zipWithIndex.map { case (t, o) => s"($id,$o,'$t')" }
     }.mkString(",")
@@ -1056,7 +1065,8 @@ object Retrieval {
        |  FROM (VALUES $lenRows) AS v(query_id, plen)),
        |p AS (
        |  SELECT doc_id, i - 1 AS pos, w[i::INT] AS term
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |        WHERE $docFilter),
        |       LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
        |votes AS (
        |  SELECT q.query_id, p.doc_id, q.qoff, p.pos - q.qoff AS start
@@ -1078,6 +1088,53 @@ object Retrieval {
        |SELECT query_id, doc_id, n_occ, first_start, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
   }
+
+  val phraseSearchSql: String = phraseSql("TRUE")
+
+  /** Phrase search over the PERSISTED index — the production path the
+    * full-scan entry anchors: [[ensureBm25Index]]'s postings carry each
+    * term's sorted position list on the posting row (the Lucene-style
+    * positional layout), so the probe explodes positions of ONLY the
+    * phrase terms' rows read from ONLY their manifest-pruned `tb=`
+    * buckets (driver-side polyhash bucket set — zero jobs), then runs
+    * the same offset-alignment vote as [[phraseSearch]]. Probe IO is
+    * query-proportional whatever the corpus; the oracle recomputes from
+    * raw documents under the index split, so a lost/unsorted position
+    * list or a mispruned bucket breaks the hash.
+    */
+  def phraseIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureBm25Index(spark, dir)
+    val pterms = Phrases.flatMap { case (id, p) =>
+      p.split(' ').zipWithIndex.map { case (t, o) => (id, o.toLong, t) }
+    }.toDF("query_id", "qoff", "term")
+    val plens = Phrases.map { case (id, p) =>
+      (id, p.split(' ').length.toLong)
+    }.toDF("query_id", "plen")
+    val touched = Phrases.flatMap(_._2.split(' ')).map(termBucket).toSet
+      .intersect(readTbManifest(spark, root)).toSeq.sorted
+    prunedRead(spark, root, "postings", touched)
+      .select("term", "doc_id", "positions")
+      .join(broadcast(pterms), "term")
+      .selectExpr("query_id", "doc_id", "qoff", "explode(positions) AS pos")
+      .selectExpr("query_id", "doc_id", "qoff", "pos - qoff AS start")
+      .where("start >= 0")
+      .groupBy("query_id", "doc_id", "start")
+      .agg(countDistinct(col("qoff")).as("n_off"))
+      .join(broadcast(plens), "query_id")
+      .where("n_off = plen")
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_occ"), min("start").as("first_start"))
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY n_occ DESC, doc_id)"))
+      .where(s"rk <= $TopK")
+      .selectExpr("query_id", "doc_id", "n_occ", "first_start",
+        "CAST(rk AS BIGINT) AS rk")
+      .orderBy("query_id", "rk")
+  }
+
+  val phraseIndexSearchSql: String =
+    phraseSql(s"doc_id % ${Dedup.IncrSplitMod} <> 0")
 
   /** Per-document occurrence count of a phrase as ONE per-row expression:
     * candidate starts 0..size−len filtered by the unrolled per-offset
@@ -1170,6 +1227,7 @@ object Retrieval {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_hybrid_rrf" -> hybridRrf,
     "text_phrase_search" -> phraseSearch,
+    "text_phrase_index" -> phraseIndexSearch,
     "stream_phrase_route" -> streamPhraseRoute,
     "text_hybrid_rrf_indexed" -> hybridRrfIndexed,
     "text_bm25_topk" -> bm25TopK,
@@ -1184,6 +1242,7 @@ object Retrieval {
     "text_hybrid_rrf" -> hybridRrfSql,
     "text_hybrid_rrf_indexed" -> hybridRrfIndexedSql,
     "text_phrase_search" -> phraseSearchSql,
+    "text_phrase_index" -> phraseIndexSearchSql,
     "stream_phrase_route" -> streamPhraseRouteSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_bm25_index" -> indexSummarySql,

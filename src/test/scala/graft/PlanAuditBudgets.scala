@@ -73,6 +73,10 @@ object PlanAuditBudgets {
     // vote agg, the per-doc occurrence agg, rank window and final sort —
     // one corpus-sized combinable exchange, the rest candidate-scale
     "text_phrase_search" -> 5,
+    // the pruned-index twin: same alignment aggs/window/sort, but the
+    // exploded input is the phrase terms' bucketed position lists —
+    // every exchange candidate-scale, the corpus never scanned
+    "text_phrase_index" -> 5,
     // the returned verdict frame (stream already ran in foreground): two
     // exact countDistinct pairs, the sketch-sized merge agg, output sort
     "stream_kmv_distinct" -> 6,

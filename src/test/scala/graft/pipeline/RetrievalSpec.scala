@@ -160,6 +160,26 @@ class RetrievalSpec extends AnyFunSuite {
       s"phrases without any match: ${Retrieval.Phrases.map(_._1).toSet -- liveQueries}")
   }
 
+  test("positional postings: tf == |positions|, sorted; index probe exact") {
+    val root = Retrieval.ensureBm25Index(spark, dir)
+    val bad = spark.read.parquet(s"$root/postings")
+      .where("tf <> size(positions) OR positions <> array_sort(positions)")
+      .count()
+    assert(bad == 0L, s"$bad postings break the positional-layout invariant")
+    // the pruned positional probe equals the alignment construction run
+    // directly over the index split's raw documents
+    val direct = Retrieval.phraseRouteFrame(
+        graft.Tables.load(spark, dir, "documents")
+          .where(s"doc_id % ${Dedup.IncrSplitMod} <> 0"))
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+        -> r.getAs[Long]("n_occ")).toMap
+    Retrieval.phraseIndexSearch(spark, dir).collect().foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      assert(direct.get(k).contains(r.getAs[Long]("n_occ")),
+        s"index probe count diverged from the raw-document match for $k")
+    }
+  }
+
   test("streamed phrase routing is stateless and equals the batch matches") {
     // the same row-local frame over a real stream: zero state operators
     import graft.streaming.PacedReplay
