@@ -436,8 +436,11 @@ object Multimodal {
     * (16-bit bands, exactly [[Dedup.simhash]]'s blocking) is the next
     * rung and needs no new machinery.
     */
-  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val frames = Tables.load(spark, dir, "documents")
+  /** Every decoded frame's (doc_id, frame_idx, phash_hi, phash_lo) —
+    * the shared input of the exact-class and banded near-dup entries.
+    */
+  private def phashFrames(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
       .where("n_chars > 0").select("doc_id", "text")
       .mapPartitions { rows =>
         rows.flatMap { r =>
@@ -453,6 +456,9 @@ object Multimodal {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
         Encoders.scalaLong, Encoders.scalaLong))
       .toDF("doc_id", "frame_idx", "phash_hi", "phash_lo")
+
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val frames = phashFrames(spark, dir)
     frames.groupBy("phash_hi", "phash_lo")
       .agg(count(lit(1)).as("n_frames"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -461,6 +467,94 @@ object Multimodal {
       .selectExpr("phash_hi", "phash_lo", "n_frames", "n_docs",
         s"mk div $PhashKeyMul AS min_doc", s"mk % $PhashKeyMul AS min_frame")
       .orderBy("phash_hi", "phash_lo")
+  }
+
+  /** Near-dup Hamming threshold: ≤ 3 of 64 bits (95% bit agreement).
+    * Two constraints pin it here: (1) COMPLETENESS — with four 16-bit
+    * bands, any pair differing in fewer than 4 bits must leave at least
+    * one band untouched (pigeonhole), so the band join provably finds
+    * every pair at this threshold; 4 differing bits can land one per
+    * band and evade blocking, so 4 would make the recall guarantee
+    * probabilistic. (2) LIVENESS — sf0.01 all-pairs truth splits
+    * 61 exact / 127 near / thousands rejected, so both verdict classes
+    * are exercised (the CmsW vacuity rule for thresholds).
+    */
+  val PhashHamMax = 3L
+
+  /** Banded perceptual NEAR-dup — the [[Dedup.simhash]] blocking applied
+    * to video frames: the 64-bit aHash splits into four 16-bit bands; two
+    * frames within Hamming < 4 of each other agree exactly on ≥ 1 band
+    * (pigeonhole over 4 bands), so the equi self-join on (band, value)
+    * produces a COMPLETE candidate set at [[PhashHamMax]] = 3 with no
+    * all-pairs scan, and ONE exact popcount per CANDIDATE
+    * (`bit_count(xor)`) confirms. Emits confirmed pairs (within-
+    * and cross-clip) with their exact distance, packed-key-ordered.
+    */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val frames = phashFrames(spark, dir)
+    val bandExprs = Seq(
+      "phash_lo % 65536", "(phash_lo div 65536) % 65536",
+      "phash_hi % 65536", "(phash_hi div 65536) % 65536")
+      .zipWithIndex.map { case (e, i) =>
+        s"named_struct('b', $i, 'bv', CAST($e AS BIGINT))"
+      }.mkString("array(", ", ", ")")
+    val bands = frames
+      .selectExpr("doc_id", "frame_idx", "phash_hi", "phash_lo",
+        s"explode($bandExprs) AS band")
+      .selectExpr("doc_id", "frame_idx", "phash_hi", "phash_lo",
+        "band.b AS b", "band.bv AS bv",
+        s"doc_id * $PhashKeyMul + frame_idx AS pk")
+    val a = bands.selectExpr("b", "bv", "pk AS pk_a", "doc_id AS doc_a",
+      "frame_idx AS frame_a", "phash_hi AS hi_a", "phash_lo AS lo_a")
+    val bSide = bands.selectExpr("b", "bv", "pk AS pk_b", "doc_id AS doc_b",
+      "frame_idx AS frame_b", "phash_hi AS hi_b", "phash_lo AS lo_b")
+    a.join(bSide, Seq("b", "bv"))
+      .where("pk_a < pk_b")
+      .selectExpr("doc_a", "frame_a", "doc_b", "frame_b",
+        "bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS hamming")
+      .distinct()
+      .where(s"hamming <= $PhashHamMax")
+      .selectExpr("doc_a", "frame_a", "doc_b", "frame_b",
+        "CAST(hamming AS BIGINT) AS hamming")
+      .orderBy("doc_a", "frame_a", "doc_b", "frame_b")
+  }
+
+  val phashNearDupSql: String = {
+    val fb = Y4mFrameBytes; val pl = Y4mPlane
+    s"""WITH f AS (
+       |  SELECT doc_id, unnest(range(0, (length(text) + ${fb - 1}) // $fb)) AS frame_idx,
+       |         rpad(text, ($fb * ((length(text) + ${fb - 1}) // $fb))::INT, 'x') AS px
+       |  FROM documents WHERE length(text) > 0),
+       |fr AS (
+       |  SELECT doc_id, frame_idx, substring(px, frame_idx * $fb + 1, $fb) AS fx
+       |  FROM f),
+       |pxl AS (
+       |  SELECT doc_id, frame_idx, unnest(range(0, $pl)) AS i,
+       |         list_transform(range(1, ${pl + 1}),
+       |           j -> ord(substring(fx, j, 1))) AS ys
+       |  FROM fr),
+       |bits AS (
+       |  SELECT doc_id, frame_idx,
+       |         sum(CASE WHEN i >= 32 AND $pl * ys[(i + 1)::INT] > list_sum(ys)
+       |                  THEN (1::BIGINT << ((i - 32)::INT)) ELSE 0 END)::BIGINT AS hi,
+       |         sum(CASE WHEN i < 32 AND $pl * ys[(i + 1)::INT] > list_sum(ys)
+       |                  THEN (1::BIGINT << (i::INT)) ELSE 0 END)::BIGINT AS lo
+       |  FROM pxl GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, frame_idx, hi, lo, b,
+       |         CASE b WHEN 0 THEN lo % 65536 WHEN 1 THEN (lo // 65536) % 65536
+       |                WHEN 2 THEN hi % 65536 ELSE (hi // 65536) % 65536 END AS bv,
+       |         doc_id * $PhashKeyMul + frame_idx AS pk
+       |  FROM bits, (VALUES (0),(1),(2),(3)) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.frame_idx AS frame_a,
+       |         b.doc_id AS doc_b, b.frame_idx AS frame_b,
+       |         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+       |  WHERE a.pk < b.pk)
+       |SELECT doc_a, frame_a, doc_b, frame_b, hamming::BIGINT AS hamming
+       |FROM cand WHERE hamming <= $PhashHamMax
+       |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin
   }
 
   val phashDedupSql: String = {
@@ -880,6 +974,7 @@ object Multimodal {
     "mm_frame_features" -> frameFeatures,
     "mm_scene_cut" -> sceneCuts,
     "mm_phash_dedup" -> phashDedup,
+    "mm_phash_neardup" -> phashNearDup,
     "mm_resize" -> resizeQuery,
     "mm_ppm_pixels" -> ppmPixels,
     "mm_wav_features" -> wavFeatures,
@@ -890,6 +985,7 @@ object Multimodal {
     "mm_frame_features" -> frameFeaturesSql,
     "mm_scene_cut" -> sceneCutsSql,
     "mm_phash_dedup" -> phashDedupSql,
+    "mm_phash_neardup" -> phashNearDupSql,
     "mm_resize" -> resizeSql,
     "mm_ppm_pixels" -> ppmPixelsSql,
     "mm_wav_features" -> wavFeaturesSql,

@@ -140,6 +140,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("phash near-dup: banded candidates find every pair under threshold") {
+    // brute truth: all-pairs Hamming over every frame hash (fine at the
+    // spec sf; the entry's banding exists so production never does this)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .where("n_chars > 0").select("doc_id", "text").collect()
+    val hashes = docs.flatMap { r =>
+      val text = r.getString(1)
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val nf = (text.length + 191) / 192
+      val padded = java.util.Arrays.copyOf(text, nf * 192)
+      java.util.Arrays.fill(padded, text.length, padded.length, 'x'.toByte)
+      (0 until nf).map { i =>
+        val y = java.util.Arrays.copyOfRange(padded, i * 192, i * 192 + 64)
+        val (hi, lo) = Multimodal.aHashHalves(y)
+        (r.getLong(0), i.toLong, hi, lo)
+      }
+    }
+    val truth = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      a = hashes(i); b = hashes(j)
+      ham = java.lang.Long.bitCount(a._3 ^ b._3) +
+        java.lang.Long.bitCount(a._4 ^ b._4)
+      if ham <= Multimodal.PhashHamMax
+      (x, y) = if (a._1 * 1048576 + a._2 < b._1 * 1048576 + b._2) (a, b)
+               else (b, a)
+    } yield (x._1, x._2, y._1, y._2) -> ham.toLong).toMap
+    val got = Multimodal.phashNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("frame_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Long]("frame_b"))
+        -> r.getAs[Long]("hamming")).toMap
+    assert(got == truth,
+      s"banded near-dup diverged from all-pairs truth: missing ${
+        (truth.keySet -- got.keySet).take(3)}, extra ${
+        (got.keySet -- truth.keySet).take(3)}")
+    assert(truth.nonEmpty, "no near-dup pairs at spec sf — surface vacuous")
+    assert(truth.values.exists(_ > 0),
+      "only exact duplicates matched — the near-dup band is vacuous")
+  }
+
   test("two-level IVF recall clears its floor against brute-force truth") {
     val bf = Similarity.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
