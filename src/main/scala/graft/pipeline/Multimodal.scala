@@ -475,48 +475,58 @@ object Multimodal {
     * one band untouched (pigeonhole), so the band join provably finds
     * every pair at this threshold; 4 differing bits can land one per
     * band and evade blocking, so 4 would make the recall guarantee
-    * probabilistic. (2) LIVENESS — sf0.01 all-pairs truth splits
-    * 61 exact / 127 near / thousands rejected, so both verdict classes
-    * are exercised (the CmsW vacuity rule for thresholds).
+    * probabilistic. (2) LIVENESS — sf0.01 all-pairs truth over distinct
+    * hashes yields 73 near edges with thousands of band candidates
+    * rejected, so both verdict classes are exercised (the CmsW vacuity
+    * rule for thresholds).
     */
   val PhashHamMax = 3L
 
   /** Banded perceptual NEAR-dup — the [[Dedup.simhash]] blocking applied
-    * to video frames: the 64-bit aHash splits into four 16-bit bands; two
-    * frames within Hamming < 4 of each other agree exactly on ≥ 1 band
-    * (pigeonhole over 4 bands), so the equi self-join on (band, value)
-    * produces a COMPLETE candidate set at [[PhashHamMax]] = 3 with no
-    * all-pairs scan, and ONE exact popcount per CANDIDATE
-    * (`bit_count(xor)`) confirms. Emits confirmed pairs (within-
-    * and cross-clip) with their exact distance, packed-key-ordered.
+    * to video frames, at HASH-CLASS granularity: frames are first
+    * collapsed to their distinct aHash (with the class member count), the
+    * 64-bit hash splits into four 16-bit bands, and the equi self-join on
+    * (band, value) runs over the DISTINCT-HASH table. Any pair within
+    * Hamming < 4 agrees exactly on ≥ 1 band (pigeonhole over 4 bands), so
+    * the candidate set is COMPLETE at [[PhashHamMax]] = 3; one popcount
+    * per candidate (`bit_count(xor)`) confirms, filtered BEFORE the
+    * multi-band distinct so only accepted rows shuffle.
+    *
+    * Class granularity is the scale decision, measured: frame-level
+    * pairs are quadratic in exact-dup class sizes (the ×10 corpus holds
+    * 108k frames in 20k classes, biggest 250 — 565k exact pairs before
+    * a single NEAR match), while class-level output is the near-dup
+    * EDGE LIST between distinct hashes (6.3k rows at ×10) with member
+    * counts attached — the input a keep-rule or connected-components
+    * pass actually wants, exact duplicates staying [[phashDedup]]'s
+    * domain. Ham = 0 is structurally impossible between distinct hashes,
+    * so every emitted edge is a true near (not exact) duplicate.
     */
   def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val frames = phashFrames(spark, dir)
+    val classes = phashFrames(spark, dir)
+      .groupBy("phash_hi", "phash_lo").agg(count(lit(1)).as("n"))
     val bandExprs = Seq(
       "phash_lo % 65536", "(phash_lo div 65536) % 65536",
       "phash_hi % 65536", "(phash_hi div 65536) % 65536")
       .zipWithIndex.map { case (e, i) =>
         s"named_struct('b', $i, 'bv', CAST($e AS BIGINT))"
       }.mkString("array(", ", ", ")")
-    val bands = frames
-      .selectExpr("doc_id", "frame_idx", "phash_hi", "phash_lo",
-        s"explode($bandExprs) AS band")
-      .selectExpr("doc_id", "frame_idx", "phash_hi", "phash_lo",
-        "band.b AS b", "band.bv AS bv",
-        s"doc_id * $PhashKeyMul + frame_idx AS pk")
-    val a = bands.selectExpr("b", "bv", "pk AS pk_a", "doc_id AS doc_a",
-      "frame_idx AS frame_a", "phash_hi AS hi_a", "phash_lo AS lo_a")
-    val bSide = bands.selectExpr("b", "bv", "pk AS pk_b", "doc_id AS doc_b",
-      "frame_idx AS frame_b", "phash_hi AS hi_b", "phash_lo AS lo_b")
+    val bands = classes
+      .selectExpr("phash_hi", "phash_lo", "n", s"explode($bandExprs) AS band")
+      .selectExpr("phash_hi", "phash_lo", "n", "band.b AS b", "band.bv AS bv")
+    val a = bands.selectExpr("b", "bv",
+      "phash_hi AS hi_a", "phash_lo AS lo_a", "n AS n_a")
+    val bSide = bands.selectExpr("b", "bv",
+      "phash_hi AS hi_b", "phash_lo AS lo_b", "n AS n_b")
     a.join(bSide, Seq("b", "bv"))
-      .where("pk_a < pk_b")
-      .selectExpr("doc_a", "frame_a", "doc_b", "frame_b",
+      .where("struct(hi_a, lo_a) < struct(hi_b, lo_b)")
+      .selectExpr("hi_a", "lo_a", "hi_b", "lo_b", "n_a", "n_b",
         "bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS hamming")
-      .distinct()
       .where(s"hamming <= $PhashHamMax")
-      .selectExpr("doc_a", "frame_a", "doc_b", "frame_b",
+      .distinct()
+      .selectExpr("hi_a", "lo_a", "hi_b", "lo_b", "n_a", "n_b",
         "CAST(hamming AS BIGINT) AS hamming")
-      .orderBy("doc_a", "frame_a", "doc_b", "frame_b")
+      .orderBy("hi_a", "lo_a", "hi_b", "lo_b")
   }
 
   val phashNearDupSql: String = {
@@ -540,21 +550,23 @@ object Multimodal {
        |         sum(CASE WHEN i < 32 AND $pl * ys[(i + 1)::INT] > list_sum(ys)
        |                  THEN (1::BIGINT << (i::INT)) ELSE 0 END)::BIGINT AS lo
        |  FROM pxl GROUP BY 1, 2),
+       |cls AS (SELECT hi, lo, count(*)::BIGINT AS n FROM bits GROUP BY 1, 2),
        |bands AS (
-       |  SELECT doc_id, frame_idx, hi, lo, b,
+       |  SELECT hi, lo, n, b,
        |         CASE b WHEN 0 THEN lo % 65536 WHEN 1 THEN (lo // 65536) % 65536
-       |                WHEN 2 THEN hi % 65536 ELSE (hi // 65536) % 65536 END AS bv,
-       |         doc_id * $PhashKeyMul + frame_idx AS pk
-       |  FROM bits, (VALUES (0),(1),(2),(3)) AS t(b)),
+       |                WHEN 2 THEN hi % 65536 ELSE (hi // 65536) % 65536 END AS bv
+       |  FROM cls, (VALUES (0),(1),(2),(3)) AS t(b)),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, a.frame_idx AS frame_a,
-       |         b.doc_id AS doc_b, b.frame_idx AS frame_b,
+       |  SELECT DISTINCT a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b,
+       |         b.lo AS lo_b, a.n AS n_a, b.n AS n_b,
        |         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
-       |  WHERE a.pk < b.pk)
-       |SELECT doc_a, frame_a, doc_b, frame_b, hamming::BIGINT AS hamming
-       |FROM cand WHERE hamming <= $PhashHamMax
-       |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin
+       |  WHERE (a.hi, a.lo) < (b.hi, b.lo)
+       |    AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+       |        <= $PhashHamMax)
+       |SELECT hi_a, lo_a, hi_b, lo_b, n_a, n_b, hamming::BIGINT AS hamming
+       |FROM cand
+       |ORDER BY hi_a, lo_a, hi_b, lo_b""".stripMargin
   }
 
   val phashDedupSql: String = {

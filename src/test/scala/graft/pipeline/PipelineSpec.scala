@@ -157,26 +157,33 @@ class PipelineSpec extends AnyFunSuite {
         (r.getLong(0), i.toLong, hi, lo)
       }
     }
+    // collapse to distinct hash classes (the entry's granularity)
+    val classes = hashes.groupBy(h => (h._3, h._4))
+      .map { case (k, v) => k -> v.size.toLong }
+    val keys = classes.keys.toIndexedSeq.sorted
     val truth = (for {
-      i <- hashes.indices; j <- (i + 1) until hashes.length
-      a = hashes(i); b = hashes(j)
-      ham = java.lang.Long.bitCount(a._3 ^ b._3) +
-        java.lang.Long.bitCount(a._4 ^ b._4)
+      i <- keys.indices; j <- (i + 1) until keys.length
+      a = keys(i); b = keys(j)
+      ham = java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
       if ham <= Multimodal.PhashHamMax
-      (x, y) = if (a._1 * 1048576 + a._2 < b._1 * 1048576 + b._2) (a, b)
-               else (b, a)
-    } yield (x._1, x._2, y._1, y._2) -> ham.toLong).toMap
+    } yield (a._1, a._2, b._1, b._2) -> (classes(a), classes(b), ham.toLong))
+      .toMap
     val got = Multimodal.phashNearDup(spark, dir).collect()
-      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("frame_a"),
-        r.getAs[Long]("doc_b"), r.getAs[Long]("frame_b"))
-        -> r.getAs[Long]("hamming")).toMap
+      .map(r => (r.getAs[Long]("hi_a"), r.getAs[Long]("lo_a"),
+        r.getAs[Long]("hi_b"), r.getAs[Long]("lo_b"))
+        -> (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("hamming"))).toMap
     assert(got == truth,
       s"banded near-dup diverged from all-pairs truth: missing ${
         (truth.keySet -- got.keySet).take(3)}, extra ${
         (got.keySet -- truth.keySet).take(3)}")
-    assert(truth.nonEmpty, "no near-dup pairs at spec sf — surface vacuous")
-    assert(truth.values.exists(_ > 0),
-      "only exact duplicates matched — the near-dup band is vacuous")
+    assert(truth.nonEmpty, "no near-dup edges at spec sf — surface vacuous")
+    // ham = 0 cannot occur between DISTINCT hashes — every edge is near
+    assert(got.values.forall(v => v._3 >= 1 && v._3 <= Multimodal.PhashHamMax))
+    // member counts make the edge list expandable to frame pairs
+    assert(got.values.exists(v => v._1 > 1 || v._2 > 1),
+      "no edge touches a multi-frame class — counts vacuous")
   }
 
   test("two-level IVF recall clears its floor against brute-force truth") {
