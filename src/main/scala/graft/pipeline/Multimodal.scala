@@ -569,6 +569,103 @@ object Multimodal {
        |ORDER BY hi_a, lo_a, hi_b, lo_b""".stripMargin
   }
 
+  /** Clip near-dup by EXACT set-similarity join with prefix filtering
+    * (SSJoin, Chaudhuri et al. ICDE 2006 / PPJoin, Xiao et al. WWW 2008)
+    * — the third blocking discipline in this library next to LSH banding
+    * (probabilistic) and exact hashing: each clip is its SET of distinct
+    * frame aHashes; under one global frequency order (rarest hash first,
+    * ties by value), a clip's PREFIX is its first ⌊|S|/2⌋ + 1 hashes,
+    * and PPJoin's prefix lemma makes the equi-join on prefix hashes a
+    * provably COMPLETE candidate set for Jaccard ≥ 1/2: J ≥ τ forces
+    * |A∩B| ≥ τ·max(|A|,|B|), and two sets overlapping that much must
+    * share a member inside both (size − overlap + 1)-prefixes. One exact
+    * intersection count per CANDIDATE confirms — no minhash error, no
+    * all-pairs scan; frequency ordering puts the rarest (most selective)
+    * hashes in the prefixes, which is what keeps candidate volume near
+    * the answer size. The global order rides as the (df, hash) sort KEY
+    * inside each clip's partitioned window — no global rank window.
+    */
+  def clipNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sets = phashFrames(spark, dir)
+      .select("doc_id", "phash_hi", "phash_lo").distinct()
+    val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("s"))
+    val dfreq = sets.groupBy("phash_hi", "phash_lo")
+      .agg(count(lit(1)).as("d"))
+    val pre = sets.join(dfreq, Seq("phash_hi", "phash_lo"))
+      .join(sz, "doc_id")
+      .withColumn("cr", expr(
+        "row_number() OVER (PARTITION BY doc_id ORDER BY d, phash_hi, phash_lo)"))
+      .where("cr <= s div 2 + 1")
+      .select("doc_id", "phash_hi", "phash_lo")
+    val cand = pre.selectExpr("doc_id AS doc_a", "phash_hi", "phash_lo")
+      .join(pre.selectExpr("doc_id AS doc_b", "phash_hi", "phash_lo"),
+        Seq("phash_hi", "phash_lo"))
+      .where("doc_a < doc_b")
+      .select("doc_a", "doc_b").distinct()
+    val inter = cand
+      .join(sets.selectExpr("doc_id AS doc_a", "phash_hi", "phash_lo"), Seq("doc_a"))
+      .join(sets.selectExpr("doc_id AS doc_b", "phash_hi", "phash_lo"),
+        Seq("doc_b", "phash_hi", "phash_lo"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sz.selectExpr("doc_id AS doc_a", "s AS size_a"), "doc_a")
+      .join(sz.selectExpr("doc_id AS doc_b", "s AS size_b"), "doc_b")
+      .where("3 * n_shared >= size_a + size_b")
+      .selectExpr("doc_a", "doc_b", "n_shared", "size_a", "size_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val clipNearDupSql: String = {
+    val fb = Y4mFrameBytes; val pl = Y4mPlane
+    s"""WITH f AS (
+       |  SELECT doc_id, unnest(range(0, (length(text) + ${fb - 1}) // $fb)) AS frame_idx,
+       |         rpad(text, ($fb * ((length(text) + ${fb - 1}) // $fb))::INT, 'x') AS px
+       |  FROM documents WHERE length(text) > 0),
+       |fr AS (
+       |  SELECT doc_id, frame_idx, substring(px, frame_idx * $fb + 1, $fb) AS fx
+       |  FROM f),
+       |pxl AS (
+       |  SELECT doc_id, frame_idx, unnest(range(0, $pl)) AS i,
+       |         list_transform(range(1, ${pl + 1}),
+       |           j -> ord(substring(fx, j, 1))) AS ys
+       |  FROM fr),
+       |bits AS (
+       |  SELECT doc_id, frame_idx,
+       |         sum(CASE WHEN i >= 32 AND $pl * ys[(i + 1)::INT] > list_sum(ys)
+       |                  THEN (1::BIGINT << ((i - 32)::INT)) ELSE 0 END)::BIGINT AS hi,
+       |         sum(CASE WHEN i < 32 AND $pl * ys[(i + 1)::INT] > list_sum(ys)
+       |                  THEN (1::BIGINT << (i::INT)) ELSE 0 END)::BIGINT AS lo
+       |  FROM pxl GROUP BY 1, 2),
+       |sets AS (SELECT DISTINCT doc_id, hi, lo FROM bits),
+       |sz AS (SELECT doc_id, count(*)::BIGINT AS s FROM sets GROUP BY 1),
+       |dfreq AS (SELECT hi, lo, count(*)::BIGINT AS d FROM sets GROUP BY 1, 2),
+       |pre AS (
+       |  SELECT doc_id, hi, lo FROM (
+       |    SELECT s.doc_id, s.hi, s.lo, z.s,
+       |           row_number() OVER (PARTITION BY s.doc_id
+       |                              ORDER BY q.d, s.hi, s.lo) AS cr
+       |    FROM sets s JOIN dfreq q ON s.hi = q.hi AND s.lo = q.lo
+       |    JOIN sz z ON s.doc_id = z.doc_id)
+       |  WHERE cr <= s // 2 + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pre a JOIN pre b ON a.hi = b.hi AND a.lo = b.lo
+       |  WHERE a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_shared
+       |  FROM cand c
+       |  JOIN sets x ON x.doc_id = c.doc_a
+       |  JOIN sets y ON y.doc_id = c.doc_b AND y.hi = x.hi AND y.lo = x.lo
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.n_shared,
+       |       za.s AS size_a, zb.s AS size_b
+       |FROM inter i
+       |JOIN sz za ON i.doc_a = za.doc_id
+       |JOIN sz zb ON i.doc_b = zb.doc_id
+       |WHERE 3 * i.n_shared >= za.s + zb.s
+       |ORDER BY i.doc_a, i.doc_b""".stripMargin
+  }
+
   val phashDedupSql: String = {
     val fb = Y4mFrameBytes; val pl = Y4mPlane
     s"""WITH f AS (
@@ -987,6 +1084,7 @@ object Multimodal {
     "mm_scene_cut" -> sceneCuts,
     "mm_phash_dedup" -> phashDedup,
     "mm_phash_neardup" -> phashNearDup,
+    "mm_clip_neardup" -> clipNearDup,
     "mm_resize" -> resizeQuery,
     "mm_ppm_pixels" -> ppmPixels,
     "mm_wav_features" -> wavFeatures,
@@ -998,6 +1096,7 @@ object Multimodal {
     "mm_scene_cut" -> sceneCutsSql,
     "mm_phash_dedup" -> phashDedupSql,
     "mm_phash_neardup" -> phashNearDupSql,
+    "mm_clip_neardup" -> clipNearDupSql,
     "mm_resize" -> resizeSql,
     "mm_ppm_pixels" -> ppmPixelsSql,
     "mm_wav_features" -> wavFeaturesSql,

@@ -77,6 +77,10 @@ object PlanAuditBudgets {
     // exploded input is the phrase terms' bucketed position lists —
     // every exchange candidate-scale, the corpus never scanned
     "text_phrase_index" -> 5,
+    // set-similarity join: the distinct-set agg, the df agg, the per-clip
+    // prefix window, the candidate distinct and the intersection agg —
+    // all set-/candidate-scale after the one frame-hash distinct
+    "mm_clip_neardup" -> 5,
     // the returned verdict frame (stream already ran in foreground): two
     // exact countDistinct pairs, the sketch-sized merge agg, output sort
     "stream_kmv_distinct" -> 6,

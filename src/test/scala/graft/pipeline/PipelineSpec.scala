@@ -186,6 +186,43 @@ class PipelineSpec extends AnyFunSuite {
       "no edge touches a multi-frame class — counts vacuous")
   }
 
+  test("clip near-dup: prefix filtering is complete and actually prunes") {
+    // clip hash sets, brute all-pairs Jaccard truth
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .where("n_chars > 0").select("doc_id", "text").collect()
+    val sets = docs.map { r =>
+      val text = r.getString(1)
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val nf = (text.length + 191) / 192
+      val padded = java.util.Arrays.copyOf(text, nf * 192)
+      java.util.Arrays.fill(padded, text.length, padded.length, 'x'.toByte)
+      r.getLong(0) -> (0 until nf).map { i =>
+        Multimodal.aHashHalves(
+          java.util.Arrays.copyOfRange(padded, i * 192, i * 192 + 64))
+      }.toSet
+    }.toMap
+    val ids = sets.keys.toIndexedSeq.sorted
+    val truth = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = sets(ids(i)); b = sets(ids(j))
+      inter = (a intersect b).size
+      if 3 * inter >= a.size + b.size
+    } yield (ids(i), ids(j)) -> (inter.toLong, a.size.toLong, b.size.toLong))
+      .toMap
+    val got = Multimodal.clipNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> (r.getAs[Long]("n_shared"), r.getAs[Long]("size_a"),
+          r.getAs[Long]("size_b"))).toMap
+    assert(got == truth,
+      s"prefix-filtered join diverged from all-pairs truth: missing ${
+        (truth.keySet -- got.keySet).take(3)}, extra ${
+        (got.keySet -- truth.keySet).take(3)}")
+    assert(truth.nonEmpty, "no similar clip pairs at spec sf — vacuous")
+    // and a NON-match exists (the threshold is doing work)
+    assert(truth.size < ids.length.toLong * (ids.length - 1) / 2,
+      "every clip pair similar — threshold vacuous")
+  }
+
   test("two-level IVF recall clears its floor against brute-force truth") {
     val bf = Similarity.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
