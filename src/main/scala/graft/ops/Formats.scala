@@ -184,6 +184,97 @@ object Formats {
        |       min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi
        |FROM z GROUP BY zb ORDER BY zb""".stripMargin
 
+  /** Zone-map layout geometry: equi-width ship-date buckets, one file per
+    * non-empty bucket.
+    */
+  val ZmBuckets = 8L
+
+  /** Build the sort-clustered layout once per (session, corpus): lineitem
+    * re-clustered into [[ZmBuckets]] equi-width ship-date buckets (one
+    * task — hence one file — per bucket), then ONE read-back pass derives
+    * the per-file (min, max) zone map via `input_file_name()`. Returns
+    * (all files with their zones, the probe's literal day range).
+    */
+  private[graft] def zonemapLayout(spark: SparkSession, dir: String)
+      : (Seq[(String, Long, Long)], Long, Long) = {
+    val out = graft.TempDirs.scoped("zonemap") + "/lineitem"
+    val li = Tables.load(spark, dir, "lineitem")
+      .selectExpr(
+        "CAST(datediff(CAST(l_shipdate AS DATE), CAST('1970-01-01' AS DATE)) AS BIGINT) AS d",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents")
+    val b = li.agg(min("d"), max("d")).head()
+    val (dmin, dmax) = (b.getLong(0), b.getLong(1))
+    val w = dmax - dmin + 1
+    val bucketed = li.selectExpr("d", "cents",
+        s"((d - $dmin) * $ZmBuckets) div $w AS zb")
+      .cache()
+    try {
+      // exactly ONE file per non-empty bucket: a hash repartition on zb
+      // can co-locate two buckets in one task (= one wide-zone file), so
+      // each bucket writes alone. At scale this is one range-partitioned
+      // write; the loop is the toy-scale stand-in with the same layout.
+      val nonEmpty = bucketed.groupBy("zb").count()
+        .collect().map(_.getLong(0)).sorted // ≤ ZmBuckets ids: metadata
+      nonEmpty.foreach { zb =>
+        bucketed.where(s"zb = $zb").sort("d")
+          .coalesce(1).write.mode("append").parquet(out)
+      }
+    } finally bucketed.unpersist()
+    val zones = spark.read.parquet(out)
+      .select(expr("input_file_name()").as("f"), col("d"))
+      .groupBy("f").agg(min("d").as("lo"), max("d").as("hi"))
+      .collect() // ≤ ZmBuckets rows: the zone map is metadata by design
+      .map(r => (r.getString(0), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1).toSeq
+    // probe range: the middle quarter of the day span (buckets ~2..3)
+    (zones, dmin + (w * 2) / ZmBuckets, dmin + (w * 4) / ZmBuckets - 1)
+  }
+
+  /** Zone-map file skipping over a SORT-CLUSTERED flat layout — the
+    * lakehouse pruning primitive the partition-dir entries
+    * ([[partitionedRoundTrip]], [[dppJoin]]) don't cover: no hive dirs,
+    * just data files whose per-file (min, max) of the cluster key is
+    * recorded in a metadata zone map (what parquet footers / Delta
+    * file stats hold); a range query consults the zone map FIRST and
+    * opens only overlapping files. The emitted surface hash-gates both
+    * halves: the aggregate over the range (correctness — computed from
+    * ONLY the pruned files) and `files_read`/`files_total` (the skipping
+    * itself — the oracle re-derives the expected overlap count from the
+    * same equi-width arithmetic, so a mispruned or over-read layout
+    * changes the row). The spec additionally pins the probe plan's
+    * `inputFiles` to exactly the pruned set — proving skipped IO, not
+    * just matching arithmetic.
+    */
+  def zonemapPrune(spark: SparkSession, dir: String): DataFrame = {
+    val (zones, plo, phi) = zonemapLayout(spark, dir)
+    val pruned = zones.filter { case (_, lo, hi) => hi >= plo && lo <= phi }
+    require(pruned.nonEmpty, "zone-map probe range matched no file")
+    spark.read.parquet(pruned.map(_._1): _*)
+      .where(s"d BETWEEN $plo AND $phi")
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .selectExpr("n_rows", "sum_cents",
+        s"CAST(${pruned.size} AS BIGINT) AS files_read",
+        s"CAST(${zones.size} AS BIGINT) AS files_total")
+  }
+
+  val zonemapPruneSql: String =
+    s"""WITH src AS (
+       |  SELECT date_diff('day', DATE '1970-01-01', l_shipdate::DATE)::BIGINT AS d,
+       |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem),
+       |b AS (SELECT min(d) AS dmin, max(d) AS dmax,
+       |             max(d) - min(d) + 1 AS w FROM src),
+       |z AS (SELECT d, cents, ((d - dmin) * $ZmBuckets) // w AS zb
+       |      FROM src CROSS JOIN b),
+       |pr AS (SELECT dmin + (w * 2) // $ZmBuckets AS plo,
+       |              dmin + (w * 4) // $ZmBuckets - 1 AS phi FROM b),
+       |zones AS (SELECT zb, min(d) AS lo, max(d) AS hi FROM z GROUP BY 1)
+       |SELECT
+       |  (SELECT count(*) FROM z, pr WHERE d BETWEEN plo AND phi)::BIGINT AS n_rows,
+       |  (SELECT sum(cents) FROM z, pr WHERE d BETWEEN plo AND phi)::BIGINT AS sum_cents,
+       |  (SELECT count(*) FROM zones, pr WHERE hi >= plo AND lo <= phi)::BIGINT AS files_read,
+       |  (SELECT count(*) FROM zones)::BIGINT AS files_total""".stripMargin
+
   /** Schema evolution across file generations — the operational reality of
     * any long-lived 100 TB table: generation 1 is written WITHOUT the
     * `quality` column (docs ranked ≤ half per source — the structural wave
@@ -229,6 +320,7 @@ object Formats {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_schema_evolution" -> schemaEvolution,
+    "x_zonemap_prune" -> zonemapPrune,
     "x_orc_roundtrip" -> orcRoundTrip,
     "x_jsonl_roundtrip" -> jsonlRoundTrip,
     "x_csv_gzip_roundtrip" -> csvGzipRoundTrip,
@@ -238,6 +330,7 @@ object Formats {
 
   val oracles: Map[String, String] = Map(
     "x_schema_evolution" -> schemaEvolutionSql,
+    "x_zonemap_prune" -> zonemapPruneSql,
     "x_orc_roundtrip" -> aggregateSql,
     "x_jsonl_roundtrip" -> aggregateSql,
     "x_csv_gzip_roundtrip" -> aggregateSql,

@@ -40,4 +40,31 @@ class ZorderSpec extends AnyFunSuite {
       assert(sSpan < sRange)
     }
   }
+
+  test("zone map: disjoint per-file zones, live pruning, lossless skip") {
+    val (zones, plo, phi) = Formats.zonemapLayout(spark, dir)
+    assert(zones.size > 1, "single-file layout — pruning untestable")
+    // the sort-clustered layout must yield NON-overlapping day zones
+    val sorted = zones.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Seq((fa, _, hiA), (fb, loB, _)) =>
+        assert(hiA < loB, s"zones overlap: $fa [..$hiA] vs $fb [$loB..]")
+      case _ => ()
+    }
+    // pruning is live: some file skipped, some read
+    val pruned = zones.filter { case (_, lo, hi) => hi >= plo && lo <= phi }
+    assert(pruned.nonEmpty && pruned.size < zones.size,
+      s"probe [$plo,$phi] reads ${pruned.size}/${zones.size} files — vacuous")
+    // skipping is LOSSLESS: every skipped file's zone lies wholly outside
+    // the probe range, so no in-range row can live there
+    (zones.toSet -- pruned.toSet).foreach { case (f, lo, hi) =>
+      assert(hi < plo || lo > phi, s"skipped $f overlaps the probe range")
+    }
+    // and the zone map partitions the table: per-file rows sum to total
+    val perFile = zones.map { case (f, _, _) =>
+      spark.read.parquet(f).count()
+    }.sum
+    val total = graft.Tables.load(spark, dir, "lineitem").count()
+    assert(perFile == total, s"zone files hold $perFile of $total rows")
+  }
 }
