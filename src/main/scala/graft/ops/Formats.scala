@@ -205,21 +205,30 @@ object Formats {
     val b = li.agg(min("d"), max("d")).head()
     val (dmin, dmax) = (b.getLong(0), b.getLong(1))
     val w = dmax - dmin + 1
-    val bucketed = li.selectExpr("d", "cents",
+    // exactly ONE file per non-empty bucket in ONE corpus pass: the
+    // partitionBy writer splits a task's rows per partition VALUE (a hash
+    // repartition on zb alone can co-locate two buckets in one task = one
+    // wide-zone file), then the staged files move into the flat layout
+    val staging = graft.TempDirs.scoped("zonemap-stage")
+    li.selectExpr("d", "cents",
         s"((d - $dmin) * $ZmBuckets) div $w AS zb")
-      .cache()
-    try {
-      // exactly ONE file per non-empty bucket: a hash repartition on zb
-      // can co-locate two buckets in one task (= one wide-zone file), so
-      // each bucket writes alone. At scale this is one range-partitioned
-      // write; the loop is the toy-scale stand-in with the same layout.
-      val nonEmpty = bucketed.groupBy("zb").count()
-        .collect().map(_.getLong(0)).sorted // ≤ ZmBuckets ids: metadata
-      nonEmpty.foreach { zb =>
-        bucketed.where(s"zb = $zb").sort("d")
-          .coalesce(1).write.mode("append").parquet(out)
+      .repartition(col("zb")).sortWithinPartitions("zb", "d")
+      .write.mode("overwrite").partitionBy("zb").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(out))
+    fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("zb="))
+      .foreach { dDir =>
+        val zb = dDir.getPath.getName.stripPrefix("zb=")
+        fs.listStatus(dDir.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            if (!fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
+                out, s"zb$zb-${f.getPath.getName}")))
+              throw new java.io.IOException(s"failed to place ${f.getPath}")
+          }
       }
-    } finally bucketed.unpersist()
     val zones = spark.read.parquet(out)
       .select(expr("input_file_name()").as("f"), col("d"))
       .groupBy("f").agg(min("d").as("lo"), max("d").as("hi"))
