@@ -237,7 +237,71 @@ object TableOps {
        |FROM o FULL JOIN n ON o.user_id = n.user_id AND o.event_type = n.event_type
        |ORDER BY user_id, event_type""".stripMargin
 
+  /** MERGE INTO — the warehouse upsert statement (SQL:2003 / Delta/Iceberg
+    * MERGE), re-expressed as its relational core: one full-outer join of
+    * target and source on the key, then the WHEN-clause decision per row —
+    * matched+U updates, matched+D deletes, not-matched+I inserts,
+    * unmatched target rows carry. The changeset is derived
+    * deterministically from the corpus (rank-within-source waves: ranks
+    * 1-3 update, 4-5 delete, and three brand-new keys per source insert),
+    * so every clause fires on every partition (spec-guarded live). Output
+    * = the post-merge table with each row's applied action — an
+    * unapplied clause, a lost carry row, or a resurrection of a deleted
+    * key all break the hash. Scale shape: one co-partitioned outer join
+    * on the key; at 100 TB the same body runs per-partition against a
+    * bucketed target ([[graft.streaming.Sinks.partitionedUpsertBatch]]
+    * is this statement's touched-partition-only specialization).
+    */
+  def mergeInto(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("srk", expr(
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id)"))
+    val target = docs.selectExpr("doc_id", "source", "n_chars")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val changes = docs.where("srk <= 5")
+      .selectExpr("doc_id", "source", "n_chars",
+        "CASE WHEN srk <= 3 THEN 'U' ELSE 'D' END AS op")
+      .unionByName(docs.where("srk <= 3")
+        .selectExpr(s"doc_id + ${maxId + 1}L AS doc_id", "source",
+          "n_chars", "'I' AS op"))
+    target.alias("t")
+      .join(changes.alias("c"), Seq("doc_id"), "full_outer")
+      .selectExpr("doc_id",
+        "coalesce(t.source, c.source) AS source",
+        """CASE WHEN c.op = 'U' THEN t.n_chars + 1000
+          |     WHEN c.op = 'I' THEN c.n_chars + 2000
+          |     ELSE t.n_chars END AS n_chars""".stripMargin,
+        "coalesce(c.op, 'K') AS last_op")
+      .where("last_op <> 'D'")
+      .orderBy("doc_id")
+  }
+
+  val mergeIntoSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS srk
+      |  FROM documents),
+      |m AS (SELECT max(doc_id) AS mx FROM documents),
+      |changes AS (
+      |  SELECT doc_id, source, n_chars,
+      |         CASE WHEN srk <= 3 THEN 'U' ELSE 'D' END AS op
+      |  FROM r WHERE srk <= 5
+      |  UNION ALL
+      |  SELECT doc_id + mx + 1, source, n_chars, 'I'
+      |  FROM r CROSS JOIN m WHERE srk <= 3),
+      |merged AS (
+      |  SELECT coalesce(t.doc_id, c.doc_id) AS doc_id,
+      |         coalesce(t.source, c.source) AS source,
+      |         CASE WHEN c.op = 'U' THEN t.n_chars + 1000
+      |              WHEN c.op = 'I' THEN c.n_chars + 2000
+      |              ELSE t.n_chars END AS n_chars,
+      |         coalesce(c.op, 'K') AS last_op
+      |  FROM r t FULL OUTER JOIN changes c ON t.doc_id = c.doc_id)
+      |SELECT doc_id, source, n_chars, last_op
+      |FROM merged WHERE last_op <> 'D' ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_merge_into" -> mergeInto,
     "x_snapshot_diff" -> snapshotDiff,
     "x_latest_by_key" -> latestByKey,
     "x_data_quality" -> dataQuality,
@@ -246,6 +310,7 @@ object TableOps {
     "x_dense_ids" -> denseIds)
 
   val oracles: Map[String, String] = Map(
+    "x_merge_into" -> mergeIntoSql,
     "x_snapshot_diff" -> snapshotDiffSql,
     "x_latest_by_key" -> latestByKeySql,
     "x_data_quality" -> dataQualitySql,

@@ -81,6 +81,10 @@ object PlanAuditBudgets {
     // prefix window, the candidate distinct and the intersection agg —
     // all set-/candidate-scale after the one frame-hash distinct
     "mm_clip_neardup" -> 5,
+    // the rank-wave window's source exchange (shared by target and both
+    // changeset legs), the changeset union's exchange, the key-keyed
+    // full-outer join pair, and the presentation sort
+    "x_merge_into" -> 5,
     // the returned verdict frame (stream already ran in foreground): two
     // exact countDistinct pairs, the sketch-sized merge agg, output sort
     "stream_kmv_distinct" -> 6,

@@ -100,4 +100,25 @@ class TableOpsSpec extends AnyFunSuite {
     val keys = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
     assert(keys.distinct.length == keys.length) // one verdict per key
   }
+
+  test("merge into: every WHEN clause fires, deletes gone, no dup keys") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val nSources = docs.select("source").distinct().count()
+    val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head().getLong(0)
+    val rows = TableOps.mergeInto(spark, dir).collect()
+    val byOp = rows.groupBy(_.getAs[String]("last_op"))
+      .view.mapValues(_.length).toMap
+    assert(byOp.get("U").contains(3 * nSources.toInt), s"updates: $byOp")
+    assert(byOp.get("I").contains(3 * nSources.toInt), s"inserts: $byOp")
+    assert(!byOp.contains("D"), "a deleted row survived the merge")
+    assert(byOp.getOrElse("K", 0) > 0, "no carried rows — target consumed")
+    // inserted keys live above the old key space; no key appears twice
+    rows.filter(_.getAs[String]("last_op") == "I")
+      .foreach(r => assert(r.getAs[Long]("doc_id") > maxId))
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "merge produced duplicate keys")
+    // row counts reconcile: target − deletes + inserts
+    assert(rows.length == docs.count() - 2 * nSources + 3 * nSources)
+  }
 }
