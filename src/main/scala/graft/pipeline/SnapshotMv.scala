@@ -167,6 +167,68 @@ object SnapshotMv {
     commitManifest(fs, work, ver, carried ++ newFiles)
   }
 
+  /** Commit snapshot `ver` that DELETES every row of `ver - 1` matching
+    * `deleteWhere` — the right-to-be-forgotten statement on the snapshot
+    * table: partitions containing matching rows are rewritten WITHOUT
+    * them into new immutable files (a fully-emptied partition simply
+    * leaves the manifest), untouched partitions carry forward. Note the
+    * retention tension this protocol makes explicit: earlier snapshots
+    * still SHOW the rows by design — actual ERASURE is this commit plus
+    * [[vacuum]] of every pre-delete snapshot, and the spec proves the
+    * bytes are gone from disk after that pair.
+    */
+  def commitDelete(spark: SparkSession, work: String, ver: Long,
+      deleteWhere: String): Unit = {
+    val (fs, _) = fsOf(spark, work)
+    val prev = readSnapshotManifest(spark, work, ver - 1)
+    val touched = readSnapshot(spark, work, ver - 1)
+      .where(deleteWhere).select("source").distinct()
+      .collect().map(_.getString(0)).toSet // partition keys: metadata
+    if (touched.isEmpty) { commitManifest(fs, work, ver, prev); return }
+    val rewritten = readSnapshot(spark, work, ver - 1, Some(touched))
+      .where(s"NOT ($deleteWhere)")
+      .select("source", "lang", "n_docs", "sum_chars")
+    val newFiles = writePartitionFiles(spark, work, ver, rewritten)
+    val carried = prev.filter { case (s, _) => !touched(s) }
+    commitManifest(fs, work, ver, carried ++ newFiles)
+  }
+
+  /** The forget-flow predicate: one language's rows in the md5-hot half
+    * of the partitions — touches some partitions (rewrite path) and
+    * leaves the rest carried (the same structural split as [[waved]]).
+    */
+  val ForgetWhere = "lang = 'de' AND md5(source) < '8'"
+
+  /** Right-to-be-forgotten over the snapshot table: snapshot 1 holds the
+    * full rollup, snapshot 2 is [[commitDelete]] of [[ForgetWhere]], and
+    * the entry reads BOTH — v1 AFTER the delete commit, so the hash gate
+    * proves the protocol's retention semantics exactly (the old snapshot
+    * still shows the rows; the new one provably lacks them). The erasure
+    * half (delete + vacuum ⇒ no matching bytes anywhere on disk) is
+    * spec-pinned in `SnapshotMvSpec`.
+    */
+  def mvForget(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.TempDirs.scoped("snap-forget") + "/t"
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    commitInitial(spark, work, docs)
+    commitDelete(spark, work, 2L, ForgetWhere)
+    val read = (v: Long) => readSnapshot(spark, work, v)
+      .selectExpr(s"CAST($v AS BIGINT) AS snapshot",
+        "source", "lang", "n_docs", "sum_chars")
+    read(1L).unionByName(read(2L)).orderBy("snapshot", "source", "lang")
+  }
+
+  val mvForgetSql: String =
+    s"""SELECT 1::BIGINT AS snapshot, source, lang, count(*)::BIGINT AS n_docs,
+       |       sum(n_chars)::BIGINT AS sum_chars
+       |FROM documents GROUP BY 2, 3
+       |UNION ALL
+       |SELECT 2::BIGINT, source, lang, count(*)::BIGINT, sum(n_chars)::BIGINT
+       |FROM documents WHERE NOT (lang = 'de' AND md5(source) < '8')
+       |GROUP BY 2, 3
+       |ORDER BY snapshot, source, lang""".stripMargin
+
   /** Delete every data file not referenced by the `keep` manifest, and
     * every other version's manifest — the retention boundary. Never
     * touches a file the kept snapshot references.
@@ -244,8 +306,10 @@ object SnapshotMv {
        |ORDER BY snapshot, source, lang""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_mv_snapshot" -> mvSnapshot)
+    "pipeline_mv_snapshot" -> mvSnapshot,
+    "pipeline_mv_forget" -> mvForget)
 
   val oracles: Map[String, String] = Map(
-    "pipeline_mv_snapshot" -> mvSnapshotSql)
+    "pipeline_mv_snapshot" -> mvSnapshotSql,
+    "pipeline_mv_forget" -> mvForgetSql)
 }

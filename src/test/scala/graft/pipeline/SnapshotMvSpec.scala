@@ -125,6 +125,44 @@ class SnapshotMvSpec extends AnyFunSuite {
     }
   }
 
+  test("forget: old snapshot retains, new omits, delete+vacuum erases bytes") {
+    val work = graft.TempDirs.scoped("snap-forget-spec") + "/t"
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    SnapshotMv.commitInitial(spark, work, docs)
+    SnapshotMv.commitDelete(spark, work, 2L, SnapshotMv.ForgetWhere)
+    def matching(df: org.apache.spark.sql.DataFrame): Long =
+      df.where(SnapshotMv.ForgetWhere).count()
+    // retention: the pre-delete snapshot still shows the rows by design
+    assert(matching(SnapshotMv.readSnapshot(spark, work, 1L)) > 0,
+      "harness degenerate: nothing matched the forget predicate")
+    // the delete snapshot provably lacks them
+    assert(matching(SnapshotMv.readSnapshot(spark, work, 2L)) == 0,
+      "deleted rows visible in the delete snapshot")
+    // carry-forward stayed live (cold partitions keep their v1 files)
+    assert(SnapshotMv.readSnapshotManifest(spark, work, 2L)
+      .exists(_._2.startsWith("v1-")), "no partition carried forward")
+    val keep = SnapshotMv.readSnapshot(spark, work, 2L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    // ERASURE = delete commit + vacuum of every pre-delete snapshot:
+    // afterwards no parquet file anywhere under the table matches
+    SnapshotMv.vacuum(spark, work, keep = 2L)
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val allFiles = fs.listStatus(new org.apache.hadoop.fs.Path(work))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
+      .flatMap(d => fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString))
+    assert(allFiles.nonEmpty)
+    assert(matching(spark.read.option("basePath", work)
+      .parquet(allFiles.toIndexedSeq: _*)) == 0,
+      "forgotten rows still present in on-disk bytes after vacuum")
+    val after = SnapshotMv.readSnapshot(spark, work, 2L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(after.toSeq == keep.toSeq, "vacuum disturbed the kept snapshot")
+  }
+
   test("vacuum deletes exactly the unreferenced files; kept snapshot intact") {
     val work = graft.TempDirs.scoped("snap-spec3") + "/t"
     val docs = SnapshotMv.waved(graft.Tables.load(spark, dir, "documents")
