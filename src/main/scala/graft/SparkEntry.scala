@@ -114,7 +114,8 @@ object SparkEntry {
       pipeline.Retrieval.all ++
       pipeline.Tokenizer.all ++
       pipeline.TextRank.all ++
-      pipeline.Multimodal.all ++ Map(
+      pipeline.Multimodal.all ++
+      pipeline.SubstringDedup.all ++ Map(
       // reporting surface: flat `q_lo`/`q_hi` doubles (GenEvent shape) — the
       // struct API stays for library callers, but driver-facing output must
       // be hashable by flat-column tooling (pandas cannot hash structs).
@@ -239,6 +240,7 @@ object SparkEntry {
       pipeline.Tokenizer.oracles ++
       pipeline.TextRank.oracles ++
       pipeline.Multimodal.oracles ++
+      pipeline.SubstringDedup.oracles ++
       ops.FadsOracle.oracles ++
       Map(
         "stream_window_counts" -> streaming.Windows.windowCountsSql,
