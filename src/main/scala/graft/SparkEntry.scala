@@ -115,7 +115,8 @@ object SparkEntry {
       pipeline.Tokenizer.all ++
       pipeline.TextRank.all ++
       pipeline.Multimodal.all ++
-      pipeline.SubstringDedup.all ++ Map(
+      pipeline.SubstringDedup.all ++
+      pipeline.Containment.all ++ Map(
       // reporting surface: flat `q_lo`/`q_hi` doubles (GenEvent shape) — the
       // struct API stays for library callers, but driver-facing output must
       // be hashable by flat-column tooling (pandas cannot hash structs).
@@ -241,6 +242,7 @@ object SparkEntry {
       pipeline.TextRank.oracles ++
       pipeline.Multimodal.oracles ++
       pipeline.SubstringDedup.oracles ++
+      pipeline.Containment.oracles ++
       ops.FadsOracle.oracles ++
       Map(
         "stream_window_counts" -> streaming.Windows.windowCountsSql,

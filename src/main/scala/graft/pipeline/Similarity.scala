@@ -1960,8 +1960,117 @@ object Similarity {
        |FROM h CROSS JOIN t""".stripMargin
   }
 
+  // ------------------------------------------------------------- MMR
+
+  /** Candidate pool depth for MMR re-ranking. */
+  val MmrPoolK = 20
+
+  /** Diversified picks per query. */
+  val MmrK = 5
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
+    * top-k — the re-rank a RAG serving stack applies so the k retrieved
+    * passages aren't k near-copies of the same best hit: greedily pick
+    * argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), λ = 0.7.
+    *
+    * Spark shape: the only corpus-sized work is the exact top-[[MmrPoolK]]
+    * pool per query (the [[bruteForceTopK]] scan — swap in any indexed
+    * retriever at scale); everything after is bounded by Q·PoolK rows
+    * (pool) and Q·PoolK² (pairwise sims), localCheckpoint-ed so the
+    * [[MmrK]]−1 greedy rounds iterate tiny tables, the Lloyd-rounds
+    * precedent. Scores are integer end-to-end: cosines quantize to
+    * [[QScale]] grid BIGINTs (the family's floor(x·2²⁰+0.5) pattern),
+    * λ clears to score = 7·relq − 3·divq, ties break on vec_id — so the
+    * greedy argmax is replayable exactly by the [[mmrTopKSql]] unrolled
+    * CTE stages and shuffle order can't perturb the hash. Round 1 has no
+    * selected set; its score is 7·relq by convention (pure relevance).
+    */
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embDouble(spark, dir)
+    val queries = corpus.where(s"vec_id < $QuerySetSize")
+      .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm")
+    val pool = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id", "emb", "nrm",
+        s"CAST(floor(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")} * $QScale.0 + 0.5) AS BIGINT) AS relq")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY relq DESC, vec_id ASC)"))
+      .where(s"rk <= $MmrPoolK")
+      .select("q_id", "vec_id", "emb", "nrm", "relq")
+      .localCheckpoint() // Q·PoolK rows — everything below is pool-bounded
+    val psim = pool.selectExpr("q_id", "vec_id AS a_id", "emb AS a_emb", "nrm AS a_nrm")
+      .join(pool.selectExpr("q_id", "vec_id AS b_id", "emb AS b_emb", "nrm AS b_nrm"),
+        Seq("q_id"))
+      .where("a_id <> b_id")
+      .selectExpr("q_id", "a_id", "b_id",
+        s"CAST(floor(${cosineExpr("a_emb", "b_emb", "a_nrm", "b_nrm")} * $QScale.0 + 0.5) AS BIGINT) AS ps")
+      .localCheckpoint() // Q·PoolK² rows
+    val cand = pool.select("q_id", "vec_id", "relq")
+    def argmax(scored: DataFrame, rk: Int): DataFrame =
+      scored.groupBy("q_id")
+        .agg(max(expr("named_struct('sc', score, 'nv', -vec_id)")).as("m"))
+        .selectExpr("q_id", s"CAST($rk AS BIGINT) AS rk",
+          "-m.nv AS vec_id", "m.sc AS score")
+    var sel = argmax(cand.selectExpr("q_id", "vec_id", "7 * relq AS score"), 1)
+      .localCheckpoint()
+    for (r <- 2 to MmrK) {
+      val divq = psim
+        .join(sel.selectExpr("q_id", "vec_id AS b_id"), Seq("q_id", "b_id"))
+        .groupBy("q_id", "a_id").agg(max("ps").as("divq"))
+        .withColumnRenamed("a_id", "vec_id")
+      val scored = cand
+        .join(sel.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+        .join(divq, Seq("q_id", "vec_id"))
+        .selectExpr("q_id", "vec_id", "7 * relq - 3 * divq AS score")
+      sel = sel.unionByName(argmax(scored, r)).localCheckpoint()
+    }
+    sel.orderBy("q_id", "rk")
+  }
+
+  val mmrTopKSql: String = {
+    def qz(cos: String) = s"floor(($cos) * $QScale + 0.5)::BIGINT"
+    // greedy stage r: score candidates outside sel<r-1> against it, keep rn=1
+    def stage(r: Int): String =
+      s"""s$r AS (SELECT q_id, $r::BIGINT AS rk, vec_id, score FROM (
+         |  SELECT c.q_id, c.vec_id, 7 * c.relq - 3 * d.divq AS score,
+         |         row_number() OVER (PARTITION BY c.q_id
+         |           ORDER BY 7 * c.relq - 3 * d.divq DESC, c.vec_id) AS rn
+         |  FROM pool c
+         |  JOIN (SELECT p.q_id, p.a_id, max(p.ps) AS divq
+         |        FROM ps p JOIN sel${r - 1} s
+         |          ON p.q_id = s.q_id AND p.b_id = s.vec_id
+         |        GROUP BY p.q_id, p.a_id) d
+         |    ON c.q_id = d.q_id AND c.vec_id = d.a_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+         |                    WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id)
+         |) WHERE rn = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
+       |      WHERE vec_id < $QuerySetSize),
+       |pool AS (SELECT q_id, vec_id, emb, nrm, relq FROM (
+       |  SELECT q_id, vec_id, emb, nrm, relq,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY relq DESC, vec_id) AS rk
+       |  FROM (SELECT q.q_id, e.vec_id, e.emb, e.nrm,
+       |               ${qz(cosineSql("q.q_emb", "e.emb", "q.q_nrm", "e.nrm"))} AS relq
+       |        FROM emb e, q WHERE e.vec_id <> q.q_id))
+       |  WHERE rk <= $MmrPoolK),
+       |ps AS (SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |              ${qz(cosineSql("a.emb", "b.emb", "a.nrm", "b.nrm"))} AS ps
+       |       FROM pool a JOIN pool b
+       |         ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |s1 AS (SELECT q_id, 1::BIGINT AS rk, vec_id, score FROM (
+       |  SELECT q_id, vec_id, 7 * relq AS score,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY 7 * relq DESC, vec_id) AS rn FROM pool) WHERE rn = 1),
+       |sel1 AS (SELECT * FROM s1),
+       |${(2 to MmrK).map(stage).mkString(",\n")}
+       |SELECT q_id, rk, vec_id, score FROM sel$MmrK ORDER BY q_id, rk""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_filtered_topk" -> filteredTopK,
+    "sim_mmr_topk" -> mmrTopK,
     "sim_bruteforce_topk" -> bruteForceTopK,
     "sim_bruteforce_agg_topk" -> bruteForceAggTopK,
     "sim_lsh_topk" -> lshTopK,
@@ -1982,6 +2091,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_filtered_topk" -> filteredTopKSql,
+    "sim_mmr_topk" -> mmrTopKSql,
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     // window-free construction, identical output — shared oracle
     "sim_bruteforce_agg_topk" -> bruteForceTopKSql,

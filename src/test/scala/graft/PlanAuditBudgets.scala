@@ -11,6 +11,12 @@ package graft
 object PlanAuditBudgets {
   val shuffles: Map[String, Int] = Map(
     "dedup_components" -> 0,
+    // inverted-index build (distinct + df agg) reshuffles the corpus
+    // shingle table on `s`, the prefix rank/candidate/intersection joins
+    // rekey the PROBE-bounded tables (fragment side is tiny and
+    // broadcast-eligible, but the corpus shingle index legs rekey on
+    // (s) then (doc_id, s)), and the final sort adds the range exchange
+    "dedup_containment" -> 8,
     "dedup_embedding_cosine" -> 2,
     "dedup_exact" -> 2,
     // append's returned plan is the wave-2 re-probe — same shape as the

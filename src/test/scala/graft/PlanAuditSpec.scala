@@ -43,6 +43,9 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val bnljQueryBatchOk = Set(
     "sim_bruteforce_topk", "sim_bruteforce_agg_topk",
+    // MMR pool = the brute-force query-batch broadcast (vec_id < 5);
+    // every later round iterates localCheckpoint-ed pool-bounded tables
+    "sim_mmr_topk",
     // vector leg = the brute-force query-batch broadcast (vec_id < 5)
     "text_hybrid_rrf",
     "sim_sq8_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
