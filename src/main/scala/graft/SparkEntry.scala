@@ -144,6 +144,8 @@ object SparkEntry {
         streaming.LateData.lateDataQuery(s, dir)),
       "stream_interval_join" -> ((s: SparkSession, dir: String) =>
         streaming.StreamJoin.intervalJoinQuery(s, dir)),
+      "stream_outer_join" -> ((s: SparkSession, dir: String) =>
+        streaming.StreamJoin.outerJoinQuery(s, dir)),
       "stream_static_enrich" -> ((s: SparkSession, dir: String) =>
         streaming.StaticEnrich.staticEnrichQuery(s, dir)),
       // 100 TB streaming shape, driver-checked: 8 region shards through one
@@ -251,6 +253,7 @@ object SparkEntry {
         "stream_dedup_first" -> streaming.StreamingDedup.firstPerKeySql,
         "stream_late_data" -> streaming.LateData.lateDataSql,
         "stream_interval_join" -> streaming.StreamJoin.intervalJoinSql,
+        "stream_outer_join" -> streaming.StreamJoin.outerJoinSql,
         "stream_static_enrich" -> streaming.StaticEnrich.staticEnrichSql,
         "pipeline_clean_corpus" -> pipeline.CleanCorpus.sql,
         "stream_partitioned_sink" -> streaming.Sinks.partitionedSinkSql,

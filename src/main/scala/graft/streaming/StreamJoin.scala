@@ -55,6 +55,95 @@ object StreamJoin {
     clickToPurchase(clicks, purchases).orderBy("click_id", "purchase_id")
   }
 
+  /** LEFT OUTER core: matched pairs plus NULL-padded unmatched clicks. */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+        expr(s"c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL $MaxLag"),
+        "left_outer")
+      .select(
+        col("c_user").as("user_id"),
+        col("click_id"), col("purchase_id"),
+        ((unix_micros(col("p_ts")) - unix_micros(col("c_ts"))) / lit(1000000L))
+          .cast("long").as("lag_s"))
+
+  /** Stream-stream LEFT OUTER interval join, driver-checked END-TO-END as
+    * a real streaming query: the inner join ([[intervalJoinQuery]]) only
+    * ever emits on a match, but the outer form must ALSO emit each
+    * unmatched click exactly once, NULL-padded — and may only do so once
+    * the watermark proves no future purchase can still match (here:
+    * wm > c_ts + [[MaxLag]]). That deferred emission is driven by state
+    * eviction, which is exactly the mechanism that bounds both sides'
+    * state at 100 TB/day; this entry puts it under the hash oracle.
+    *
+    * Determinism: events replay in EVENT-TIME ORDER ([[PacedReplay.stage]]
+    * sorted by (ts, event_id), 4+1 chunks), so nothing is ever late and
+    * the final multiset is exactly the batch LEFT JOIN the DuckDB oracle
+    * computes — emission TIMING depends on watermark folding (the 2-batch
+    * lag pinned in [[LateData]]), but append-mode outer-join CONTENT does
+    * not, which is why this entry needs no watermark replica in SQL. One
+    * far-future sentinel per side (same instant, so the strict p_ts > c_ts
+    * bound keeps them from joining each other) advances both watermarks
+    * past every real click's match horizon at drain, flushing all pending
+    * NULL emissions before the query ends (the FadsStream drain-sentinel
+    * pattern); AvailableNow's trailing no-data micro-batches perform the
+    * final eviction.
+    */
+  def outerJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = 4
+    val ev = graft.Tables.load(spark, dir, "events")
+      .where("event_type IN ('click', 'purchase')")
+      .selectExpr("event_id", "event_type", "user_id", "ts")
+    val maxTsNanos = ev.agg(max("ts")).head().getLong(0)
+    // final wm = sentinel − 2 h delay must clear max(c_ts) + 6 h MaxLag;
+    // +2 h margin on top
+    val sentinelTs = maxTsNanos + 10L * 3600L * 1000000000L
+    val sentinels = spark.range(1).selectExpr(
+      "CAST(-1 AS BIGINT) AS event_id", "'click' AS event_type",
+      "CAST(-1 AS BIGINT) AS user_id", s"CAST(${sentinelTs}L AS BIGINT) AS ts")
+      .unionByName(spark.range(1).selectExpr(
+        "CAST(-2 AS BIGINT) AS event_id", "'purchase' AS event_type",
+        "CAST(-2 AS BIGINT) AS user_id", s"CAST(${sentinelTs}L AS BIGINT) AS ts"))
+    val staged = ev.unionByName(sentinels)
+    val stageDir = graft.TempDirs.scoped("sj-outer-stage") + "/events"
+    val rowsPerFile = math.max(1L, ev.count() / chunks).toInt
+    PacedReplay.stage(staged, Seq("ts", "event_id"), rowsPerFile, stageDir)
+    val src = PacedReplay.stream(spark, stageDir, staged.schema)
+      .withColumn("event_ts", Windows.tsCol("ts"))
+    val clicks = src.where("event_type = 'click'")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = src.where("event_type = 'purchase'")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val qn = "graft_stream_outer_join"
+    val q = clickToPurchaseOuter(clicks, purchases).writeStream
+      .outputMode("append").format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table(qn)
+      .where("click_id >= 0") // drop the sentinel's own unmatched row
+      .orderBy("click_id", "purchase_id")
+      .localCheckpoint() // detach from the about-to-be-dropped temp view
+    spark.catalog.dropTempView(qn)
+    out
+  }
+
+  /** Batch LEFT JOIN replica — content-equal to the streamed outer join
+    * because the in-order replay makes no row late (scaladoc above).
+    */
+  val outerJoinSql: String =
+    """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+      |       (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS lag_s
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(b.ts) > epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val intervalJoinSql: String =
     """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
       |       (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS lag_s

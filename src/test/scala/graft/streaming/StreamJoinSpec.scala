@@ -67,4 +67,21 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture produced no joined rows — widen MaxLag")
     assert(got.toSeq == want.toSeq)
   }
+
+  test("streamed LEFT OUTER join equals the batch outer form, both legs live") {
+    spark.sparkContext.setLogLevel("WARN")
+    val got = StreamJoin.outerJoinQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sorted.toSeq
+    val (clicksDF, purchasesDF) = StreamJoin.sides(spark, sfDir)
+    val want = StreamJoin.clickToPurchaseOuter(clicksDF, purchasesDF).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sorted.toSeq
+    assert(got == want, "streamed outer join must equal the batch outer join")
+    assert(got.exists(_._3 == -1L),
+      "NULL-padded unmatched clicks must be live (the outer emission path)")
+    assert(got.exists(_._3 >= 0L), "matched pairs must be live")
+  }
 }
