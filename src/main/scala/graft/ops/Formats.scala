@@ -327,9 +327,147 @@ object Formats {
       |       sum(CASE WHEN srk * 2 > nsrc THEN n_chars ELSE 0 END)::BIGINT AS sum_q
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------- bloom skip
+
+  /** Bloom parameters, shared literally by the Spark build, the driver-side
+    * probe mirror, and the DuckDB oracle. Two affine FpMod hashes (the
+    * [[graft.pipeline.Dedup.As]] family); per-file WORD count scales with
+    * the file's row count — L = ⌈n/2⌉ words of 63 USABLE bits (bit 63 stays clear: DuckDB refuses `1 << 63` with an overflow error — the mm_phash BIGINT-weight lesson applied to filters) ≈ 31 bits/key, so the
+    * filter never saturates as the corpus grows (a fixed-size bloom goes
+    * all-ones at 10× and admits everything — the CmsW vacuity lesson
+    * applied to filters). doc_id stays well inside BIGINT for these
+    * multipliers at test scale; a production build would swap in xxhash64
+    * and lose only the cross-engine replay, not the layout.
+    */
+  val BloomA1 = 2654435761L
+  val BloomB1 = 97L
+  val BloomA2 = 1099511628211L
+  val BloomB2 = 31L
+  val BloomMod = 1000000007L
+
+  /** Per-file BLOOM skip index over a key UNCORRELATED with the layout —
+    * the lakehouse point-lookup primitive [[zonemapPrune]] cannot cover:
+    * zone maps only skip on the CLUSTER key; for any other column the
+    * (min, max) spans everything and every file reads. Here documents lie
+    * in one file per `source` (the layout a real corpus has), the lookup
+    * batch is a set of doc_ids, and a per-file bloom sidecar (built in one
+    * read-back pass, [[zonemapLayout]]-style; L·8 bytes per file — true
+    * metadata) admits only files that might hold a probe. Bloom admission
+    * is a SUPERSET (false positives possible, never negatives), so the
+    * fetched rows are exact by construction and the surface hash-gates
+    * both halves: the fetched aggregate AND files_read — the oracle
+    * rebuilds the identical integer blooms in SQL and re-derives the
+    * admitted-file count, so a mis-set bit, wrong lane arithmetic, or
+    * saturated filter changes the row.
+    */
+  def bloomskipPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempDirs.scoped("bloomskip") + "/documents"
+    val staging = graft.TempDirs.scoped("bloomskip-stage")
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+    // one file per source: repartition(source) routes each value to one
+    // task, partitionBy splits per value (the compaction-entry guarantee)
+    docs.repartition(col("source")).sortWithinPartitions("source", "doc_id")
+      .write.mode("overwrite").partitionBy("source").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(out))
+    fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
+      .foreach { sDir =>
+        val src = sDir.getPath.getName.stripPrefix("source=")
+        fs.listStatus(sDir.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            if (!fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
+                out, s"$src-${f.getPath.getName}")))
+              throw new java.io.IOException(s"failed to place ${f.getPath}")
+          }
+      }
+    // sidecar build: per-file row count fixes L, then each key sets one
+    // bit per hash; bit_or folds map-side — the sidecar is (file, lane,
+    // word) rows, collected because it IS the metadata (≤ files · L rows)
+    val filed = spark.read.parquet(out)
+      .select(expr("input_file_name()").as("f"), col("doc_id"))
+    val sized = filed.groupBy("f").agg(count(lit(1)).as("n"))
+      .selectExpr("f", "CAST((n + 1) div 2 AS BIGINT) AS L")
+    val lanes = filed.join(broadcast(sized), "f")
+      .selectExpr("f", "L", s"explode(array(" +
+        s"($BloomA1 * doc_id + $BloomB1) % $BloomMod, " +
+        s"($BloomA2 * doc_id + $BloomB2) % $BloomMod)) AS h")
+      .selectExpr("f", "L",
+        "CAST((h % (63 * L)) div 63 AS INT) AS lane",
+        "CAST((h % (63 * L)) % 63 AS INT) AS bit")
+      .groupBy("f", "L", "lane")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("word"))
+      .collect()
+    val words = lanes.map(r =>
+      (r.getString(0), r.getInt(2)) -> r.getLong(3)).toMap
+    val files = lanes.map(r => r.getString(0) -> r.getLong(1)).distinct
+    val probes = docs.where("doc_id % 500 = 7")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // driver-side admission mirror (zero jobs, the Retrieval.polyhash
+    // precedent): a file is read iff BOTH bits of SOME probe are set
+    def bitSet(f: String, l: Long, h: Long): Boolean = {
+      val pos = h % (63 * l)
+      (words.getOrElse((f, (pos / 63).toInt), 0L) & (1L << (pos % 63).toInt)) != 0
+    }
+    val admitted = files.filter { case (f, l) =>
+      probes.exists { p =>
+        bitSet(f, l, (BloomA1 * p + BloomB1) % BloomMod) &&
+          bitSet(f, l, (BloomA2 * p + BloomB2) % BloomMod)
+      }
+    }.map(_._1).sorted
+    require(admitted.nonEmpty, "bloom probe batch admitted no file")
+    spark.read.parquet(admitted: _*)
+      .where(s"doc_id % 500 = 7")
+      .agg(count(lit(1)).as("n_hits"), sum("n_chars").as("sum_chars"))
+      .selectExpr(
+        s"CAST(${probes.length} AS BIGINT) AS n_probes", "n_hits",
+        "sum_chars",
+        s"CAST(${admitted.size} AS BIGINT) AS files_read",
+        s"CAST(${files.size} AS BIGINT) AS files_total")
+  }
+
+  /** The identical integer blooms rebuilt in SQL: per-source word counts,
+    * bit_or lanes, probe admission via two lane joins (a lane with no set
+    * bits has no row — exactly the missing-word = 0 driver mirror).
+    */
+  val bloomskipPruneSql: String =
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+       |c AS (SELECT source, (count(*) + 1) // 2 AS L FROM d GROUP BY 1),
+       |hh AS (SELECT d.source, c.L, u.h
+       |       FROM d JOIN c USING (source), LATERAL (
+       |         SELECT ($BloomA1 * d.doc_id + $BloomB1) % $BloomMod AS h
+       |         UNION ALL
+       |         SELECT ($BloomA2 * d.doc_id + $BloomB2) % $BloomMod) u),
+       |lanes AS (SELECT source, L, (h % (63 * L)) // 63 AS lane,
+       |                 bit_or(1::BIGINT << ((h % (63 * L)) % 63)::INT) AS word
+       |          FROM hh GROUP BY 1, 2, 3),
+       |p AS (SELECT doc_id AS pid, n_chars FROM d WHERE doc_id % 500 = 7),
+       |pbj AS (SELECT pid, source, L,
+       |               (h1 % (63 * L)) // 63 AS l1, (h1 % (63 * L)) % 63 AS b1,
+       |               (h2 % (63 * L)) // 63 AS l2, (h2 % (63 * L)) % 63 AS b2
+       |        FROM (SELECT pid, source, L,
+       |                ($BloomA1 * pid + $BloomB1) % $BloomMod AS h1,
+       |                ($BloomA2 * pid + $BloomB2) % $BloomMod AS h2
+       |              FROM p CROSS JOIN c)),
+       |admit AS (SELECT DISTINCT pb.source
+       |          FROM pbj pb
+       |          JOIN lanes w1 ON w1.source = pb.source AND w1.lane = pb.l1
+       |          JOIN lanes w2 ON w2.source = pb.source AND w2.lane = pb.l2
+       |          WHERE (w1.word & (1::BIGINT << pb.b1::INT)) <> 0
+       |            AND (w2.word & (1::BIGINT << pb.b2::INT)) <> 0)
+       |SELECT (SELECT count(*) FROM p)::BIGINT AS n_probes,
+       |       (SELECT count(*) FROM p)::BIGINT AS n_hits,
+       |       (SELECT sum(n_chars) FROM p)::BIGINT AS sum_chars,
+       |       (SELECT count(*) FROM admit)::BIGINT AS files_read,
+       |       (SELECT count(*) FROM c)::BIGINT AS files_total""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_schema_evolution" -> schemaEvolution,
     "x_zonemap_prune" -> zonemapPrune,
+    "x_bloomskip_prune" -> bloomskipPrune,
     "x_orc_roundtrip" -> orcRoundTrip,
     "x_jsonl_roundtrip" -> jsonlRoundTrip,
     "x_csv_gzip_roundtrip" -> csvGzipRoundTrip,
@@ -340,6 +478,7 @@ object Formats {
   val oracles: Map[String, String] = Map(
     "x_schema_evolution" -> schemaEvolutionSql,
     "x_zonemap_prune" -> zonemapPruneSql,
+    "x_bloomskip_prune" -> bloomskipPruneSql,
     "x_orc_roundtrip" -> aggregateSql,
     "x_jsonl_roundtrip" -> aggregateSql,
     "x_csv_gzip_roundtrip" -> aggregateSql,
