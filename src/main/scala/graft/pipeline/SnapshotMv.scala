@@ -305,11 +305,146 @@ object SnapshotMv {
        |FROM r GROUP BY 2, 3
        |ORDER BY snapshot, source, lang""".stripMargin
 
+  // -------------------------------------------------------------- CDF
+
+  /** Row-level change data feed between two committed snapshots, computed
+    * from the MANIFESTS alone (the Delta "CDF without CDC files"
+    * algorithm): partitions whose file set is identical in both manifests
+    * are byte-identical by protocol (immutable files, carry-forward by
+    * name) and are NEVER read — only changed partitions' old/new rows
+    * meet in a full-outer join on the MV key. At 100 TB a commit touches
+    * a handful of partitions, so the diff's IO is commit-sized, not
+    * table-sized. Emits the Delta CDF change vocabulary: `insert`,
+    * `delete`, and `update_preimage`/`update_postimage` pairs.
+    */
+  def cdfBetween(spark: SparkSession, work: String, vOld: Long, vNew: Long,
+      tag: String): DataFrame = {
+    val mOld = readSnapshotManifest(spark, work, vOld)
+    val mNew = readSnapshotManifest(spark, work, vNew)
+    val changed = ((mOld.toSet diff mNew.toSet) ++ (mNew.toSet diff mOld.toSet))
+      .map(_._1)
+    val cols = Seq("source", "lang", "n_docs", "sum_chars")
+    def side(m: Seq[(String, String)], v: Long): DataFrame = {
+      val present = changed.intersect(m.map(_._1).toSet)
+      if (present.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("lang",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_docs",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_chars",
+              org.apache.spark.sql.types.LongType))))
+      else readSnapshot(spark, work, v, Some(present)).selectExpr(cols: _*)
+    }
+    val o = side(mOld, vOld)
+      .selectExpr("source", "lang", "n_docs AS o_n", "sum_chars AS o_s")
+    val n = side(mNew, vNew)
+      .selectExpr("source", "lang", "n_docs AS n_n", "sum_chars AS n_s")
+    o.join(n, Seq("source", "lang"), "full_outer")
+      .where("NOT (o_n <=> n_n AND o_s <=> n_s)")
+      .selectExpr("source", "lang",
+        """explode(CASE
+          |  WHEN o_n IS NULL THEN
+          |    array(named_struct('c', 'insert', 'nd', n_n, 'sc', n_s))
+          |  WHEN n_n IS NULL THEN
+          |    array(named_struct('c', 'delete', 'nd', o_n, 'sc', o_s))
+          |  ELSE array(
+          |    named_struct('c', 'update_preimage', 'nd', o_n, 'sc', o_s),
+          |    named_struct('c', 'update_postimage', 'nd', n_n, 'sc', n_s))
+          |END) AS ch""".stripMargin)
+      .selectExpr(s"'$tag' AS diff", "ch.c AS change", "source", "lang",
+        "ch.nd AS n_docs", "ch.sc AS sum_chars")
+  }
+
+  /** The synthetic delta row that guarantees the INSERT change type is
+    * live at any testdata layout: a brand-new partition (also exercising
+    * the new-partition CDF path, where the old side has no files at all).
+    */
+  val CdfNewSource = "zz_cdf_src"
+
+  /** Three commits, two diffs: v1 = corpus minus wave, v2 = wave merged
+    * PLUS one brand-new partition (inserts + update pairs), v3 = the
+    * forget-flow delete (deletes). The v1→v2 and v2→v3 feeds are emitted
+    * together, so all four Delta change types are under one hash gate,
+    * and the oracle recomputes both diffs from the raw table — a CDF that
+    * missed a change, fabricated one, or mis-tagged pre/post breaks it.
+    */
+  def mvCdf(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.TempDirs.scoped("snap-cdf") + "/t"
+    val docs = waved(Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars"))
+    val synthetic = spark.range(1).selectExpr(
+      "CAST(-10 AS BIGINT) AS doc_id", s"'$CdfNewSource' AS source",
+      "'xx' AS lang", "CAST(1234 AS BIGINT) AS n_chars", "true AS in_wave")
+    commitInitial(spark, work, docs.where("NOT in_wave"))
+    commitDelta(spark, work,
+      docs.where("in_wave").drop("srk").unionByName(synthetic), 2L)
+    commitDelete(spark, work, 3L, ForgetWhere)
+    cdfBetween(spark, work, 1L, 2L, "v1_v2")
+      .unionByName(cdfBetween(spark, work, 2L, 3L, "v2_v3"))
+      .orderBy("diff", "source", "lang", "change")
+  }
+
+  val mvCdfSql: String =
+    s"""WITH r AS (
+       |  SELECT source, lang, n_chars,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS srk,
+       |         md5(source) < '8' AS hot
+       |  FROM documents),
+       |v1 AS (SELECT source, lang, count(*)::BIGINT AS n_docs,
+       |              sum(n_chars)::BIGINT AS sum_chars
+       |       FROM r WHERE NOT (srk <= $WaveRanks AND hot) GROUP BY 1, 2),
+       |v2 AS (SELECT source, lang, count(*)::BIGINT AS n_docs,
+       |              sum(n_chars)::BIGINT AS sum_chars
+       |       FROM r GROUP BY 1, 2
+       |       UNION ALL
+       |       SELECT '$CdfNewSource', 'xx', 1::BIGINT, 1234::BIGINT),
+       |v3 AS (SELECT * FROM v2
+       |       WHERE NOT (lang = 'de' AND md5(source) < '8')),
+       |d12 AS (
+       |  SELECT 'insert' AS change, n.* FROM v2 n
+       |  WHERE NOT EXISTS (SELECT 1 FROM v1 o
+       |                    WHERE o.source = n.source AND o.lang = n.lang)
+       |  UNION ALL
+       |  SELECT 'delete', o.* FROM v1 o
+       |  WHERE NOT EXISTS (SELECT 1 FROM v2 n
+       |                    WHERE n.source = o.source AND n.lang = o.lang)
+       |  UNION ALL
+       |  SELECT 'update_preimage', o.* FROM v1 o JOIN v2 n USING (source, lang)
+       |  WHERE o.n_docs <> n.n_docs OR o.sum_chars <> n.sum_chars
+       |  UNION ALL
+       |  SELECT 'update_postimage', n.* FROM v1 o JOIN v2 n USING (source, lang)
+       |  WHERE o.n_docs <> n.n_docs OR o.sum_chars <> n.sum_chars),
+       |d23 AS (
+       |  SELECT 'insert' AS change, n.* FROM v3 n
+       |  WHERE NOT EXISTS (SELECT 1 FROM v2 o
+       |                    WHERE o.source = n.source AND o.lang = n.lang)
+       |  UNION ALL
+       |  SELECT 'delete', o.* FROM v2 o
+       |  WHERE NOT EXISTS (SELECT 1 FROM v3 n
+       |                    WHERE n.source = o.source AND n.lang = o.lang)
+       |  UNION ALL
+       |  SELECT 'update_preimage', o.* FROM v2 o JOIN v3 n USING (source, lang)
+       |  WHERE o.n_docs <> n.n_docs OR o.sum_chars <> n.sum_chars
+       |  UNION ALL
+       |  SELECT 'update_postimage', n.* FROM v2 o JOIN v3 n USING (source, lang)
+       |  WHERE o.n_docs <> n.n_docs OR o.sum_chars <> n.sum_chars)
+       |SELECT * FROM (
+       |  SELECT 'v1_v2' AS diff, change, source, lang, n_docs, sum_chars FROM d12
+       |  UNION ALL
+       |  SELECT 'v2_v3', change, source, lang, n_docs, sum_chars FROM d23)
+       |ORDER BY diff, source, lang, change""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_mv_snapshot" -> mvSnapshot,
-    "pipeline_mv_forget" -> mvForget)
+    "pipeline_mv_forget" -> mvForget,
+    "pipeline_mv_cdf" -> mvCdf)
 
   val oracles: Map[String, String] = Map(
     "pipeline_mv_snapshot" -> mvSnapshotSql,
-    "pipeline_mv_forget" -> mvForgetSql)
+    "pipeline_mv_forget" -> mvForgetSql,
+    "pipeline_mv_cdf" -> mvCdfSql)
 }

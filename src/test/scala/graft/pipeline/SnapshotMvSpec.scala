@@ -193,4 +193,36 @@ class SnapshotMvSpec extends AnyFunSuite {
         .map(f => s"${d.getPath.getName}/${f.getPath.getName}")).toSet
     assert(onDisk == referenced, s"orphans after vacuum: ${onDisk -- referenced}")
   }
+
+  test("CDF apply: v1 + changes == v2 exactly, for both diffs") {
+    // the CDC consumer contract: applying a feed to the old snapshot must
+    // reconstruct the new one — drop deletes and update preimages, add
+    // inserts and update postimages
+    val work = graft.TempDirs.scoped("snap-cdf-spec") + "/t"
+    val docs = SnapshotMv.waved(graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars"))
+    SnapshotMv.commitInitial(spark, work, docs.where("NOT in_wave"))
+    SnapshotMv.commitDelta(spark, work, docs.where("in_wave").drop("srk"), 2L)
+    SnapshotMv.commitDelete(spark, work, 3L, SnapshotMv.ForgetWhere)
+    def snap(v: Long): Set[(String, String, Long, Long)] =
+      SnapshotMv.readSnapshot(spark, work, v)
+        .select("source", "lang", "n_docs", "sum_chars").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    for ((vo, vn) <- Seq((1L, 2L), (2L, 3L))) {
+      val feed = SnapshotMv.cdfBetween(spark, work, vo, vn, "t").collect()
+        .map(r => (r.getString(1), (r.getString(2), r.getString(3),
+          r.getLong(4), r.getLong(5))))
+      val removed = feed.collect {
+        case (c, row) if c == "delete" || c == "update_preimage" => row
+      }.toSet
+      val added = feed.collect {
+        case (c, row) if c == "insert" || c == "update_postimage" => row
+      }.toSet
+      val applied = (snap(vo) -- removed) ++ added
+      assert(applied == snap(vn),
+        s"CDF v$vo->v$vn does not replay: " +
+          s"extra=${applied -- snap(vn)} missing=${snap(vn) -- applied}")
+      assert(feed.nonEmpty, s"diff v$vo->v$vn must not be empty")
+    }
+  }
 }
