@@ -2068,9 +2068,61 @@ object Similarity {
        |SELECT q_id, rk, vec_id, score FROM sel$MmrK ORDER BY q_id, rk""".stripMargin
   }
 
+  // --------------------------------------------------- hard negatives
+
+  /** Picks per role per anchor. */
+  val HnK = 5
+
+  /** Hard-negative mining for contrastive training (the data side of
+    * triplet/InfoNCE fine-tuning): for each anchor, the [[HnK]] most
+    * similar SAME-label vectors are its positives and the [[HnK]] most
+    * similar CROSS-label vectors its hard negatives — the near-boundary
+    * examples a random-negative sampler almost never draws, which is
+    * precisely why mined batches train better (e.g. SimCSE/DPR practice).
+    * One broadcast of the anchor batch scores the corpus once; both roles
+    * rank in a single window partitioned by (anchor, role), so the mining
+    * pass costs exactly one corpus scan regardless of role count — at
+    * scale, swap the scan for the IVF probe exactly as [[ivfTopK]] does.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embDouble(spark, dir)
+    val anchors = corpus.where(s"vec_id < $QuerySetSize")
+      .selectExpr("vec_id AS q_id", "label AS q_label",
+        "emb AS q_emb", "nrm AS q_nrm")
+    corpus.join(broadcast(anchors), col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        "CASE WHEN label = q_label THEN 'positive' ELSE 'hard_negative' END AS role",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id, role ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $HnK")
+      .selectExpr("q_id", "role", "CAST(rk AS BIGINT) AS rk", "vec_id", "sim")
+      .orderBy("q_id", "role", "rk")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb,
+       |             nrm AS q_nrm
+       |      FROM emb WHERE vec_id < $QuerySetSize),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |         CASE WHEN e.label = q.q_label THEN 'positive'
+       |              ELSE 'hard_negative' END AS role,
+       |         round(${cosineSql("q.q_emb", "e.emb", "q.q_nrm", "e.nrm")}, 6) AS sim
+       |  FROM emb e, q WHERE e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, role, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id, role
+       |           ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, role, rk::BIGINT AS rk, vec_id, sim
+       |FROM ranked WHERE rk <= $HnK ORDER BY q_id, role, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_filtered_topk" -> filteredTopK,
     "sim_mmr_topk" -> mmrTopK,
+    "sim_hard_negatives" -> hardNegatives,
     "sim_bruteforce_topk" -> bruteForceTopK,
     "sim_bruteforce_agg_topk" -> bruteForceAggTopK,
     "sim_lsh_topk" -> lshTopK,
@@ -2092,6 +2144,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_filtered_topk" -> filteredTopKSql,
     "sim_mmr_topk" -> mmrTopKSql,
+    "sim_hard_negatives" -> hardNegativesSql,
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     // window-free construction, identical output — shared oracle
     "sim_bruteforce_agg_topk" -> bruteForceTopKSql,

@@ -46,6 +46,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // MMR pool = the brute-force query-batch broadcast (vec_id < 5);
     // every later round iterates localCheckpoint-ed pool-bounded tables
     "sim_mmr_topk",
+    // anchor batch broadcast (vec_id < 5), label predicate decides role
+    "sim_hard_negatives",
     // vector leg = the brute-force query-batch broadcast (vec_id < 5)
     "text_hybrid_rrf",
     "sim_sq8_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
