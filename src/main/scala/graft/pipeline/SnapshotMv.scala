@@ -438,13 +438,84 @@ object SnapshotMv {
        |  SELECT 'v2_v3', change, source, lang, n_docs, sum_chars FROM d23)
        |ORDER BY diff, source, lang, change""".stripMargin
 
+  // ------------------------------------------- streaming exactly-once
+
+  /** The `foreachBatch` commit body with EXACTLY-ONCE semantics: version
+    * = batchId + 1, and a version whose manifest already exists is a
+    * REPLAYED batch (sink-side retry after a failure between the data
+    * write and the checkpoint advance) — the commit is skipped, making
+    * the sink idempotent; at-least-once delivery + idempotent commit =
+    * exactly-once tables, the Delta streaming-sink txn contract. The
+    * manifest rename is the atomic boundary: a crash BEFORE it leaves
+    * only unreferenced files (vacuumable orphans), never a torn version.
+    * Empty no-data triggers commit nothing.
+    */
+  def commitIdempotent(spark: SparkSession, work: String, ver: Long,
+      batch: DataFrame): Unit = {
+    val (fs, _) = fsOf(spark, work)
+    if (fs.exists(new Path(s"$work/$VersionsDir/v$ver"))) return
+    if (batch.isEmpty) return
+    if (ver == 1L) commitInitial(spark, work, batch)
+    else commitDelta(spark, work, batch, ver)
+  }
+
+  /** Streaming ingestion into the snapshot table, driver-checked
+    * END-TO-END: documents replay as [[StreamChunks]] micro-batches
+    * ([[graft.streaming.PacedReplay]], chunk = doc_id mod chunks), each
+    * batch committing one snapshot version through [[commitIdempotent]];
+    * the entry then reads EVERY retained version — so the hash gate pins
+    * the whole version history (each snapshot = rollup of the chunks
+    * ingested so far), not just the final state. Replay-idempotence is
+    * spec-pinned in `SnapshotMvSpec`.
+    */
+  val StreamChunks = 4
+
+  def streamSnapshotCommit(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.TempDirs.scoped("snap-stream") + "/t"
+    val docs = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "lang", "n_chars",
+        s"pmod(doc_id, $StreamChunks) AS rord")
+    val stageDir = graft.TempDirs.scoped("snap-stream-stage") + "/docs"
+    val rowsPerFile = math.max(1L, docs.count() / StreamChunks).toInt
+    graft.streaming.PacedReplay.stage(docs, Seq("rord", "doc_id"),
+      rowsPerFile, stageDir)
+    val q = graft.streaming.PacedReplay.stream(spark, stageDir, docs.schema)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        commitIdempotent(b.sparkSession, work, id + 1, b.drop("rord"))
+      }
+      .option("checkpointLocation", graft.TempDirs.scoped("snap-stream-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val (fs, _) = fsOf(spark, work)
+    val versions = (1L to StreamChunks.toLong)
+      .filter(v => fs.exists(new Path(s"$work/$VersionsDir/v$v")))
+    versions.map { v =>
+      readSnapshot(spark, work, v).selectExpr(
+        s"CAST($v AS BIGINT) AS snapshot",
+        "source", "lang", "n_docs", "sum_chars")
+    }.reduce(_ unionByName _).orderBy("snapshot", "source", "lang")
+  }
+
+  val streamSnapshotCommitSql: String =
+    s"""WITH d AS (SELECT doc_id % $StreamChunks AS c, source, lang, n_chars
+       |           FROM documents)
+       |SELECT v.v::BIGINT AS snapshot, source, lang,
+       |       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+       |FROM d JOIN (VALUES (1), (2), (3), (4)) v(v) ON d.c < v.v
+       |GROUP BY 1, 2, 3
+       |ORDER BY snapshot, source, lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_mv_snapshot" -> mvSnapshot,
     "pipeline_mv_forget" -> mvForget,
-    "pipeline_mv_cdf" -> mvCdf)
+    "pipeline_mv_cdf" -> mvCdf,
+    "stream_snapshot_commit" -> streamSnapshotCommit)
 
   val oracles: Map[String, String] = Map(
     "pipeline_mv_snapshot" -> mvSnapshotSql,
     "pipeline_mv_forget" -> mvForgetSql,
-    "pipeline_mv_cdf" -> mvCdfSql)
+    "pipeline_mv_cdf" -> mvCdfSql,
+    "stream_snapshot_commit" -> streamSnapshotCommitSql)
 }

@@ -194,6 +194,39 @@ class SnapshotMvSpec extends AnyFunSuite {
     assert(onDisk == referenced, s"orphans after vacuum: ${onDisk -- referenced}")
   }
 
+  test("streaming commit is idempotent under batch replay") {
+    // the exactly-once core: a replayed foreachBatch (same batchId after
+    // a sink-side failure) must be a no-op — manifest byte-identical,
+    // no new data files — while the NEXT batchId still commits
+    val work = graft.TempDirs.scoped("snap-idem-spec") + "/t"
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+    val (b1, b2) = (docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"))
+    SnapshotMv.commitIdempotent(spark, work, 1L, b1)
+    val m1 = SnapshotMv.readSnapshotManifest(spark, work, 1L)
+    def dataFiles(): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(work))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
+        .flatMap(d => fs.listStatus(d.getPath)
+          .map(f => s"${d.getPath.getName}/${f.getPath.getName}")).toSet
+    }
+    val filesAfterV1 = dataFiles()
+    // replay batch 0 — WITH DIFFERENT DATA, the adversarial retry: a
+    // correct sink keys idempotence on the batchId, not the payload
+    SnapshotMv.commitIdempotent(spark, work, 1L, b2)
+    assert(SnapshotMv.readSnapshotManifest(spark, work, 1L) == m1,
+      "replayed batch must not alter the committed manifest")
+    assert(dataFiles() == filesAfterV1,
+      "replayed batch must not write new data files")
+    // the next batch still goes through
+    SnapshotMv.commitIdempotent(spark, work, 2L, b2)
+    val v2 = SnapshotMv.readSnapshot(spark, work, 2L)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(v2 == docs.count(), "v2 must hold the full corpus rollup")
+  }
+
   test("CDF apply: v1 + changes == v2 exactly, for both diffs") {
     // the CDC consumer contract: applying a feed to the old snapshot must
     // reconstruct the new one — drop deletes and update preimages, add
