@@ -49,6 +49,10 @@ object PlanAuditBudgets {
     "mm_resize" -> 1,
     "pipeline_chunk_documents" -> 1,
     "pipeline_clean_corpus" -> 7,
+    // the two changed-partition full-outer joins (one per diff) each
+    // rekey both commit-sized sides on the MV key, plus the final sort;
+    // every exchanged frame is commit-sized by the manifest-diff contract
+    "pipeline_mv_cdf" -> 5,
     "pipeline_decontaminate" -> 3,
     // +1 vs the exact twin: the bloom-sketch scalar subquery's aggregate
     "pipeline_decontaminate_bloom" -> 4,
