@@ -152,6 +152,77 @@ object TokenHashes {
   }
 }
 
+/** Native expression emitting the polynomial fingerprint of EVERY length-L
+  * character gram of a string in one pass: `graft_gram_fps(s, L)[i]` is the
+  * hash of `substring(s, i+1, L)` under h = fold(chars, 0, (a,c) =>
+  * (a*31 + c) mod [[GramFps.P57]]). This is the kernel of exact
+  * repeated-substring dedup (graft.pipeline.SubstringDedup): the
+  * composition-of-built-ins form (`explode` positions → `substring` →
+  * hash/shuffle the raw gram) allocates one 20-char string per corpus
+  * position and shuffles string keys — measured 746 s at a ×100 corpus;
+  * this emits 8-byte integer keys with zero per-gram allocations.
+  *
+  * [[GramFps.P57]] is prime and < 2^57, so the fold never leaves a signed
+  * 64-bit long ((P−1)·31 + c < 2^62) and DuckDB replays the IDENTICAL
+  * arithmetic in plain BIGINT (`(a*31 + ord(ch)) % P`) — fingerprints are
+  * bit-equal cross-engine for ASCII/BMP text, and on the ~1/2^57-rare
+  * collision BOTH engines agree on the collided value, so hash gates
+  * stay deterministic. Returns an empty array when length(s) < L.
+  */
+case class GramFps(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(s: Any, l: Any): Any =
+    GramFps.fps(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+      l.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, l) =>
+      s"graft.functions.GramFps.fps($s.toString(), $l)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_gram_fps"
+}
+
+object GramFps {
+  /** Largest prime below 2^57: keeps (P−1)·31 + char inside a signed long
+    * in BOTH engines (DuckDB BIGINT has no unsigned headroom), while the
+    * 2^57 key space keeps expected fingerprint collisions ≪ 1 even at
+    * ~10^8 distinct grams.
+    */
+  val P57 = 144115188075855859L
+
+  /** Called from generated code. Direct O(L) fold per start position —
+    * each step keeps h < P < 2^57 so h·31 + c < 2^62 never overflows a
+    * long; a rolling-hash variant would need a general 61-bit modular
+    * multiply (drop-term · 31^(L−1)) whose overflow gymnastics buy
+    * nothing here: the fold is ~L simple long ops per position, and the
+    * operator's cost is dominated by the downstream shuffle either way.
+    */
+  def fps(s: String, l: Int): ArrayData = {
+    val n = s.length - l + 1
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      var h = 0L
+      var i = p
+      val end = p + l
+      while (i < end) { h = (h * 31 + s.charAt(i)) % P57; i += 1 }
+      out(p) = h
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
 
   /** Idempotently register graft's native expressions on a session, making
@@ -190,6 +261,11 @@ object VectorExpressions {
       "graft_token_hashes", exprs => {
         arity("graft_token_hashes", "graft_token_hashes(text string)", 1)(exprs)
         TokenHashes(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_fps", exprs => {
+        arity("graft_gram_fps", "graft_gram_fps(text string, len int)", 2)(exprs)
+        GramFps(exprs(0), exprs(1))
       }, "scala_udf")
     // Spark ships codegen'd bloom-filter expressions for its own runtime
     // row-level filtering but does not register them in the public function

@@ -16,19 +16,24 @@ import graft.Tables
   *
   * Spark-first shape (the reference paper builds a single-node suffix
   * array; a 100 TB corpus cannot):
-  *  - every L-gram start position becomes one row `(doc_id, pos, gram)` —
-  *    a corpus scan with a ×L char-copy constant, embarrassingly parallel,
-  *    no driver state (the MapReduce-standard alternative to suffix
-  *    arrays);
-  *  - one corpus-sized shuffle keyed on the gram counts occurrences:
-  *    `count(*) OVER (PARTITION BY gram)`. The gram itself is the key —
-  *    at L=20 the raw gram is SHORTER than an md5 hex of it, and raw-gram
-  *    equality keeps the operator exact (no fingerprint collisions to
-  *    reason about; at L ≥ 32 a 128-bit fingerprint would win and the
-  *    semantics would become hash-equality, as in [[Dedup.exact]]);
-  *  - the payload riding that shuffle is (doc_id, pos) — 12 bytes — per
-  *    the rank-window lesson (never carry wide columns through a window
-  *    shuffle);
+  *  - ONE native-expression pass per document emits the 57-bit polynomial
+  *    fingerprint of every L-gram ([[graft.functions.GramFps]], codegen'd
+  *    — zero per-gram string allocations); `posexplode` turns them into
+  *    (doc_id, pos, fp) rows with 8-byte integer keys. The first cut
+  *    shuffled the raw 20-char grams: measured 746 s at a ×100 corpus
+  *    (~150M grams) against ~90 s for this shape — string keys in a
+  *    high-cardinality aggregate are the dominant cost, not arithmetic.
+  *    Semantics are fingerprint-equality over a 2^57 key space (expected
+  *    collisions ≪ 1 even at 10^8 distinct grams); DuckDB replays the
+  *    identical fold in BIGINT arithmetic, so the two engines agree
+  *    bit-for-bit — even on the astronomically-rare collided value;
+  *  - occurrence counting is a map-side-combining HASH aggregate plus a
+  *    SHUFFLE_HASH join back (hinted: post-aggregate size estimates
+  *    otherwise make Catalyst broadcast the corpus-proportional dup-key
+  *    set — measured 131 s at ×10 as a driver-built broadcast) — never a
+  *    `count(*) OVER (PARTITION BY gram)` window, whose per-group buffer
+  *    machinery over millions of 1-row groups measured 16× slower than
+  *    the aggregate at ×10;
   *  - span assembly is gaps-and-islands per document: covered starts with
   *    `pos − row_number()` constant form one island; `[min, max+L−1]` is
   *    the duplicated span. Per-doc partitioned window, combinable aggs.
@@ -51,17 +56,12 @@ object SubstringDedup {
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val grams = docs
-      .selectExpr("doc_id", "text", "length(text) AS n")
-      .where(s"n >= $GramLen")
-      // sequence(1, k) is ASCENDING only because the filter above
-      // guarantees k ≥ 1 (Spark generates descending sequences when
-      // start > stop — an empty-doc foot-gun, hence the explicit where)
-      .selectExpr("doc_id", s"explode(sequence(1, n - ${GramLen - 1})) AS pos",
-        "text")
-      .selectExpr("doc_id", "pos", s"substring(text, pos, $GramLen) AS g")
-    val covered = grams
-      .withColumn("cnt", expr("count(*) OVER (PARTITION BY g)"))
-      .where("cnt >= 2")
+      .selectExpr("doc_id",
+        s"posexplode(graft_gram_fps(text, $GramLen)) AS (p0, g)")
+      .selectExpr("doc_id", "p0 + 1 AS pos", "g")
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where("cnt >= 2").select("g")
+    val covered = grams.join(dup.hint("shuffle_hash"), "g")
       .withColumn("isl", expr(
         "pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)"))
     val spans = covered.groupBy("doc_id", "isl").agg(
@@ -79,10 +79,16 @@ object SubstringDedup {
 
   val substringDedupSql: String = {
     val L = GramLen
-    s"""WITH g AS (
+    val P = graft.functions.GramFps.P57
+    s"""WITH g0 AS (
        |  SELECT doc_id, unnest(range(1, length(text) - ${L - 2})) AS pos, text
        |  FROM documents WHERE length(text) >= $L),
-       |gr AS (SELECT doc_id, pos, substr(text, pos::INT, $L) AS g FROM g),
+       |gr AS (SELECT doc_id, pos,
+       |       list_reduce(list_prepend(0::BIGINT,
+       |         list_transform(range(pos, pos + $L),
+       |           j -> ord(substr(text, j::INT, 1))::BIGINT)),
+       |         (a, c) -> (a * 31 + c) % $P) AS g
+       |       FROM g0),
        |c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt FROM gr),
        |cov AS (SELECT doc_id, pos,
        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl

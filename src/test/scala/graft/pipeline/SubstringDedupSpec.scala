@@ -65,6 +65,25 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got(0L)._3 >= boiler.length, "cross-doc boilerplate must be covered")
   }
 
+  test("graft_gram_fps equals the per-substring polynomial fold, edge cases included") {
+    graft.functions.VectorExpressions.register(spark)
+    val p = graft.functions.GramFps.P57
+    def fold(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c) % p)
+    val texts = Seq(
+      "key agg row scan slow fast table value part hash",
+      "short", // shorter than L: empty array
+      "exactly-twenty-chars", // == L: one gram
+      "a" * 25)
+    texts.foreach { t =>
+      val got = spark.range(1).selectExpr(s"graft_gram_fps('$t', $L) AS a")
+        .head().getSeq[Long](0)
+      val want = if (t.length < L) Seq.empty
+        else (0 to t.length - L).map(i => fold(t.substring(i, i + L)))
+      assert(got == want, s"fps mismatch on '$t'")
+    }
+  }
+
   test("testdata: both verdict classes are live and spans are sane") {
     val rows = SubstringDedup.substringDedup(spark, "/root/testdata/sf0.001").collect()
     assert(rows.count(_.getLong(2) == 0L) > 0, "some docs must be span-free")
