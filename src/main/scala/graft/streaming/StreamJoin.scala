@@ -118,11 +118,21 @@ object StreamJoin {
         col("event_ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
     val qn = "graft_stream_outer_join"
+    // stream-stream joins keep FOUR state-store instances per shuffle
+    // partition; at the session's 32 partitions that is 128 RocksDB
+    // stores paying the per-trigger changelog-fsync floor (the streamdiag
+    // finding) — measured 46 s for a 5-trigger query. 4 partitions = 16
+    // stores matches the data volume (the FadsStream set/restore pattern)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q = clickToPurchaseOuter(clicks, purchases).writeStream
       .outputMode("append").format("memory").queryName(qn)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    try q.awaitTermination() finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val out = spark.table(qn)
       .where("click_id >= 0") // drop the sentinel's own unmatched row
       .orderBy("click_id", "purchase_id")
