@@ -438,6 +438,106 @@ object SnapshotMv {
        |  SELECT 'v2_v3', change, source, lang, n_docs, sum_chars FROM d23)
        |ORDER BY diff, source, lang, change""".stripMargin
 
+  /** Micro-batch count for the streaming/append entries. Declared ahead
+    * of the SQL vals that interpolate it — a Scala object initializes
+    * vals in declaration order, and a forward reference silently reads 0
+    * (this bit: an oracle shipped `doc_id % 0`).
+    */
+  val StreamChunks = 4
+
+  // ---------------------------------------------------- OPTIMIZE commit
+
+  /** APPEND-style commit for a RAW data table under the same manifest
+    * protocol: the batch's rows land as new files and the manifest keeps
+    * every previous file — partitions accumulate one file per touching
+    * commit (the MV commits above are merge-on-write and never fragment;
+    * raw-table ingestion is where small files pile up).
+    */
+  def commitAppend(spark: SparkSession, work: String, ver: Long,
+      rows: DataFrame): Unit = {
+    val (fs, _) = fsOf(spark, work)
+    val prev = if (ver == 1L) Seq.empty
+      else readSnapshotManifest(spark, work, ver - 1)
+    commitManifest(fs, work, ver, prev ++ writePartitionFiles(spark, work, ver, rows))
+  }
+
+  /** Commit snapshot `ver` that REWRITES every partition carrying more
+    * than one file into a single compacted file — Delta `OPTIMIZE` /
+    * Iceberg rewrite_data_files expressed in the snapshot protocol:
+    * data-IDENTICAL by construction (the only change is file layout),
+    * single-file partitions carry forward verbatim, and because old
+    * files are immutable and still referenced by earlier manifests,
+    * time travel is untouched until a vacuum reclaims them.
+    */
+  def commitOptimize(spark: SparkSession, work: String, ver: Long): Unit = {
+    val (fs, _) = fsOf(spark, work)
+    val prev = readSnapshotManifest(spark, work, ver - 1)
+    val fragmented = prev.groupBy(_._1).filter(_._2.size > 1).keySet
+    if (fragmented.isEmpty) { commitManifest(fs, work, ver, prev); return }
+    val rewritten = readSnapshot(spark, work, ver - 1, Some(fragmented))
+    val newFiles = writePartitionFiles(spark, work, ver, rewritten)
+    val carried = prev.filter { case (s, _) => !fragmented(s) }
+    commitManifest(fs, work, ver, carried ++ newFiles)
+  }
+
+  /** Four append commits (chunk = rank-within-source mod [[StreamChunks]])
+    * fragment every partition into one file per touching batch; v5 is the
+    * OPTIMIZE commit. The emitted surface pins both halves under one
+    * hash: the v5 per-source totals (data-identical to v4 — the oracle
+    * recomputes them from the raw table) AND the per-partition manifest
+    * file counts before/after (fragmentation is deterministic: one file
+    * per chunk that contains a doc of the source).
+    */
+  def mvOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.TempDirs.scoped("snap-opt") + "/t"
+    // STRUCTURAL chunks (rank within source, the waved/compaction
+    // precedent): doc_id % k is source-ALIGNED in this corpus (doc_id ≡
+    // source index mod 20), which would put each source entirely inside
+    // ONE batch and make compaction vacuous — the session-5 snapshot-MV
+    // lesson, re-hit and re-fixed here
+    val docs = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "lang", "n_chars")
+      .withColumn("ck", expr(
+        s"pmod(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1, $StreamChunks)"))
+    (1L to StreamChunks.toLong).foreach { v =>
+      commitAppend(spark, work, v, docs.where(s"ck = ${v - 1}").drop("ck"))
+    }
+    val optVer = StreamChunks + 1L
+    commitOptimize(spark, work, optVer)
+    val before = readSnapshotManifest(spark, work, StreamChunks.toLong)
+      .groupBy(_._1).map { case (s, fs0) => s -> fs0.size.toLong }
+    val after = readSnapshotManifest(spark, work, optVer)
+      .groupBy(_._1).map { case (s, fs0) => s -> fs0.size.toLong }
+    val counts = before.toSeq.sortBy(_._1).map { case (s, b) =>
+      (s, b, after(s))
+    }
+    import spark.implicits._
+    val countsDf = counts.toDF("source", "files_before", "files_after")
+    readSnapshot(spark, work, optVer)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .join(broadcast(countsDf), "source")
+      .orderBy("source")
+  }
+
+  /** Oracle: per-source totals from the raw table, plus the
+    * deterministic fragmentation arithmetic — files_before = number of
+    * distinct structural chunks holding a doc of the source (one file
+    * per touching append), files_after = 1 (every source at any tested
+    * sf spans ≥ 2 chunks, so every partition compacts; the carry-forward
+    * path for an already-compact partition is spec-covered on a
+    * constructed table).
+    */
+  val mvOptimizeSql: String =
+    s"""WITH d AS (SELECT (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+       |                  % $StreamChunks AS c, source, lang, n_chars
+       |           FROM documents)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       sum(n_chars)::BIGINT AS sum_chars,
+       |       count(DISTINCT c)::BIGINT AS files_before,
+       |       1::BIGINT AS files_after
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------- streaming exactly-once
 
   /** The `foreachBatch` commit body with EXACTLY-ONCE semantics: version
@@ -468,8 +568,6 @@ object SnapshotMv {
     * ingested so far), not just the final state. Replay-idempotence is
     * spec-pinned in `SnapshotMvSpec`.
     */
-  val StreamChunks = 4
-
   def streamSnapshotCommit(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.TempDirs.scoped("snap-stream") + "/t"
     val docs = Tables.load(spark, dir, "documents")
@@ -511,11 +609,13 @@ object SnapshotMv {
     "pipeline_mv_snapshot" -> mvSnapshot,
     "pipeline_mv_forget" -> mvForget,
     "pipeline_mv_cdf" -> mvCdf,
+    "pipeline_mv_optimize" -> mvOptimize,
     "stream_snapshot_commit" -> streamSnapshotCommit)
 
   val oracles: Map[String, String] = Map(
     "pipeline_mv_snapshot" -> mvSnapshotSql,
     "pipeline_mv_forget" -> mvForgetSql,
     "pipeline_mv_cdf" -> mvCdfSql,
+    "pipeline_mv_optimize" -> mvOptimizeSql,
     "stream_snapshot_commit" -> streamSnapshotCommitSql)
 }

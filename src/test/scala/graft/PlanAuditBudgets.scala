@@ -11,6 +11,11 @@ package graft
 object PlanAuditBudgets {
   val shuffles: Map[String, Int] = Map(
     "dedup_components" -> 0,
+    // gram agg + the hinted shuffle-hash join back (the dup-key set is
+    // corpus-proportional — deliberately NOT broadcast), the per-doc
+    // islands window, and the final sort; all frames are gram- or
+    // doc-sized, nothing is resident
+    "text_substring_dedup" -> 4,
     // inverted-index build (distinct + df agg) reshuffles the corpus
     // shingle table on `s`, the prefix rank/candidate/intersection joins
     // rekey the PROBE-bounded tables (fragment side is tiny and

@@ -227,6 +227,31 @@ class SnapshotMvSpec extends AnyFunSuite {
     assert(v2 == docs.count(), "v2 must hold the full corpus rollup")
   }
 
+  test("optimize: fragmented partitions compact, single-file ones carry forward, time travel intact") {
+    val work = graft.TempDirs.scoped("snap-opt-spec") + "/t"
+    import spark.implicits._
+    // srcA fragments across both appends; srcB only exists in commit 1
+    val b1 = Seq((1L, "srcA", "en", 10L), (2L, "srcB", "en", 20L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val b2 = Seq((3L, "srcA", "de", 30L)).toDF("doc_id", "source", "lang", "n_chars")
+    SnapshotMv.commitAppend(spark, work, 1L, b1)
+    SnapshotMv.commitAppend(spark, work, 2L, b2)
+    val m2 = SnapshotMv.readSnapshotManifest(spark, work, 2L)
+    assert(m2.count(_._1 == "srcA") == 2 && m2.count(_._1 == "srcB") == 1)
+    SnapshotMv.commitOptimize(spark, work, 3L)
+    val m3 = SnapshotMv.readSnapshotManifest(spark, work, 3L)
+    assert(m3.count(_._1 == "srcA") == 1, "fragmented partition must compact to one file")
+    assert(m3.filter(_._1 == "srcB") == m2.filter(_._1 == "srcB"),
+      "single-file partition must carry forward VERBATIM (same file name)")
+    // data identical across the optimize commit
+    def rows(v: Long) = SnapshotMv.readSnapshot(spark, work, v)
+      .select("doc_id", "source", "lang", "n_chars").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(3L) == rows(2L), "OPTIMIZE must be data-identical")
+    // time travel: v2 still readable and references the OLD fragmented files
+    assert(SnapshotMv.readSnapshot(spark, work, 2L).count() == 3)
+  }
+
   test("CDF apply: v1 + changes == v2 exactly, for both diffs") {
     // the CDC consumer contract: applying a feed to the old snapshot must
     // reconstruct the new one — drop deletes and update preimages, add
