@@ -351,8 +351,12 @@ object Formats {
     * (min, max) spans everything and every file reads. Here documents lie
     * in one file per `source` (the layout a real corpus has), the lookup
     * batch is a set of doc_ids, and a per-file bloom sidecar (built in one
-    * read-back pass, [[zonemapLayout]]-style; L·8 bytes per file — true
-    * metadata) admits only files that might hold a probe. Bloom admission
+    * read-back pass, [[zonemapLayout]]-style) admits only files that might
+    * hold a probe. The sidecar is rows-proportional (L = ⌈n_file/2⌉ words
+    * per file ≈ 31 bits/key), so it lives as a PERSISTED parquet table and
+    * admission is computed executor-side (probe hashes join the sidecar on
+    * (file, lane)); the driver only ever holds the per-file geometry and
+    * the admitted file list — both files-proportional. Bloom admission
     * is a SUPERSET (false positives possible, never negatives), so the
     * fetched rows are exact by construction and the surface hash-gates
     * both halves: the fetched aggregate AND files_read — the oracle
@@ -385,13 +389,16 @@ object Formats {
           }
       }
     // sidecar build: per-file row count fixes L, then each key sets one
-    // bit per hash; bit_or folds map-side — the sidecar is (file, lane,
-    // word) rows, collected because it IS the metadata (≤ files · L rows)
+    // bit per hash; bit_or folds map-side. The (file, lane, word) sidecar
+    // is rows-proportional (≈ rows/2 words total), so it is PERSISTED as a
+    // parquet table next to the data — never collected: at 10^10 rows the
+    // sidecar is tens of GB, which is fine on disk and fatal on the driver.
     val filed = spark.read.parquet(out)
       .select(expr("input_file_name()").as("f"), col("doc_id"))
     val sized = filed.groupBy("f").agg(count(lit(1)).as("n"))
       .selectExpr("f", "CAST((n + 1) div 2 AS BIGINT) AS L")
-    val lanes = filed.join(broadcast(sized), "f")
+    val sidecarPath = graft.TempDirs.scoped("bloomskip") + "/documents_bloom"
+    filed.join(broadcast(sized), "f")
       .selectExpr("f", "L", s"explode(array(" +
         s"($BloomA1 * doc_id + $BloomB1) % $BloomMod, " +
         s"($BloomA2 * doc_id + $BloomB2) % $BloomMod)) AS h")
@@ -400,32 +407,47 @@ object Formats {
         "CAST((h % (63 * L)) % 63 AS INT) AS bit")
       .groupBy("f", "L", "lane")
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("word"))
-      .collect()
-    val words = lanes.map(r =>
-      (r.getString(0), r.getInt(2)) -> r.getLong(3)).toMap
-    val files = lanes.map(r => r.getString(0) -> r.getLong(1)).distinct
-    val probes = docs.where("doc_id % 500 = 7")
-      .select("doc_id").collect().map(_.getLong(0)).sorted
-    // driver-side admission mirror (zero jobs, the Retrieval.polyhash
-    // precedent): a file is read iff BOTH bits of SOME probe are set
-    def bitSet(f: String, l: Long, h: Long): Boolean = {
-      val pos = h % (63 * l)
-      (words.getOrElse((f, (pos / 63).toInt), 0L) & (1L << (pos % 63).toInt)) != 0
-    }
-    val admitted = files.filter { case (f, l) =>
-      probes.exists { p =>
-        bitSet(f, l, (BloomA1 * p + BloomB1) % BloomMod) &&
-          bitSet(f, l, (BloomA2 * p + BloomB2) % BloomMod)
-      }
-    }.map(_._1).sorted
+      .write.mode("overwrite").parquet(sidecarPath)
+    // the per-file geometry (one row per FILE) is the only build metadata
+    // the driver holds — files-proportional, like zonemapLayout's zones
+    val files = sized.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    // executor-side admission: probe hashes join the persisted sidecar on
+    // (file, lane) — one lane lookup per hash; a file is admitted iff BOTH
+    // bits of SOME probe are set. Only the ADMITTED FILE LIST (and the
+    // probe count) come back to the driver — files-proportional, exactly
+    // the zonemapPrune shape. A lane with no set bits has no sidecar row,
+    // so the inner join IS the missing-word = 0 semantics.
+    val sidecar = spark.read.parquet(sidecarPath)
+    val probes = docs.where("doc_id % 500 = 7").select("doc_id")
+    val nProbes = probes.count()
+    val geometry = broadcast(sized)
+    val probeLanes = probes.crossJoin(geometry)
+      .selectExpr("f", "L", "doc_id",
+        s"($BloomA1 * doc_id + $BloomB1) % $BloomMod AS h1",
+        s"($BloomA2 * doc_id + $BloomB2) % $BloomMod AS h2")
+      .selectExpr("f", "doc_id",
+        "CAST((h1 % (63 * L)) div 63 AS INT) AS l1",
+        "CAST((h1 % (63 * L)) % 63 AS INT) AS b1",
+        "CAST((h2 % (63 * L)) div 63 AS INT) AS l2",
+        "CAST((h2 % (63 * L)) % 63 AS INT) AS b2")
+    val admitted = probeLanes.as("p")
+      .join(sidecar.as("w1"),
+        expr("w1.f = p.f AND w1.lane = p.l1 AND " +
+          "(w1.word & shiftleft(CAST(1 AS BIGINT), p.b1)) <> 0"))
+      .join(sidecar.as("w2"),
+        expr("w2.f = p.f AND w2.lane = p.l2 AND " +
+          "(w2.word & shiftleft(CAST(1 AS BIGINT), p.b2)) <> 0"))
+      .select(col("p.f")).distinct()
+      .collect().map(_.getString(0)).sorted // admitted FILES only
     require(admitted.nonEmpty, "bloom probe batch admitted no file")
-    spark.read.parquet(admitted: _*)
+    spark.read.parquet(admitted.toIndexedSeq: _*)
       .where(s"doc_id % 500 = 7")
       .agg(count(lit(1)).as("n_hits"), sum("n_chars").as("sum_chars"))
       .selectExpr(
-        s"CAST(${probes.length} AS BIGINT) AS n_probes", "n_hits",
+        s"CAST($nProbes AS BIGINT) AS n_probes", "n_hits",
         "sum_chars",
-        s"CAST(${admitted.size} AS BIGINT) AS files_read",
+        s"CAST(${admitted.length} AS BIGINT) AS files_read",
         s"CAST(${files.size} AS BIGINT) AS files_total")
   }
 

@@ -898,10 +898,13 @@ object Dedup {
   def ensureMinhashIndex(spark: SparkSession, dir: String): String = {
     val path = indexPath(spark, dir)
     val (fs, root) = hadoopFs(spark, path)
-    val committed =
-      fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")) &&
-        fs.exists(new org.apache.hadoop.fs.Path(root, ManifestFile))
-    if (!committed) {
+    def committed(r: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(r, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(r, ManifestFile))
+    // build into a temp sibling, publish with ONE atomic rename — N
+    // racing processes produce exactly one committed index, never a
+    // torn overwrite at the shared path ([[IndexCommit]])
+    IndexCommit.ensure(fs, root)(committed) { tmp =>
       val hist = Tables.load(spark, dir, "documents")
         .where(s"doc_id % $IncrSplitMod <> 0")
       val sig = minhashSignatures(hist)
@@ -911,11 +914,12 @@ object Dedup {
         .withColumn("bhp", expr(s"pmod(bh, $IndexBuckets)"))
         .repartition(col("band"), col("bhp"))
         .sortWithinPartitions("band", "bhp", "bh")
-        .write.mode("overwrite").partitionBy("band", "bhp").parquet(path)
+        .write.mode("overwrite").partitionBy("band", "bhp")
+        .parquet(tmp.toString)
       // manifest = the dirs the write just created, listed ONCE at build
       // time through the Hadoop FS API (a one-time O(B×buckets) LIST is
       // the layout-commit cost; the PROBE side never lists anything)
-      writeManifest(spark, path, listBucketDirs(fs, root))
+      writeManifest(spark, tmp.toString, listBucketDirs(fs, tmp))
     }
     path
   }

@@ -299,12 +299,16 @@ object Retrieval {
     */
   def ensureBm25Index(spark: SparkSession, dir: String): String = {
     val root = indexPath(spark, dir)
-    val (fs, _) = hadoopFs(spark, root)
-    def ok(rel: String) =
-      fs.exists(new org.apache.hadoop.fs.Path(s"$root/$rel"))
-    val committed = ok("postings/_SUCCESS") && ok("stats/_SUCCESS") &&
-      ok("meta/_SUCCESS") && ok(ManifestFile)
-    if (!committed) {
+    val (fs, rootP) = hadoopFs(spark, root)
+    def committed(r: org.apache.hadoop.fs.Path) = {
+      def ok(rel: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$r/$rel"))
+      ok("postings/_SUCCESS") && ok("stats/_SUCCESS") &&
+        ok("meta/_SUCCESS") && ok(ManifestFile)
+    }
+    // build into a temp sibling, publish with ONE atomic rename — racing
+    // processes can no longer clobber each other mid-build (IndexCommit)
+    IndexCommit.ensure(fs, rootP)(committed) { tmp =>
       val hist = Tables.load(spark, dir, "documents")
         .where(s"doc_id % ${Dedup.IncrSplitMod} <> 0")
       val postings = postingsOf(hist)
@@ -313,20 +317,20 @@ object Retrieval {
         .repartition(col("tb"))
         .sortWithinPartitions("tb", "term", "doc_id")
         .write.mode("overwrite").partitionBy("tb")
-        .parquet(s"$root/postings")
-      val stats = spark.read.parquet(s"$root/postings")
+        .parquet(s"$tmp/postings")
+      val stats = spark.read.parquet(s"$tmp/postings")
         .groupBy("term").agg(count(lit(1)).as("df"))
         .withColumn("tb", expr(tbExpr)).withColumn("ver", lit(0L))
       stats
         .repartition(col("tb"))
         .sortWithinPartitions("tb", "term")
         .write.mode("overwrite").partitionBy("tb")
-        .parquet(s"$root/stats")
+        .parquet(s"$tmp/stats")
       val m = metaOf(hist).head()
-      writeMeta(spark, s"$root/meta", m.getLong(0), m.getLong(1))
-      val tbs = spark.read.parquet(s"$root/postings")
+      writeMeta(spark, s"$tmp/meta", m.getLong(0), m.getLong(1))
+      val tbs = spark.read.parquet(s"$tmp/postings")
         .select("tb").distinct().collect().map(_.getInt(0)).toSet
-      writeTbManifest(spark, root, tbs)
+      writeTbManifest(spark, tmp.toString, tbs)
     }
     root
   }

@@ -1493,11 +1493,13 @@ object Similarity {
   def ensureIvfIndex(spark: SparkSession, dir: String): String = {
     val path = ivfIndexPath(spark, dir)
     val (fs, root) = hadoopFs(spark, path)
-    val committed =
-      fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")) &&
-        fs.exists(new org.apache.hadoop.fs.Path(s"$path/$CodebookDir/_SUCCESS")) &&
-        fs.exists(new org.apache.hadoop.fs.Path(root, ListsManifestFile))
-    if (!committed) {
+    def committed(r: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(r, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$r/$CodebookDir/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(r, ListsManifestFile))
+    // build into a temp sibling, publish with ONE atomic rename — racing
+    // processes can no longer clobber each other mid-build (IndexCommit)
+    IndexCommit.ensure(fs, root)(committed) { tmp =>
       val emb = embDouble(spark, dir)
       val cent = coarseCent(emb, nCentroids(spark, dir))
       nearestLists(emb.where(s"vec_id % $IvfSplitMod <> 0"), cent,
@@ -1505,14 +1507,14 @@ object Similarity {
         .select("vec_id", "emb", "nrm", "c_id")
         .repartition(col("c_id"))
         .sortWithinPartitions("c_id", "vec_id")
-        .write.mode("overwrite").partitionBy("c_id").parquet(path)
-      // codebook travels WITH the index (written after the main overwrite,
-      // which clears the dir; manifest last = the commit marker)
-      cent.coalesce(1).write.mode("overwrite").parquet(s"$path/$CodebookDir")
-      val lists = fs.listStatus(root).iterator
+        .write.mode("overwrite").partitionBy("c_id").parquet(tmp.toString)
+      // codebook travels WITH the index; manifest last = the commit marker
+      // inside the temp — the rename then makes all three visible at once
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$CodebookDir")
+      val lists = fs.listStatus(tmp).iterator
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
         .map(_.getPath.getName.stripPrefix("c_id=").toLong).toSet
-      listsManifestWrite(spark, path, lists)
+      listsManifestWrite(spark, tmp.toString, lists)
     }
     path
   }
