@@ -223,6 +223,87 @@ object GramFps {
   }
 }
 
+/** Native expression packing a double vector into SQ8 bytes:
+  * `graft_sq8_pack(emb, s)[i]` = (byte) floor(emb[i]·s + 0.5) — the
+  * FAISS QT_8bit storage form ([[graft.pipeline.Similarity.sq8TopK]]'s
+  * quantization as BYTES instead of a double array). With
+  * s = 127/max|emb|, every value lands in [−127, 127] by construction,
+  * so the cast never truncates; the result is the 1-byte-per-dim
+  * representation the persisted SQ8 IVF index stores (8× smaller than
+  * the float64 arrays the plain lists hold). Quantized values are exact
+  * small integers, so DuckDB replays the identical arithmetic from the
+  * float column (`floor(x*s + 0.5)`) — byte packing is storage, not
+  * semantics.
+  */
+case class Sq8Pack(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sq8Pack.pack(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s) =>
+      s"graft.functions.Sq8Pack.pack($a, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sq8_pack"
+}
+
+object Sq8Pack {
+  /** Called from generated code. */
+  def pack(x: ArrayData, s: Double): Array[Byte] = {
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(x.getDouble(i) * s + 0.5).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Native expression for the integer dot product of two SQ8-packed
+  * vectors: `graft_sq8_dot(a, b)` = Σ a[i]·b[i] over signed bytes — the
+  * scoring kernel of the SQ8-stored IVF probe. Every product is an exact
+  * small integer (≤ 127²·dims ≪ 2^63), so the sum is order-free and
+  * bit-equal to DuckDB's replay over the re-quantized float column.
+  */
+case class Sq8Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sq8Dot.dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Sq8Dot.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sq8_dot"
+}
+
+object Sq8Dot {
+  /** Called from generated code. */
+  def dot(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
+}
+
 object VectorExpressions {
 
   /** Idempotently register graft's native expressions on a session, making
@@ -266,6 +347,17 @@ object VectorExpressions {
       "graft_gram_fps", exprs => {
         arity("graft_gram_fps", "graft_gram_fps(text string, len int)", 2)(exprs)
         GramFps(exprs(0), exprs(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq8_pack", exprs => {
+        arity("graft_sq8_pack",
+          "graft_sq8_pack(vec array<double>, scale double)", 2)(exprs)
+        Sq8Pack(exprs(0), exprs(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq8_dot", exprs => {
+        arity("graft_sq8_dot", "graft_sq8_dot(a binary, b binary)", 2)(exprs)
+        Sq8Dot(exprs(0), exprs(1))
       }, "scala_udf")
     // Spark ships codegen'd bloom-filter expressions for its own runtime
     // row-level filtering but does not register them in the public function

@@ -941,7 +941,11 @@ object Similarity {
 
   /** Product-quantization ANN — the third scale path, orthogonal to
     * LSH (pruning by bucket) and IVF (pruning by inverted list): PQ keeps
-    * scoring ALL vectors but against a 16×-compressed representation.
+    * scoring ALL vectors but against a 16×-compressed representation,
+    * then re-scores the adaptive top-[[rerankK]] ADC candidates exactly
+    * (the [[ivfPqTopK]] refine contract — without it, solo-PQ recall
+    * decayed with corpus growth and its sf0.1 gate flipped false,
+    * round-12 finding).
     * Per-subspace codebooks are seeded from the first [[PqK]] corpus rows
     * (same deterministic-init convention as [[ivfTopK]]); encoding picks the
     * L2-nearest code per (vector, subspace); queries score via the classic
@@ -980,13 +984,28 @@ object Similarity {
       .selectExpr("q_id", "q_nrm", "m", "c_id",
         s"CAST(floor(graft_dot(q_sub, c_sub) * $QScale.0 + 0.5) AS BIGINT) AS pq",
         "cq")
-    codes.join(broadcast(lut), Seq("m", "c_id"))
+    // ADC ranks the WHOLE corpus per query; keep the adaptive top-rerankK
+    // and re-score them exactly — the same refine contract as ivfPqTopK,
+    // so solo-PQ recall no longer decays as probed populations grow with
+    // the corpus (the round-12 sf0.1 gate fragility): the ADC cut is a
+    // constant FRACTION of the corpus, and rerankK·Q full-vector reads
+    // stay negligible.
+    val adc = codes.join(broadcast(lut), Seq("m", "c_id"))
       .where(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(max("q_nrm").as("q_nrm"), sum("pq").as("adcq"), sum("cq").as("rq"))
       .selectExpr("q_id", "vec_id",
         s"""round((CAST(adcq AS DOUBLE) / $QScale.0)
-           |  / (q_nrm * sqrt(CAST(rq AS DOUBLE) / $QScale.0)), 6) AS sim""".stripMargin)
+           |  / (q_nrm * sqrt(CAST(rq AS DOUBLE) / $QScale.0)), 6) AS asim""".stripMargin)
+      .withColumn("ark", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, vec_id ASC)"))
+      .where(s"ark <= ${rerankK(corpusStats(spark, dir)._1)}")
+    adc
+      .join(emb.select("vec_id", "emb", "nrm"), "vec_id")
+      .join(broadcast(emb.where(s"vec_id < $QuerySetSize")
+        .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm2")), "q_id")
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm2", "nrm")}, 6) AS sim")
       .withColumn("rk", expr(
         "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
       .where(s"rk <= $TopK")
@@ -1026,15 +1045,25 @@ object Similarity {
        |         sum(l.pq)::BIGINT AS adcq, sum(l.cq)::BIGINT AS rq
        |  FROM codes c JOIN lut l ON l.m = c.m AND l.c_id = c.c_id
        |  WHERE c.vec_id <> l.q_id GROUP BY l.q_id, c.vec_id),
+       |cut AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY
+       |             round((adcq::DOUBLE / $QScale.0)
+       |               / (q_nrm * sqrt(rq::DOUBLE / $QScale.0)), 6) DESC,
+       |             vec_id ASC) AS ark
+       |    FROM scored)
+       |  WHERE ark <= greatest($RerankKMin, (SELECT count(*) // 1000 FROM emb))),
+       |reranked AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         round(${cosineSql("q.emb", "e.emb", "q.nrm", "e.nrm")}, 6) AS sim
+       |  FROM cut c
+       |  JOIN emb e ON e.vec_id = c.vec_id
+       |  JOIN emb q ON q.vec_id = c.q_id),
        |ranked AS (
-       |  SELECT q_id, vec_id,
-       |         round((adcq::DOUBLE / $QScale.0)
-       |           / (q_nrm * sqrt(rq::DOUBLE / $QScale.0)), 6) AS sim,
-       |         row_number() OVER (PARTITION BY q_id ORDER BY
-       |           round((adcq::DOUBLE / $QScale.0)
-       |             / (q_nrm * sqrt(rq::DOUBLE / $QScale.0)), 6) DESC,
-       |           vec_id ASC) AS rk
-       |  FROM scored)
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM reranked)
        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
   }
@@ -1060,7 +1089,10 @@ object Similarity {
     * the probed candidates, and K·Q full-vector reads remain negligible
     * (200·5 rows at ×100).
     */
-  val RerankKMin = 50
+  // `final` makes this a compile-time constant, inlined at use sites —
+  // pqTopKSql (defined ABOVE in initialization order) interpolates it, and
+  // a plain val would still be 0 there when that initializer runs.
+  final val RerankKMin = 50
 
   /** Effective re-rank budget for a corpus of `corpusRows` vectors. */
   def rerankK(corpusRows: Long): Long =
@@ -1232,9 +1264,13 @@ object Similarity {
     */
   val RecallGatePct: Seq[(String, Int)] = Seq(
     "lsh" -> 8, "lsh_multi" -> 40, // single-table 12% / 8-table 56% measured
-    "ivf" -> 80, "ivf_trained" -> 80, "pq" -> 24,
+    "ivf" -> 80, "ivf_trained" -> 80,
+    // pq: with the adaptive exact re-rank (round-13) 60% sf0.01 / 64%
+    // sf0.1 — scale-stable where raw ADC decayed to 20% at sf0.1
+    "pq" -> 48,
     "ivfpq" -> 72, // measured 84% at sf0.01 (rerankK floor); margin matches ivf
-    "sq8" -> 90) // int8 storage barely moves top-k (measured 96% at sf0.01)
+    "sq8" -> 90, // int8 storage barely moves top-k (measured 96% at sf0.01)
+    "ivf_sq8" -> 80) // quantized lists + exact re-rank tracks ivf (measured 92% sf0.01 / 100% sf0.1)
 
   /** Retrieval-quality gate: recall of every approximate ANN entry against
     * [[bruteForceTopK]] truth, as EXACT integers (hits, truth) plus a
@@ -1253,7 +1289,8 @@ object Similarity {
       "ivf_trained" -> ivfTrainedTopK(spark, dir),
       "pq" -> pqTopK(spark, dir),
       "ivfpq" -> ivfPqTopK(spark, dir),
-      "sq8" -> sq8TopK(spark, dir))
+      "sq8" -> sq8TopK(spark, dir),
+      "ivf_sq8" -> ivfSq8TopK(spark, dir))
     val tagged = RecallGatePct.map { case (name, thr) =>
       approx(name).selectExpr(s"'$name' AS method", "q_id", "vec_id",
         s"CAST($thr AS BIGINT) AS thr_pct")
@@ -1278,7 +1315,8 @@ object Similarity {
       "lsh" -> lshTopKSql, "lsh_multi" -> lshMultiTopKSql,
       "ivf" -> ivfTopKSql,
       "ivf_trained" -> ivfTrainedTopKSql, "pq" -> pqTopKSql,
-      "ivfpq" -> ivfPqTopKSql, "sq8" -> sq8TopKSql)
+      "ivfpq" -> ivfPqTopKSql, "sq8" -> sq8TopKSql,
+      "ivf_sq8" -> ivfSq8TopKSql)
       .map { case (n, sql) => s"ap_$n AS (SELECT q_id, vec_id FROM ($sql))" }
       .mkString(",\n")
     val thrRows = RecallGatePct
@@ -1812,6 +1850,282 @@ object Similarity {
     s"vec_id % $IvfSplitMod <> 0 OR vec_id % ${2 * IvfSplitMod} = 0",
     IvfSplitMod)
 
+  // ------------------------- SQ8-stored IVF index (the 100 TB layout)
+
+  /** Path of the SQ8-stored IVF index — the float-lists path plus a
+    * layout tag, so the two representations never shadow each other.
+    */
+  def ivfSq8IndexPath(spark: SparkSession, dir: String): String =
+    ivfIndexPath(spark, dir) + "_sq8"
+
+  /** Build-once: the historical corpus's inverted lists stored in SQ8 —
+    * per row (vec_id, s, nrm, qb) where `qb` is the 64-byte
+    * `graft_sq8_pack` quantization and `s`/`nrm` the per-vector scale and
+    * original norm — partitioned by `c_id` exactly like
+    * [[ensureIvfIndex]]. This is the honest 100 TB index layout
+    * (FAISS IndexIVFScalarQuantizer QT_8bit): the lists hold 1 byte/dim
+    * instead of 8 (float64 arrays), so every probe moves ~8× less list
+    * IO; the float vectors stay ONLY in the corpus table, touched by the
+    * exact re-rank's keyed lookups. Same codebook + `_lists` manifest +
+    * atomic [[IndexCommit]] publication as the float index.
+    */
+  def ensureIvfSq8Index(spark: SparkSession, dir: String): String = {
+    val path = ivfSq8IndexPath(spark, dir)
+    val (fs, root) = hadoopFs(spark, path)
+    def committed(r: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(r, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$r/$CodebookDir/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(r, ListsManifestFile))
+    IndexCommit.ensure(fs, root)(committed) { tmp =>
+      val emb = embDouble(spark, dir)
+      val cent = coarseCent(emb, nCentroids(spark, dir))
+      nearestLists(emb.where(s"vec_id % $IvfSplitMod <> 0"), cent,
+          "vec_id", 1)
+        .selectExpr("vec_id", "nrm", "c_id",
+          "127.0 / array_max(transform(emb, y -> abs(y))) AS s", "emb")
+        .selectExpr("vec_id", "nrm", "c_id", "s",
+          "graft_sq8_pack(emb, s) AS qb")
+        .repartition(col("c_id"))
+        .sortWithinPartitions("c_id", "vec_id")
+        .write.mode("overwrite").partitionBy("c_id").parquet(tmp.toString)
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$CodebookDir")
+      val lists = fs.listStatus(tmp).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
+        .map(_.getPath.getName.stripPrefix("c_id=").toLong).toSet
+      listsManifestWrite(spark, tmp.toString, lists)
+    }
+    path
+  }
+
+  /** Quantize a probe batch: tag `(q_id, q_emb, q_nrm, c_id)` rows with
+    * the query-side SQ8 scale and packed bytes.
+    */
+  private def sq8Queries(probes: DataFrame): DataFrame = probes
+    .selectExpr("q_id", "q_emb", "q_nrm", "c_id",
+      "127.0 / array_max(transform(q_emb, y -> abs(y))) AS q_s")
+    .selectExpr("q_id", "q_emb", "q_nrm", "c_id", "q_s",
+      "graft_sq8_pack(q_emb, q_s) AS q_qb")
+
+  /** SQ8 probe core, shared by the persisted probe and the recall-gate
+    * construction: integer-dot the stored bytes against the quantized
+    * queries (the ONLY pass over list rows — no float vectors move), keep
+    * the approximate top-`rerank` per query, then re-score exactly
+    * against `floats` (rerank·Q keyed full-vector reads) and emit the
+    * final top-`k`. The two-stage shape is [[ivfPqTopK]]'s refine
+    * contract with SQ8 in place of ADC.
+    */
+  private def sq8ProbeCore(lists: DataFrame, quantQ: DataFrame,
+      floats: DataFrame, rerank: Long, k: Int): DataFrame = {
+    val approx = lists.join(broadcast(quantQ), "c_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "q_emb", "q_nrm", "vec_id",
+        s"""round(CAST(graft_sq8_dot(qb, q_qb) AS DOUBLE)
+           |  / (s * q_s) / (nrm * q_nrm), 6) AS asim""".stripMargin)
+      .withColumn("ark", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, vec_id ASC)"))
+      .where(s"ark <= $rerank")
+    approx
+      .join(floats.select("vec_id", "emb", "nrm"), "vec_id")
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $k")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  /** Probe an already-built SQ8 index: nearest [[NProbe]] centroids per
+    * query (float codebook), manifest-intersected touched dirs, then the
+    * [[sq8ProbeCore]] two-stage scoring. List IO is the quantized
+    * representation only.
+    */
+  def incrementalIvfSq8Probe(spark: SparkSession, queries: DataFrame,
+      cent: DataFrame, indexPath: String, floats: DataFrame,
+      rerank: Long, k: Int = TopK): DataFrame = {
+    val probes = nearestLists(queries, cent, "q_id", NProbe)
+      .selectExpr("q_id", "emb AS q_emb", "nrm AS q_nrm", "c_id")
+    val manifest = listsManifestRead(spark, indexPath) // fails loud if absent
+    val touchedDirs = probes.select("c_id").distinct()
+      .collect() // ≤ Q × NProbe list ids: metadata-scale
+      .map(_.getLong(0))
+      .filter(manifest.contains)
+      .sorted.map(c => s"$indexPath/c_id=$c")
+    val idx =
+      if (touchedDirs.isEmpty) spark.read.parquet(indexPath).limit(0)
+      else spark.read.option("basePath", indexPath)
+        .parquet(touchedDirs.toIndexedSeq: _*)
+    sq8ProbeCore(idx, sq8Queries(probes), floats, rerank, k)
+  }
+
+  /** Incremental ANN over the SQ8-stored index, probe leg: wave-1
+    * queries against the persisted quantized lists with exact re-rank on
+    * the float corpus — [[incrementalIvf]]'s cross-run contract at 1/8th
+    * the list IO.
+    */
+  def incrementalIvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfSq8Index(spark, dir)
+    val emb = embDouble(spark, dir)
+    incrementalIvfSq8Probe(spark, waveQueries(emb, 0),
+      indexCodebook(spark, path), path, emb,
+      rerankK(corpusStats(spark, dir)._1))
+  }
+
+  /** DuckDB replay of [[incrementalIvfSq8]] — the same construction from
+    * scratch: historical assignment, SQ8 quantization (`floor(x·s + 0.5)`
+    * exact integers, the [[sq8TopKSql]] arithmetic), approximate top-
+    * rerankK per query, exact re-rank, top-[[TopK]].
+    */
+  val incrementalIvfSq8Sql: String = {
+    val w = 2 * IvfSplitMod
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
+       |         WHERE vec_id < $nCentroidsSqlExpr),
+       |hist AS (SELECT vec_id, emb, nrm FROM emb
+       |         WHERE vec_id % $IvfSplitMod <> 0),
+       |lists AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT h.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY h.vec_id ORDER BY
+       |             round(${cosineSql("h.emb", "c.c_emb", "h.nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM hist h, cent c)
+       |  WHERE crk = 1),
+       |sc AS (SELECT l.vec_id, l.c_id, e.nrm, e.emb,
+       |              127.0 / list_max(list_transform(e.emb, y -> abs(y))) AS s
+       |       FROM lists l JOIN emb e USING (vec_id)),
+       |sq AS (SELECT vec_id, c_id, nrm, s,
+       |              list_transform(emb, x -> floor(x * s + 0.5)) AS qv
+       |       FROM sc),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
+       |      WHERE vec_id % $w = 0
+       |        AND vec_id < ${w.toLong * QuerySetSize}),
+       |qs AS (SELECT q_id, q_emb, q_nrm,
+       |              127.0 / list_max(list_transform(q_emb, y -> abs(y))) AS q_s
+       |       FROM q),
+       |qq AS (SELECT q_id, q_emb, q_nrm, q_s,
+       |              list_transform(q_emb, x -> floor(x * q_s + 0.5)) AS q_qv
+       |       FROM qs),
+       |probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.c_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             round(${cosineSql("q.q_emb", "c.c_emb", "q.q_nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM q, cent c)
+       |  WHERE crk <= $NProbe),
+       |approx AS (
+       |  SELECT p.q_id, s.vec_id,
+       |         round(list_sum(list_transform(range(1, ${Dim + 1}),
+       |                 i -> s.qv[i] * qq.q_qv[i]))
+       |           / (s.s * qq.q_s) / (s.nrm * qq.q_nrm), 6) AS asim
+       |  FROM probes p
+       |  JOIN sq s USING (c_id)
+       |  JOIN qq ON qq.q_id = p.q_id
+       |  WHERE s.vec_id <> p.q_id),
+       |cut AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, vec_id ASC) AS ark
+       |    FROM approx)
+       |  WHERE ark <= greatest($RerankKMin, (SELECT count(*) // 1000 FROM emb))),
+       |reranked AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         round(${cosineSql("q.q_emb", "e.emb", "q.q_nrm", "e.nrm")}, 6) AS sim
+       |  FROM cut c
+       |  JOIN emb e ON e.vec_id = c.vec_id
+       |  JOIN qq q ON q.q_id = c.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM reranked)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** Full-corpus SQ8-IVF construction for the recall gate: the same
+    * quantized-lists + exact-re-rank scoring as the persisted index,
+    * built in-plan over the whole corpus so its recall is measured
+    * against [[bruteForceTopK]] truth on equal footing with the other
+    * families.
+    */
+  def ivfSq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val cent = coarseCent(emb, nCentroids(spark, dir))
+    val lists = nearestLists(emb, cent, "vec_id", 1)
+      .selectExpr("vec_id", "nrm", "c_id",
+        "127.0 / array_max(transform(emb, y -> abs(y))) AS s", "emb")
+      .selectExpr("vec_id", "nrm", "c_id", "s",
+        "graft_sq8_pack(emb, s) AS qb")
+    val probes = nearestLists(emb.where(s"vec_id < $QuerySetSize"), cent,
+        "q_id", NProbe)
+      .selectExpr("q_id", "emb AS q_emb", "nrm AS q_nrm", "c_id")
+    sq8ProbeCore(lists, sq8Queries(probes), emb,
+      rerankK(corpusStats(spark, dir)._1), TopK)
+  }
+
+  val ivfSq8TopKSql: String =
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
+       |         WHERE vec_id < $nCentroidsSqlExpr),
+       |lists AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT h.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY h.vec_id ORDER BY
+       |             round(${cosineSql("h.emb", "c.c_emb", "h.nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM emb h, cent c)
+       |  WHERE crk = 1),
+       |sc AS (SELECT l.vec_id, l.c_id, e.nrm, e.emb,
+       |              127.0 / list_max(list_transform(e.emb, y -> abs(y))) AS s
+       |       FROM lists l JOIN emb e USING (vec_id)),
+       |sq AS (SELECT vec_id, c_id, nrm, s,
+       |              list_transform(emb, x -> floor(x * s + 0.5)) AS qv
+       |       FROM sc),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
+       |      WHERE vec_id < $QuerySetSize),
+       |qs AS (SELECT q_id, q_emb, q_nrm,
+       |              127.0 / list_max(list_transform(q_emb, y -> abs(y))) AS q_s
+       |       FROM q),
+       |qq AS (SELECT q_id, q_emb, q_nrm, q_s,
+       |              list_transform(q_emb, x -> floor(x * q_s + 0.5)) AS q_qv
+       |       FROM qs),
+       |probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.c_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             round(${cosineSql("q.q_emb", "c.c_emb", "q.q_nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM q, cent c)
+       |  WHERE crk <= $NProbe),
+       |approx AS (
+       |  SELECT p.q_id, s.vec_id,
+       |         round(list_sum(list_transform(range(1, ${Dim + 1}),
+       |                 i -> s.qv[i] * qq.q_qv[i]))
+       |           / (s.s * qq.q_s) / (s.nrm * qq.q_nrm), 6) AS asim
+       |  FROM probes p
+       |  JOIN sq s USING (c_id)
+       |  JOIN qq ON qq.q_id = p.q_id
+       |  WHERE s.vec_id <> p.q_id),
+       |cut AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, vec_id ASC) AS ark
+       |    FROM approx)
+       |  WHERE ark <= greatest($RerankKMin, (SELECT count(*) // 1000 FROM emb))),
+       |reranked AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         round(${cosineSql("q.q_emb", "e.emb", "q.q_nrm", "e.nrm")}, 6) AS sim
+       |  FROM cut c
+       |  JOIN emb e ON e.vec_id = c.vec_id
+       |  JOIN qq q ON q.q_id = c.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM reranked)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+
   // ------------------------- recall gate on a derived ×10 corpus
 
   /** ×10 in-process corpus replication for [[recallGateX10]] — the Scale
@@ -2138,6 +2452,7 @@ object Similarity {
     "sim_recall_gate" -> recallGate,
     "sim_recall_gate_x10" -> recallGateX10,
     "sim_incremental_ivf" -> incrementalIvf,
+    "sim_incremental_ivf_sq8" -> incrementalIvfSq8,
     "sim_incremental_ivf_append" -> incrementalIvfAppend,
     "stream_incremental_ivf" -> streamIncrementalIvf,
     "sim_semdedup" -> semDedup,
@@ -2161,6 +2476,7 @@ object Similarity {
     "sim_recall_gate" -> recallGateSql,
     "sim_recall_gate_x10" -> recallGateX10Sql,
     "sim_incremental_ivf" -> incrementalIvfSqlProbe,
+    "sim_incremental_ivf_sq8" -> incrementalIvfSq8Sql,
     "sim_incremental_ivf_append" -> incrementalIvfSqlAppend,
     "stream_incremental_ivf" -> streamIncrementalIvfSql,
     "sim_semdedup" -> semDedupSql,

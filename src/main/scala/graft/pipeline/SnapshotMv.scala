@@ -575,6 +575,18 @@ object SnapshotMv {
         s"pmod(doc_id, $StreamChunks) AS rord")
     val stageDir = graft.TempDirs.scoped("snap-stream-stage") + "/docs"
     val rowsPerFile = math.max(1L, docs.count() / StreamChunks).toInt
+    // The oracle's "version i == chunks with rord < i" equivalence holds
+    // only if staging puts each rord group in EXACTLY one file, i.e.
+    // every group has rowsPerFile rows (true for contiguous 0..n-1
+    // doc_ids with n % StreamChunks == 0, the generated corpus shape).
+    // A corpus regeneration that breaks this would otherwise stage a
+    // ragged extra chunk and silently misalign every version's rollup —
+    // fail loud instead (advisor round-12).
+    val ragged = docs.groupBy("rord").count()
+      .where(s"count <> $rowsPerFile").count()
+    require(ragged == 0 && rowsPerFile.toLong * StreamChunks == docs.count(),
+      s"streamSnapshotCommit needs equal-size doc_id mod-$StreamChunks " +
+        s"groups of $rowsPerFile rows; corpus no longer chunks evenly")
     graft.streaming.PacedReplay.stage(docs, Seq("rord", "doc_id"),
       rowsPerFile, stageDir)
     val q = graft.streaming.PacedReplay.stream(spark, stageDir, docs.schema)

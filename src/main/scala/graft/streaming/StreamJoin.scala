@@ -124,15 +124,17 @@ object StreamJoin {
     // finding) — measured 46 s for a 5-trigger query. 4 partitions = 16
     // stores matches the data volume (the FadsStream set/restore pattern)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = clickToPurchaseOuter(clicks, purchases).writeStream
-      .outputMode("append").format("memory").queryName(qn)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }
+    // set AND start() inside the try: if plan analysis or start() throws,
+    // the finally still restores the session-wide partition count (the
+    // override would otherwise leak into every later entry)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = clickToPurchaseOuter(clicks, purchases).writeStream
+        .outputMode("append").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val out = spark.table(qn)
       .where("click_id >= 0") // drop the sentinel's own unmatched row
       .orderBy("click_id", "purchase_id")

@@ -81,4 +81,42 @@ class VectorExpressionsSpec extends AnyFunSuite {
       assert(r.getAs[scala.collection.Seq[Long]](0) == r.getAs[scala.collection.Seq[Long]](1))
     }
   }
+
+  test("graft_sq8_pack/graft_sq8_dot == SQL floor-quantize replay on real embeddings") {
+    VectorExpressions.register(spark)
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .selectExpr("vec_id", "e",
+        "127.0 / array_max(transform(e, y -> abs(y))) AS s")
+    val a = emb.as("a"); val b = emb.as("b")
+    val rows = a.join(b, org.apache.spark.sql.functions
+        .expr("a.vec_id % 13 = b.vec_id % 13 AND a.vec_id < b.vec_id"))
+      .selectExpr(
+        "graft_sq8_dot(graft_sq8_pack(a.e, a.s), graft_sq8_pack(b.e, b.s)) AS fast",
+        """aggregate(zip_with(
+          |  transform(a.e, x -> CAST(floor(x * a.s + 0.5) AS BIGINT)),
+          |  transform(b.e, y -> CAST(floor(y * b.s + 0.5) AS BIGINT)),
+          |  (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS slow""".stripMargin)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("graft_sq8 edge cases: byte range, empty, null") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      // s = 127/max|x| puts the extreme value exactly at ±127 — the cast
+      // must not wrap
+      "SELECT graft_sq8_dot(graft_sq8_pack(array(-1.0d, 1.0d), 127.0d), " +
+      "                     graft_sq8_pack(array(-1.0d, 1.0d), 127.0d)) AS d1, " +
+      "graft_sq8_dot(graft_sq8_pack(CAST(array() AS ARRAY<DOUBLE>), 1.0d), " +
+      "              graft_sq8_pack(CAST(array() AS ARRAY<DOUBLE>), 1.0d)) AS d2, " +
+      "graft_sq8_pack(CAST(NULL AS ARRAY<DOUBLE>), 1.0d) AS p3, " +
+      "graft_sq8_dot(CAST(NULL AS BINARY), graft_sq8_pack(array(1.0d), 1.0d)) AS d4")
+      .collect()(0)
+    assert(r.getLong(0) == 2L * 127 * 127)
+    assert(r.getLong(1) == 0L)
+    assert(r.isNullAt(2))
+    assert(r.isNullAt(3))
+  }
 }

@@ -141,4 +141,65 @@ class IncrementalIvfSpec extends AnyFunSuite {
     val rows = Similarity.incrementalIvf(spark, dir).collect()
     assert(Files.exists(mf) && rows.nonEmpty)
   }
+
+  test("SQ8 index: 1 byte/dim lists, no float vectors, byte-for-byte reuse") {
+    val path = Similarity.ivfSq8IndexPath(spark, dir)
+    deleteRecursively(Paths.get(path))
+
+    val first = Similarity.incrementalIvfSq8(spark, dir).collect().toSeq
+    assert(first.nonEmpty)
+    assert(new File(path + "/_SUCCESS").exists(), "index must be committed")
+    assert(new File(path + "/" + Similarity.ListsManifestFile).exists())
+    val stateAfterBuild = fileState(path)
+
+    val idx = spark.read.parquet(path)
+    val cols = idx.columns.toSet
+    assert(!cols.contains("emb"),
+      "float vectors must live only in the corpus table, not the index")
+    assert(idx.schema("qb").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    // the storage contract: exactly Dim bytes per vector
+    assert(idx.selectExpr(s"length(qb) = ${Similarity.Dim} AS ok")
+      .where("NOT ok").count() == 0)
+    val nHist = graft.Tables.load(spark, dir, "embeddings")
+      .where(s"vec_id % ${Similarity.IvfSplitMod} <> 0").count()
+    assert(idx.count() == nHist)
+
+    val second = Similarity.incrementalIvfSq8(spark, dir).collect().toSeq
+    assert(second == first, "replayed probe must be bit-identical")
+    assert(fileState(path) == stateAfterBuild,
+      "second run must not rewrite any index file (reuse, not rebuild)")
+  }
+
+  test("SQ8 probe's sims are EXACT cosines (re-rank contract) and list bytes shrink") {
+    Similarity.ensureIvfIndex(spark, dir)
+    val sq8Path = Similarity.ensureIvfSq8Index(spark, dir)
+    val out = Similarity.incrementalIvfSq8(spark, dir)
+    // every emitted sim must equal the exact float cosine — the final
+    // scoring never uses quantized arithmetic
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      .selectExpr("vec_id", "emb", "sqrt(graft_dot(emb, emb)) AS nrm")
+    val mismatches = out
+      .join(emb.selectExpr("vec_id", "emb AS v_emb", "nrm AS v_nrm"), "vec_id")
+      .join(emb.selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm"), "q_id")
+      .selectExpr("sim",
+        "round(graft_dot(q_emb, v_emb) / (q_nrm * v_nrm), 6) AS exact")
+      .where("sim <> exact").count()
+    assert(mismatches == 0, "emitted sims must be exact float cosines")
+    // the point of the layout: quantized list files are much smaller than
+    // the float64-array lists of the plain index (64 B vs 512 B payload)
+    def listBytes(root: String): Long = {
+      val base = Paths.get(root)
+      Files.walk(base).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.toString.contains("c_id=") && p.toString.endsWith(".parquet"))
+        .map(Files.size(_)).sum
+    }
+    val floatBytes = listBytes(Similarity.ivfIndexPath(spark, dir))
+    val sq8Bytes = listBytes(sq8Path)
+    assert(sq8Bytes * 2 < floatBytes,
+      s"sq8 lists ($sq8Bytes B) must be well under the float lists ($floatBytes B)")
+  }
 }
