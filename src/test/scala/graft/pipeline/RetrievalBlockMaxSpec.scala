@@ -77,4 +77,30 @@ class RetrievalBlockMaxSpec extends AnyFunSuite {
     assert(bm.toSeq == pruned.toSeq,
       "pruning dropped a block that held a true top-k document")
   }
+
+  test("committed skewed entry: >50% prune on the DERIVED corpus, result exact") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Retrieval.blockMaxSkewed(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the entry refuses to return unless 2·survivors < blocks; re-assert
+    // the emitted accounting here so a weakened require() fails the spec
+    rows.foreach { r =>
+      val nBlocks = r.getLong(r.fieldIndex("n_blocks"))
+      val nSurv = r.getLong(r.fieldIndex("n_survivors"))
+      assert(r.getBoolean(r.fieldIndex("prune_ok")))
+      assert(2 * nSurv < nBlocks, s"prune too weak: $nSurv/$nBlocks")
+    }
+    // the probe's top-k on the skewed corpus must equal the UNPRUNED
+    // probe on the same derived corpus (equality is the theorem the ub/θ
+    // bound proves — check it on exactly the surface pruning exists for)
+    val skDir = graft.TempDirs.scoped("bm25-skew-spec")
+    Retrieval.skewedDocs(spark, dir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$skDir/documents.parquet")
+    val root = Retrieval.ensureBm25Index(spark, skDir)
+    Retrieval.ensureBlockMax(spark, root)
+    val unpruned = Retrieval.prunedTopK(spark, root).collect().map(_.toSeq)
+    val bm = Retrieval.blockMaxTopK(spark, root).collect().map(_.toSeq)
+    assert(bm.toSeq == unpruned.toSeq,
+      "skewed-surface pruning dropped a true top-k document")
+  }
 }
