@@ -383,8 +383,9 @@ object Retrieval {
     * index-proportional. idf and avgdl come from `meta` + the pruned
     * stats, so the scores are identical to the full scan by construction.
     */
-  private def touchedBuckets(spark: SparkSession, root: String): Seq[Int] =
-    queryPairs.map(p => termBucket(p._2)).toSet
+  private def touchedBuckets(spark: SparkSession, root: String,
+      pairs: Seq[(Long, String)] = queryPairs): Seq[Int] =
+    pairs.map(p => termBucket(p._2)).toSet
       .intersect(readTbManifest(spark, root)) // fails loud if absent
       .toSeq.sorted
 
@@ -524,9 +525,10 @@ object Retrieval {
     * used).
     */
   private def qstatsIdf(spark: SparkSession, root: String,
-      touched: Seq[Int], nd: Long, tt: Long): DataFrame =
+      touched: Seq[Int], nd: Long, tt: Long,
+      qt: SparkSession => DataFrame = queryTerms): DataFrame =
     prunedRead(spark, root, "stats", touched).select("term", "df")
-      .join(broadcast(queryTerms(spark)), "term")
+      .join(broadcast(qt(spark)), "term")
       .selectExpr("query_id", "term", "df",
         s"CAST($nd AS BIGINT) AS n_docs",
         s"CAST($tt AS BIGINT) AS total_tokens",
@@ -551,19 +553,18 @@ object Retrieval {
     *    probe is a theorem, not a tuning (spec-pinned, and the entry
     *    shares [[indexTopKSql]] with the unpruned entry).
     */
-  private[graft] def blockSurvivors(spark: SparkSession, root: String)
+  /** Phase-1 θ: per query the [[TopK]]-th score counting ONLY its rarest
+    * term (see [[blockSurvivors]] soundness note) — extracted so the WAND
+    * loop can seed its adaptive threshold with the same lower bound.
+    * `qstats` must carry (query_id, term, idfq, n_docs, total_tokens).
+    */
+  private def phase1Theta(postings: DataFrame, qstats: DataFrame)
       : DataFrame = {
-    val touched = touchedBuckets(spark, root)
-    val (nd, tt) = metaVals(spark, root)
-    val qstats = qstatsIdf(spark, root, touched, nd, tt)
-      .select("query_id", "term", "idfq", "n_docs", "total_tokens")
     val best = qstats.withColumn("brk", expr(
         "row_number() OVER (PARTITION BY query_id ORDER BY idfq DESC, term)"))
       .where("brk = 1")
       .select("query_id", "term", "idfq", "n_docs", "total_tokens")
-    val postings = prunedRead(spark, root, "postings", touched)
-      .select("term", "doc_id", "tf", "dl")
-    val theta = postings.join(broadcast(best), "term")
+    postings.join(broadcast(best), "term")
       .selectExpr("query_id", "doc_id", s"${tfFactorExpr("div")} * idfq AS w")
       .withColumn("prk", expr(
         "row_number() OVER (PARTITION BY query_id ORDER BY w DESC, doc_id)"))
@@ -572,6 +573,17 @@ object Retrieval {
       .agg(min("w").as("wk"), count(lit(1)).as("c"))
       .selectExpr("query_id",
         s"CASE WHEN c >= $TopK THEN wk ELSE CAST(0 AS BIGINT) END AS theta")
+  }
+
+  private[graft] def blockSurvivors(spark: SparkSession, root: String)
+      : DataFrame = {
+    val touched = touchedBuckets(spark, root)
+    val (nd, tt) = metaVals(spark, root)
+    val qstats = qstatsIdf(spark, root, touched, nd, tt)
+      .select("query_id", "term", "idfq", "n_docs", "total_tokens")
+    val postings = prunedRead(spark, root, "postings", touched)
+      .select("term", "doc_id", "tf", "dl")
+    val theta = phase1Theta(postings, qstats)
     prunedRead(spark, root, "blockmax", touched)
       .selectExpr("term", "blk", "max_tf AS tf", "min_dl AS dl")
       .join(broadcast(qstats), "term")
@@ -824,6 +836,293 @@ object Retrieval {
        |       r.w_sum::DOUBLE / ${Qt * Qi}.0 AS score, r.rk::BIGINT AS rk,
        |       a.n_blocks, a.n_survivors,
        |       2 * a.n_survivors < a.n_blocks AS prune_ok
+       |FROM ranked r JOIN acct a ON r.query_id = a.query_id
+       |WHERE r.rk <= $TopK ORDER BY r.query_id, r.rk""".stripMargin
+  }
+
+  // --------------------------------- WAND adaptive early termination
+
+  /** The WAND surface's standing queries: each pairs TWO rare terms that
+    * CO-OCCUR only in one block (where the true top-k lives) but appear
+    * separately across many blocks, plus one common corpus term — the
+    * shape where one-shot block-max is weak (the single-rarest-term θ
+    * cannot rule out the single-marker blocks) and an adaptive θ is
+    * strong (after the co-occurrence block is scored, the true top-k
+    * scores ≈ 2× any single-marker block's bound).
+    */
+  val WandQueries: Seq[(Long, String)] = Seq(
+    0L -> "zw1 zw2 scan",
+    1L -> "zw3 zw4 merge")
+
+  private def wandPairs: Seq[(Long, String)] =
+    WandQueries.flatMap { case (id, q) => q.split(' ').map(t => (id, t)) }
+
+  private def wandValuesSql: String =
+    wandPairs.map { case (id, t) => s"($id,'$t')" }.mkString(",")
+
+  private def wandQueryTerms(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    wandPairs.toDF("query_id", "term")
+  }
+
+  /** The marker CASE appended to `text` by both engines (Spark `div`/
+    * `pmod`, DuckDB `//`/`%` — doc_id is non-negative so they agree):
+    * zw1+zw2 ×2 on block 0 and zw3+zw4 ×2 on block 1 (the co-occurrence
+    * blocks, tf = 2 so their true scores clear every single-marker
+    * bound); zw1/zw3/zw2/zw4 singly on the blocks ≡ 2/3/4/5 (mod 8).
+    */
+  private def wandMarkerCase(divOp: String, modFn: (String, String) => String)
+      : String = {
+    val b = s"(doc_id $divOp $BlockDocs)"
+    s"""CASE WHEN $b = 0 THEN ' zw1 zw2 zw1 zw2'
+       |     WHEN $b = 1 THEN ' zw3 zw4 zw3 zw4'
+       |     WHEN ${modFn(b, "8")} = 2 THEN ' zw1'
+       |     WHEN ${modFn(b, "8")} = 3 THEN ' zw3'
+       |     WHEN ${modFn(b, "8")} = 4 THEN ' zw2'
+       |     WHEN ${modFn(b, "8")} = 5 THEN ' zw4'
+       |     ELSE '' END""".stripMargin
+  }
+
+  /** Corpus derived from `documents` for the WAND surface (deterministic
+    * one-pass projection, DuckDB-replayable like [[skewedDocs]]).
+    */
+  def wandDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").selectExpr("doc_id",
+      s"concat(text, ${wandMarkerCase("div", (a, m) => s"pmod($a, $m)")}) AS text",
+      "lang", "source", "n_chars")
+
+  private def wandStage(spark: SparkSession, dir: String): String = {
+    val d = graft.TempDirs.scoped("bm25-wand")
+    wandDocs(spark, dir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+    d
+  }
+
+  /** Block-Max WAND with ADAPTIVE θ (Ding & Suel 2011, the document-at-
+    * a-time termination re-expressed block-at-a-time): process candidate
+    * blocks in impact (upper-bound) order, one per query per round; after
+    * each block is scored EXACTLY, raise θ to max(phase-1 bound, true
+    * TopK-th score so far); terminate when no unscored block's bound
+    * reaches θ. Exactness is the same theorem as [[blockMaxTopK]]
+    * (every unscored block's ub < θ ≤ true TopK-th), but the RISING θ
+    * prunes blocks the one-shot single-term bound cannot.
+    *
+    * Scale shape: the loop is inherently adaptive-sequential — that is
+    * WAND's nature, not a Spark limitation. Per round, the driver holds
+    * only queries-sized state (θ, running top-k) and collects one
+    * frontier row per query plus one scored BLOCK of ≤ [[BlockDocs]]
+    * docs per query; every big-data touch (bound agg, block scoring) is
+    * a distributed job over manifest-pruned bucket reads. Rounds =
+    * scored blocks per query, which the θ seed + impact order keep at
+    * O(1) on skewed (real-corpus-shaped) score surfaces; on a uniform
+    * surface use [[blockMaxTopK]] — adaptive termination buys nothing
+    * when bounds are flat (the committed gate below asserts the surface
+    * is NOT flat: ≥5× candidate reduction).
+    *
+    * Returns (rows, perQuery accounting): exact top-k rows plus
+    * (n_candidates, n_bm_survivors, n_scored) per query.
+    */
+  private[graft] def wandTopK(spark: SparkSession, root: String)
+      : (Seq[(Long, Long, Long, Long)], Map[Long, (Long, Long, Long)]) = {
+    import spark.implicits._
+    ensureBlockMax(spark, root)
+    val pairs = wandPairs
+    val touched = touchedBuckets(spark, root, pairs)
+    val (nd, tt) = metaVals(spark, root)
+    val qstats = qstatsIdf(spark, root, touched, nd, tt, wandQueryTerms)
+      .select("query_id", "term", "idfq", "n_docs", "total_tokens")
+    val postings = prunedRead(spark, root, "postings", touched)
+      .select("term", "doc_id", "tf", "dl")
+    // per-(query, block) upper bounds — reused every round
+    val ub = prunedRead(spark, root, "blockmax", touched)
+      .selectExpr("term", "blk", "max_tf AS tf", "min_dl AS dl")
+      .join(broadcast(qstats), "term")
+      .selectExpr("query_id", "blk", s"${tfFactorExpr("div")} * idfq AS ubw")
+      .groupBy("query_id", "blk").agg(sum("ubw").as("ub"))
+      .localCheckpoint() // small (queries × candidate blocks); reread each round
+    val candPostings = postings.join(broadcast(qstats), "term")
+      .withColumn("blk", expr(s"doc_id div $BlockDocs"))
+    val theta0: Map[Long, Long] = phase1Theta(postings, qstats).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ |queries|
+    val nCand: Map[Long, Long] = ub.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nBmSurv: Map[Long, Long] = {
+      val t = theta0.toSeq.toDF("query_id", "theta")
+      ub.join(broadcast(t), "query_id").where("ub >= theta")
+        .groupBy("query_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    var scored = Set.empty[(Long, Long)] // (query_id, blk)
+    var thetas = theta0
+    // per query: running top-k as (doc_id, n_hit, w_sum), w_sum desc
+    var top = Map.empty[Long, Vector[(Long, Long, Long)]]
+      .withDefaultValue(Vector.empty)
+    var continue = true
+    while (continue) {
+      val scoredDf = scored.toSeq.toDF("query_id", "blk")
+      val thetaDf = thetas.toSeq.toDF("query_id", "theta")
+      val frontier = ub
+        .join(broadcast(scoredDf), Seq("query_id", "blk"), "left_anti")
+        .join(broadcast(thetaDf), "query_id")
+        .where("ub >= theta")
+        .withColumn("frk", expr(
+          "row_number() OVER (PARTITION BY query_id ORDER BY ub DESC, blk)"))
+        .where("frk = 1")
+        .select("query_id", "blk")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // ≤ |queries|
+      if (frontier.isEmpty) continue = false
+      else {
+        val batchDf = frontier.toDF("query_id", "blk")
+        val batch = candPostings
+          .join(broadcast(batchDf), Seq("query_id", "blk"), "left_semi")
+          .selectExpr("query_id", "doc_id",
+            s"${tfFactorExpr("div")} * idfq AS w")
+          .groupBy("query_id", "doc_id")
+          .agg(count(lit(1)).as("n_hit"), sum("w").as("w_sum"))
+          .collect() // ≤ BlockDocs docs per query: block-sized by definition
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        top = batch.groupBy(_._1).foldLeft(top) { case (acc, (q, rows)) =>
+          val merged = (acc(q) ++ rows.map(_._2))
+            .sortBy { case (doc, _, w) => (-w, doc) }.take(TopK)
+          acc.updated(q, merged)
+        }
+        scored ++= frontier
+        thetas = thetas.map { case (q, _) =>
+          val ts = top(q)
+          val kth = if (ts.size >= TopK) ts.last._3 else Long.MinValue
+          q -> math.max(theta0(q), kth)
+        }
+      }
+    }
+    val rows = WandQueries.map(_._1).sorted.flatMap { q =>
+      top(q).map { case (doc, nHit, w) => (q, doc, nHit, w) }
+    }
+    val acct = WandQueries.map(_._1).map { q =>
+      q -> (nCand(q), nBmSurv.getOrElse(q, 0L),
+        scored.count(_._1 == q).toLong)
+    }.toMap
+    (rows, acct)
+  }
+
+  /** Committed WAND gate (round-12 verdict item 8): the adaptive loop
+    * over the REAL persisted index of the [[wandDocs]] corpus, emitting
+    * its exact top-k joined with (n_candidates, n_bm_survivors,
+    * n_scored, wand_ok = 5·scored ≤ candidates). The DuckDB oracle
+    * scores the corpus UNPRUNED for the top-k (so adaptive termination
+    * that drops a true top-k block breaks the hash) and recomputes the
+    * scored-block set in CLOSED FORM — block b is scored iff its bound
+    * clears θ0 and fewer than [[TopK]] docs in impact-order-earlier
+    * blocks beat its bound — which equals the sequential loop's scored
+    * set by induction (docs of any pruned block are dominated by
+    * [[TopK]] docs of scored blocks). The hash therefore checks the
+    * loop ⟺ closed-form equivalence itself, plus the ≥5× candidate
+    * reduction the verdict asked for.
+    */
+  def wandSkewed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureBm25Index(spark, wandStage(spark, dir))
+    val (rows, acct) = wandTopK(spark, root)
+    acct.foreach { case (q, (cand, _, scored)) =>
+      require(5 * scored <= cand,
+        s"WAND scored $scored of $cand candidate blocks for query $q — " +
+          "adaptive termination lost its >5x reduction on the skewed surface")
+    }
+    val ranked = rows.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+      rs.sortBy { case (_, doc, _, w) => (-w, doc) }.zipWithIndex.map {
+        case ((_, doc, nHit, w), i) =>
+          val (cand, bm, scored) = acct(q)
+          (q, doc, nHit, w, (i + 1).toLong, cand, bm, scored)
+      }
+    }.sortBy(t => (t._1, t._5))
+    ranked.toDF("query_id", "doc_id", "n_hit", "w_sum", "rk",
+        "n_candidates", "n_bm_survivors", "n_scored")
+      .selectExpr("query_id", "doc_id", "n_hit", "w_sum",
+        s"CAST(w_sum AS DOUBLE) / ${Qt * Qi}.0 AS score", "rk",
+        "n_candidates", "n_bm_survivors", "n_scored",
+        "5 * n_scored <= n_candidates AS wand_ok")
+  }
+
+  /** DuckDB replay of [[wandSkewed]] — unpruned top-k + closed-form
+    * scored-set accounting (scaladoc above for the equivalence proof).
+    */
+  val wandSkewedSql: String = {
+    def tfq(tf: String, dl: String, g: String) =
+      s"((22 * $tf * ${Qt * Qr}) // (10 * $tf * $Qr + ${3 * Qr} " +
+        s"+ (9 * $dl * $Qr) // ($g.total_tokens // $g.n_docs)))"
+    s"""WITH wdocs AS (
+       |  SELECT doc_id,
+       |         concat(text, ${wandMarkerCase("//", (a, m) => s"$a % $m")})
+       |           AS text
+       |  FROM documents WHERE doc_id % ${Dedup.IncrSplitMod} <> 0),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM wdocs),
+       |dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM d),
+       |toks AS (SELECT doc_id, unnest(t) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |meta AS (SELECT count(*)::BIGINT AS n_docs,
+       |                sum(len(t))::BIGINT AS total_tokens FROM d),
+       |q AS (SELECT * FROM (VALUES $wandValuesSql) AS v(query_id, term)),
+       |qstats AS (
+       |  SELECT q.query_id::BIGINT AS query_id, q.term, df.df,
+       |         m.n_docs, m.total_tokens,
+       |         ((2 * m.n_docs - 2 * df.df + 1) * $Qi) // (2 * df.df + 1) AS idfq
+       |  FROM q JOIN df ON q.term = df.term CROSS JOIN meta m),
+       |best AS (
+       |  SELECT query_id, term, idfq, n_docs, total_tokens FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                ORDER BY idfq DESC, term) AS brk
+       |    FROM qstats) WHERE brk = 1),
+       |pst AS (SELECT tf.term, tf.doc_id, tf.tf, dl.dl
+       |        FROM tf JOIN dl ON tf.doc_id = dl.doc_id),
+       |th0 AS (
+       |  SELECT b.query_id, p.doc_id,
+       |         ${tfq("p.tf", "p.dl", "b")} * b.idfq AS w
+       |  FROM pst p JOIN best b ON p.term = b.term),
+       |th0r AS (SELECT query_id, w, row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY w DESC, doc_id) AS prk FROM th0),
+       |theta AS (
+       |  SELECT query_id,
+       |         CASE WHEN count(*) >= $TopK THEN min(w)
+       |              ELSE 0 END::BIGINT AS theta
+       |  FROM th0r WHERE prk <= $TopK GROUP BY query_id),
+       |bm AS (SELECT term, doc_id // $BlockDocs AS blk,
+       |              max(tf) AS tf, min(dl) AS dl
+       |       FROM pst GROUP BY 1, 2),
+       |ub AS (SELECT s.query_id, b.blk,
+       |              sum(${tfq("b.tf", "b.dl", "s")} * s.idfq) AS ub
+       |       FROM bm b JOIN qstats s ON b.term = s.term GROUP BY 1, 2),
+       |docagg AS (
+       |  SELECT s.query_id, p.doc_id, p.doc_id // $BlockDocs AS blk,
+       |         count(*)::BIGINT AS n_hit,
+       |         sum(${tfq("p.tf", "p.dl", "s")} * s.idfq)::BIGINT AS w_sum
+       |  FROM pst p JOIN qstats s ON p.term = s.term GROUP BY 1, 2, 3),
+       |wandscored AS (
+       |  SELECT u1.query_id, u1.blk
+       |  FROM ub u1 JOIN theta t ON u1.query_id = t.query_id
+       |  WHERE u1.ub >= t.theta
+       |    AND (SELECT count(*)
+       |         FROM ub u2 JOIN docagg s2
+       |           ON s2.query_id = u2.query_id AND s2.blk = u2.blk
+       |         WHERE u2.query_id = u1.query_id
+       |           AND (u2.ub > u1.ub OR (u2.ub = u1.ub AND u2.blk < u1.blk))
+       |           AND s2.w_sum > u1.ub) < $TopK),
+       |acct AS (
+       |  SELECT u.query_id, count(*)::BIGINT AS n_candidates,
+       |         sum(CASE WHEN u.ub >= t.theta THEN 1 ELSE 0 END)::BIGINT
+       |           AS n_bm_survivors,
+       |         (SELECT count(*) FROM wandscored ws
+       |          WHERE ws.query_id = u.query_id)::BIGINT AS n_scored
+       |  FROM ub u JOIN theta t ON u.query_id = t.query_id GROUP BY 1),
+       |ranked AS (SELECT query_id, doc_id, n_hit, w_sum,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY w_sum DESC, doc_id) AS rk
+       |           FROM docagg)
+       |SELECT r.query_id, r.doc_id, r.n_hit, r.w_sum,
+       |       r.w_sum::DOUBLE / ${Qt * Qi}.0 AS score, r.rk::BIGINT AS rk,
+       |       a.n_candidates, a.n_bm_survivors, a.n_scored,
+       |       5 * a.n_scored <= a.n_candidates AS wand_ok
        |FROM ranked r JOIN acct a ON r.query_id = a.query_id
        |WHERE r.rk <= $TopK ORDER BY r.query_id, r.rk""".stripMargin
   }
@@ -1397,6 +1696,7 @@ object Retrieval {
     "text_bm25_blockmax" -> blockMaxQuery,
     "text_bm25_blockmax_append" -> blockMaxAppend,
     "text_bm25_blockmax_skewed" -> blockMaxSkewed,
+    "text_bm25_wand_skewed" -> wandSkewed,
     "stream_bm25_route" -> streamRouteQuery)
 
   val oracles: Map[String, String] = Map(
@@ -1412,5 +1712,6 @@ object Retrieval {
     "text_bm25_blockmax" -> indexTopKSql,
     "text_bm25_blockmax_append" -> indexAppendSql,
     "text_bm25_blockmax_skewed" -> blockMaxSkewedSql,
+    "text_bm25_wand_skewed" -> wandSkewedSql,
     "stream_bm25_route" -> streamRouteSql)
 }

@@ -103,4 +103,35 @@ class RetrievalBlockMaxSpec extends AnyFunSuite {
     assert(bm.toSeq == unpruned.toSeq,
       "skewed-surface pruning dropped a true top-k document")
   }
+
+  test("WAND: beats one-shot block-max AND equals the full scoring") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Retrieval.wandSkewed(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("wand_ok")))
+      // the adaptive θ must strictly beat the one-shot phase-1 bound on
+      // this surface — otherwise the entry is re-testing block-max
+      assert(r.getLong(r.fieldIndex("n_scored")) <
+        r.getLong(r.fieldIndex("n_bm_survivors")),
+        "WAND scored no fewer blocks than one-shot block-max admits")
+    }
+    // exactness: the loop's top-k == full scoring over the same derived
+    // corpus and query set (scoreTopK is the family's correctness anchor)
+    val docs = Retrieval.wandDocs(spark, dir)
+      .where(s"doc_id % ${Dedup.IncrSplitMod} <> 0")
+    val qt = Retrieval.WandQueries
+      .flatMap { case (id, q) => q.split(' ').map(t => (id, t)) }
+      .toDF("query_id", "term")
+    val postings = Retrieval.postingsOf(docs)
+    val want = Retrieval.scoreTopK(qt, postings,
+        Retrieval.statsOf(postings), Retrieval.metaOf(docs))
+      .select("query_id", "doc_id", "w_sum", "rk")
+      .collect().map(_.toSeq).toSeq
+    val got = out.map(r => Seq(r.getLong(0), r.getLong(1),
+      r.getLong(r.fieldIndex("w_sum")), r.getLong(r.fieldIndex("rk"))))
+      .toSeq
+    assert(got == want, "WAND top-k must equal the unpruned scoring")
+  }
 }
