@@ -121,18 +121,50 @@ object Multimodal {
     * space-separated tag list (`W`idth, `H`eight, `F`rame-rate num:den,
     * `I`nterlace, `A`spect, `C`olorspace, `X`tension — unknown tags
     * reject), then per frame a `FRAME` marker line followed by the raw
-    * planar YUV raster. This decoder implements the C444 plane geometry
-    * (three full-resolution planes — what [[y4mVideo]] synthesizes);
-    * subsampled colorspaces (C420 et al.) would add plane-size cases, not
-    * plan changes, so it rejects them rather than misdecode.
+    * planar YUV raster. Plane geometry per colorspace: C444 = three
+    * full-resolution planes; the C420 family (420/420jpeg/420mpeg2/
+    * 420paldv — the DOMINANT real-world layout, and the spec's default
+    * when no C tag is present) = full-res Y plus two (w/2)×(h/2) chroma
+    * planes (even dimensions required, else reject). The 420 variants
+    * differ only in chroma SITING (sample alignment), which matters to
+    * interpolating upsamplers, not to [[upsample420]]'s sample
+    * replication — the tag is preserved verbatim for roundtrip fidelity.
+    * Frames carry the planes AS STORED in the stream (subsampled for
+    * 420); [[upsample420]] normalizes to full resolution when a consumer
+    * needs it, and replication preserves plane means exactly.
     */
   object Y4mCodec {
     /** Upper bound on any single header dimension. */
     final val MaxDim: Int = 1 << 16
 
+    /** The C420 chroma-geometry family (shared (w/2)×(h/2) plane shape). */
+    final val Cs420: Set[String] = Set("420", "420jpeg", "420mpeg2", "420paldv")
+
     final case class Frame(y: Array[Byte], u: Array[Byte], v: Array[Byte])
     final case class Video(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
-        frames: Vector[Frame])
+        frames: Vector[Frame], cs: String = "444")
+
+    /** 2×2 sample-replication upsampling of a (w/2)×(h/2) chroma plane to
+      * w×h — the deterministic normalization from C420 storage to C444
+      * processing geometry. Replication (not interpolation) keeps every
+      * output byte equal to a stored byte, so plane statistics (means,
+      * histograms) are exactly preserved up to the 4× multiplicity.
+      */
+    def upsample420(p: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(p.length == (w / 2) * (h / 2),
+        s"chroma plane has ${p.length} bytes, expected ${(w / 2) * (h / 2)}")
+      val out = new Array[Byte](w * h)
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          out(r * w + c) = p((r / 2) * (w / 2) + (c / 2))
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
 
     def decode(bytes: Array[Byte]): Video = {
       var i = 0
@@ -166,8 +198,13 @@ object Multimodal {
       require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim,
         s"Y4M dimensions out of bounds: ${w}x$h")
       require(fn > 0 && fd > 0, s"Y4M frame rate out of bounds: $fn:$fd")
-      require(cs == "444", s"Y4M: unsupported colorspace C$cs (C444 only)")
+      val is420 = Cs420(cs)
+      require(cs == "444" || is420,
+        s"Y4M: unsupported colorspace C$cs (C444 and the C420 family only)")
+      require(!is420 || (w % 2 == 0 && h % 2 == 0),
+        s"Y4M: C$cs requires even dimensions, got ${w}x$h")
       val plane = w * h // ≤ 2^32 can't overflow: w,h ≤ 2^16 → use Long math
+      val cplane = if (is420) (w / 2) * (h / 2) else plane
       require(w.toLong * h <= Int.MaxValue / 3,
         s"Y4M raster too large: ${w}x$h")
       val frames = Vector.newBuilder[Frame]
@@ -175,14 +212,14 @@ object Multimodal {
         val fl = readLine("FRAME marker")
         require(fl == "FRAME" || fl.startsWith("FRAME "),
           s"Y4M: FRAME marker expected, got '${fl.take(16)}'")
-        require(bytes.length - i >= 3L * plane,
+        require(bytes.length - i >= plane.toLong + 2L * cplane,
           "Y4M: frame raster shorter than header claims")
-        def plane1(): Array[Byte] = {
-          val p = java.util.Arrays.copyOfRange(bytes, i, i + plane); i += plane; p
+        def plane1(n: Int): Array[Byte] = {
+          val p = java.util.Arrays.copyOfRange(bytes, i, i + n); i += n; p
         }
-        frames += Frame(plane1(), plane1(), plane1())
+        frames += Frame(plane1(plane), plane1(cplane), plane1(cplane))
       }
-      Video(w, h, fn, fd, frames.result())
+      Video(w, h, fn, fd, frames.result(), cs)
     }
 
     def encode(v: Video): Array[Byte] = {
@@ -190,7 +227,7 @@ object Multimodal {
       def asciiWrite(s: String): Unit =
         bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       asciiWrite(s"YUV4MPEG2 W${v.width} H${v.height} " +
-        s"F${v.fpsNum}:${v.fpsDen} Ip A1:1 C444\n")
+        s"F${v.fpsNum}:${v.fpsDen} Ip A1:1 C${v.cs}\n")
       v.frames.foreach { f =>
         asciiWrite("FRAME\n")
         bos.write(f.y); bos.write(f.u); bos.write(f.v)
@@ -234,20 +271,39 @@ object Multimodal {
   private val Y4mPlane = Y4mW * Y4mH
   private val Y4mFrameBytes = 3 * Y4mPlane
 
+  /** Frame raster bytes for a [[Y4mW]]×[[Y4mH]] clip in `cs`: 192 for
+    * C444, 96 for the C420 family (64 Y + 2×16 chroma).
+    */
+  private def y4mFb(cs: String): Int =
+    Y4mPlane + 2 * (if (Y4mCodec.Cs420(cs)) Y4mPlane / 4 else Y4mPlane)
+
+  /** The colorspace of a document's synthesized clip in the MIXED
+    * corpus: even doc_ids are C444, odd are C420 — so both plane
+    * geometries are live in every entry batch (round-12 verdict item 7:
+    * real video is overwhelmingly 4:2:0, a 444-only path tests the
+    * uncommon case).
+    */
+  private def y4mCs(docId: Long): String =
+    if (docId % 2 == 0) "444" else "420"
+
   /** Each doc's text as a complete, spec-valid `.y4m` stream (any ffmpeg/
     * mjpegtools reader opens these bytes) built by the REAL encoder.
     */
-  private def y4mVideo(text: Array[Byte]): Y4mCodec.Video = {
-    val nf = (text.length + Y4mFrameBytes - 1) / Y4mFrameBytes
-    val padded = java.util.Arrays.copyOf(text, nf * Y4mFrameBytes)
+  private def y4mVideo(text: Array[Byte], cs: String = "444")
+      : Y4mCodec.Video = {
+    val cpl = if (Y4mCodec.Cs420(cs)) Y4mPlane / 4 else Y4mPlane
+    val fb = Y4mPlane + 2 * cpl
+    val nf = (text.length + fb - 1) / fb
+    val padded = java.util.Arrays.copyOf(text, nf * fb)
     java.util.Arrays.fill(padded, text.length, padded.length, 'x'.toByte)
     val frames = (0 until nf).toVector.map { i =>
-      val o = i * Y4mFrameBytes
-      def plane(p: Int): Array[Byte] = java.util.Arrays.copyOfRange(
-        padded, o + p * Y4mPlane, o + (p + 1) * Y4mPlane)
-      Y4mCodec.Frame(plane(0), plane(1), plane(2))
+      var o = i * fb
+      def plane(n: Int): Array[Byte] = {
+        val p = java.util.Arrays.copyOfRange(padded, o, o + n); o += n; p
+      }
+      Y4mCodec.Frame(plane(Y4mPlane), plane(cpl), plane(cpl))
     }
-    Y4mCodec.Video(Y4mW, Y4mH, 25, 1, frames)
+    Y4mCodec.Video(Y4mW, Y4mH, 25, 1, frames, cs)
   }
 
   /** One decoded video frame's features (the decode output schema):
@@ -277,14 +333,18 @@ object Multimodal {
           val docId = r.getLong(0)
           val text = r.getString(1)
             .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-          val vid = Y4mCodec.decode(Y4mCodec.encode(y4mVideo(text)))
+          val cs = y4mCs(docId) // MIXED corpus: both geometries live
+          val vid = Y4mCodec.decode(Y4mCodec.encode(y4mVideo(text, cs)))
           vid.frames.zipWithIndex.map { case (f, idx) =>
             def mean(p: Array[Byte]): Double = {
               var s = 0L; p.foreach(b => s += b & 0xff)
               s.toDouble / p.length
             }
+            // chroma means over the STORED planes — equal to the means of
+            // the replication-upsampled full-res planes by construction,
+            // so the feature semantics are colorspace-independent
             Y4mFrameFeature(docId, idx.toLong,
-              vid.width.toLong, vid.height.toLong, Y4mFrameBytes.toLong,
+              vid.width.toLong, vid.height.toLong, y4mFb(cs).toLong,
               mean(f.y), mean(f.u), mean(f.v),
               PpmCodec.md5Hex(f.y ++ f.u ++ f.v))
           }
@@ -300,23 +360,36 @@ object Multimodal {
     * the Scala side demuxed out of the real .y4m container.
     */
   val frameFeaturesSql: String = {
-    val fb = Y4mFrameBytes; val pl = Y4mPlane
-    def mean(p: Int) =
-      s"list_sum(list_transform(range(${p * pl + 1}, ${(p + 1) * pl + 1}), " +
-        s"i -> ord(substring(fx, i, 1))))::DOUBLE / $pl"
-    s"""WITH f AS (
-       |  SELECT doc_id, unnest(range(0, (length(text) + ${fb - 1}) // $fb)) AS frame_idx,
-       |         rpad(text, ($fb * ((length(text) + ${fb - 1}) // $fb))::INT, 'x') AS px
-       |  FROM documents WHERE length(text) > 0),
-       |fr AS (
-       |  SELECT doc_id, frame_idx, substring(px, frame_idx * $fb + 1, $fb) AS fx
-       |  FROM f)
-       |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
-       |       $Y4mW::BIGINT AS width, $Y4mH::BIGINT AS height,
-       |       $fb::BIGINT AS n_bytes,
-       |       ${mean(0)} AS mean_y, ${mean(1)} AS mean_u, ${mean(2)} AS mean_v,
-       |       md5(fx) AS frame_fp
-       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+    // one branch per parity/colorspace: even docs are C444 (192-byte
+    // frames, full-res chroma), odd are C420 (96-byte frames, 16-byte
+    // chroma planes) — the md5 is over the STORED raster either way
+    def branch(parity: Int, cpl: Int): String = {
+      val pl = Y4mPlane
+      val fb = pl + 2 * cpl
+      def mean(start: Int, n: Int) =
+        s"list_sum(list_transform(range($start, ${start + n}), " +
+          s"i -> ord(substring(fx, i, 1))))::DOUBLE / $n"
+      s"""SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+         |       $Y4mW::BIGINT AS width, $Y4mH::BIGINT AS height,
+         |       $fb::BIGINT AS n_bytes,
+         |       ${mean(1, pl)} AS mean_y,
+         |       ${mean(pl + 1, cpl)} AS mean_u,
+         |       ${mean(pl + cpl + 1, cpl)} AS mean_v,
+         |       md5(fx) AS frame_fp
+         |FROM (
+         |  SELECT doc_id, frame_idx,
+         |         substring(px, frame_idx * $fb + 1, $fb) AS fx
+         |  FROM (
+         |    SELECT doc_id,
+         |           unnest(range(0, (length(text) + ${fb - 1}) // $fb)) AS frame_idx,
+         |           rpad(text, ($fb * ((length(text) + ${fb - 1}) // $fb))::INT, 'x') AS px
+         |    FROM documents WHERE length(text) > 0 AND doc_id % 2 = $parity))""".stripMargin
+    }
+    s"""SELECT * FROM (
+       |${branch(0, Y4mPlane)}
+       |UNION ALL
+       |${branch(1, Y4mPlane / 4)})
+       |ORDER BY doc_id, frame_idx""".stripMargin
   }
 
   /** Scene-cut threshold: mean per-pixel luma delta ≥ 24 between
@@ -362,7 +435,11 @@ object Multimodal {
           val docId = r.getLong(0)
           val text = r.getString(1)
             .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-          val vid = Y4mCodec.decode(Y4mCodec.encode(y4mVideo(text)))
+          // MIXED corpus: odd docs decode through the C420 plane
+          // geometry; the SAD is luma-only so the detector semantics are
+          // colorspace-independent (frame STRIDE differs: 96 vs 192)
+          val vid = Y4mCodec.decode(
+            Y4mCodec.encode(y4mVideo(text, y4mCs(docId))))
           lumaSads(vid).map { case (idx, sad) =>
             Y4mSceneCut(docId, idx.toLong, sad, sad >= SceneCutSad)
           }
@@ -372,23 +449,39 @@ object Multimodal {
   }
 
   val sceneCutsSql: String = {
-    val fb = Y4mFrameBytes; val pl = Y4mPlane
-    s"""WITH f AS (
-       |  SELECT doc_id, unnest(range(0, (length(text) + ${fb - 1}) // $fb)) AS frame_idx,
-       |         rpad(text, ($fb * ((length(text) + ${fb - 1}) // $fb))::INT, 'x') AS px
-       |  FROM documents WHERE length(text) > $fb),
-       |fr AS (
-       |  SELECT doc_id, frame_idx, substring(px, frame_idx * $fb + 1, $fb) AS fx
-       |  FROM f),
-       |sad AS (
-       |  SELECT c.doc_id, c.frame_idx,
-       |         list_sum(list_transform(range(1, ${pl + 1}),
-       |           i -> abs(ord(substring(c.fx, i, 1)) - ord(substring(p.fx, i, 1)))))::BIGINT AS sad_y
-       |  FROM fr c JOIN fr p
-       |    ON c.doc_id = p.doc_id AND c.frame_idx = p.frame_idx + 1)
-       |SELECT doc_id, frame_idx::BIGINT AS frame_idx, sad_y,
+    val pl = Y4mPlane
+    def branch(parity: Int, cpl: Int): String = {
+      val fb = pl + 2 * cpl
+      s"""SELECT c.doc_id, c.frame_idx,
+         |       list_sum(list_transform(range(1, ${pl + 1}),
+         |         i -> abs(ord(substring(c.fx, i, 1)) - ord(substring(p.fx, i, 1)))))::BIGINT AS sad_y
+         |FROM (
+         |  SELECT doc_id, frame_idx,
+         |         substring(px, frame_idx * $fb + 1, $fb) AS fx
+         |  FROM (
+         |    SELECT doc_id,
+         |           unnest(range(0, (length(text) + ${fb - 1}) // $fb)) AS frame_idx,
+         |           rpad(text, ($fb * ((length(text) + ${fb - 1}) // $fb))::INT, 'x') AS px
+         |    FROM documents
+         |    WHERE length(text) > $Y4mFrameBytes AND doc_id % 2 = $parity)) c
+         |JOIN (
+         |  SELECT doc_id, frame_idx,
+         |         substring(px, frame_idx * $fb + 1, $fb) AS fx
+         |  FROM (
+         |    SELECT doc_id,
+         |           unnest(range(0, (length(text) + ${fb - 1}) // $fb)) AS frame_idx,
+         |           rpad(text, ($fb * ((length(text) + ${fb - 1}) // $fb))::INT, 'x') AS px
+         |    FROM documents
+         |    WHERE length(text) > $Y4mFrameBytes AND doc_id % 2 = $parity)) p
+         |  ON c.doc_id = p.doc_id AND c.frame_idx = p.frame_idx + 1""".stripMargin
+    }
+    s"""SELECT doc_id, frame_idx::BIGINT AS frame_idx, sad_y,
        |       sad_y >= $SceneCutSad AS is_cut
-       |FROM sad ORDER BY doc_id, frame_idx""".stripMargin
+       |FROM (
+       |${branch(0, Y4mPlane)}
+       |UNION ALL
+       |${branch(1, Y4mPlane / 4)})
+       |ORDER BY doc_id, frame_idx""".stripMargin
   }
 
   /** aHash (average-hash) of an 8×8 luma raster — the canonical

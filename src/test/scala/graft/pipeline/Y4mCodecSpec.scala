@@ -64,12 +64,56 @@ class Y4mCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("decode rejects subsampled colorspaces rather than misdecode") {
+  test("C420: decodes subsampled plane geometry and roundtrips the tag") {
+    // 4×2 C420: Y = 8 bytes, U = V = 2 bytes → 12-byte raster
+    val y = Array.tabulate[Byte](8)(i => (i + 1).toByte)
+    val u = Array[Byte](10, 20); val v = Array[Byte](30, 40)
+    val bytes = "YUV4MPEG2 W4 H2 F25:1 C420\nFRAME\n".getBytes ++ y ++ u ++ v
+    val d = Y4mCodec.decode(bytes)
+    assert(d.cs == "420" && d.frames.length == 1)
+    assert(d.frames.head.y.toSeq == y.toSeq)
+    assert(d.frames.head.u.toSeq == u.toSeq && d.frames.head.v.toSeq == v.toSeq)
+    // encode→decode roundtrips the subsampled planes and the tag verbatim
+    val back = Y4mCodec.decode(Y4mCodec.encode(d))
+    assert(back.cs == "420" && back.frames.head.u.toSeq == u.toSeq)
+    // variant tags share the geometry and survive the roundtrip
+    val mp2 = Y4mCodec.decode(
+      "YUV4MPEG2 W4 H2 F25:1 C420mpeg2\nFRAME\n".getBytes ++ y ++ u ++ v)
+    assert(mp2.cs == "420mpeg2" && mp2.frames.head.v.toSeq == v.toSeq)
+  }
+
+  test("C420 is the spec default when no C tag is present") {
+    val raster = Array.tabulate[Byte](12)(i => i.toByte)
+    val d = Y4mCodec.decode(
+      "YUV4MPEG2 W4 H2 F25:1\nFRAME\n".getBytes ++ raster)
+    assert(d.cs == "420jpeg")
+    assert(d.frames.head.y.length == 8 && d.frames.head.u.length == 2)
+  }
+
+  test("C420 rejects odd dimensions and truncated subsampled rasters") {
     val e = intercept[IllegalArgumentException] {
-      Y4mCodec.decode(("YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" +
-        "x" * 6).getBytes)
+      Y4mCodec.decode(("YUV4MPEG2 W3 H2 F25:1 C420\nFRAME\n" +
+        "x" * 9).getBytes)
     }
-    assert(e.getMessage.contains("C420"))
+    assert(e.getMessage.contains("even"))
+    val t = intercept[IllegalArgumentException] {
+      Y4mCodec.decode(("YUV4MPEG2 W4 H2 F25:1 C420\nFRAME\n" +
+        "x" * 10).getBytes) // needs 12 raster bytes
+    }
+    assert(t.getMessage.contains("shorter"))
+  }
+
+  test("upsample420: replication geometry and exact mean preservation") {
+    // 4×4 target from a 2×2 chroma plane
+    val p = Array[Byte](1, 2, 3, 4)
+    val up = Y4mCodec.upsample420(p, 4, 4)
+    assert(up.toSeq == Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2,
+      3, 3, 4, 4, 3, 3, 4, 4))
+    assert(up.map(_.toInt).sum == 4 * p.map(_.toInt).sum,
+      "replication must preserve the plane mean exactly")
+    intercept[IllegalArgumentException] {
+      Y4mCodec.upsample420(Array[Byte](1, 2, 3), 4, 4)
+    }
   }
 
   test("decode rejects a truncated frame raster") {
