@@ -1656,6 +1656,13 @@ object Similarity {
   def ivfProbeInputs(spark: SparkSession, dir: String): DataFrame =
     waveQueries(embDouble(spark, dir), 0)
 
+  /** The corpus float vectors (vec_id, emb, nrm) — the exact-re-rank
+    * input of the SQ8 probe, exposed for the scale harness
+    * (`graft.tools.Scale ivfprobe`'s SQ8 leg).
+    */
+  def corpusFloats(spark: SparkSession, dir: String): DataFrame =
+    embDouble(spark, dir)
+
   /** Incremental ANN, probe leg: wave-1 queries against the PERSISTED
     * historical index — the cross-run "search what is already ingested"
     * operation, reading only probed list dirs, with the index's own

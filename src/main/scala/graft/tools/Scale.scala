@@ -311,7 +311,39 @@ object Scale {
     }
     once() // untimed warmup
     val sec = math.min(once(), once())
-    println(s"""[scale] {"ivfprobe_batch":"$batchDir","index":"$indexDir","centroids":$nCent,"index_rows":$indexRows,"sec_pruned":${num(sec)}}""")
+    // SQ8-stored index: the same queries against the quantized lists with
+    // exact re-rank on the float corpus — wall + on-disk list bytes of
+    // both layouts (the probe's list-IO proxy: same row counts, 1 byte/dim
+    // vs float64 arrays)
+    val sq8Path = Similarity.ensureIvfSq8Index(spark, indexDir)
+    val floats = Similarity.corpusFloats(spark, indexDir)
+    val rerank = Similarity.rerankK(
+      Similarity.corpusStats(spark, indexDir)._1)
+    def onceSq8(): Double = {
+      val t = timed(
+        Similarity.incrementalIvfSq8Probe(spark, queries,
+            Similarity.indexCodebook(spark, sq8Path), sq8Path, floats, rerank)
+          .write.format("noop").mode("overwrite").save())
+      spark.catalog.clearCache()
+      t
+    }
+    onceSq8() // untimed warmup
+    val secQ = math.min(onceSq8(), onceSq8())
+    def listBytes(root: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var s = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.toString.contains("c_id=") &&
+            f.getPath.getName.endsWith(".parquet")) s += f.getLen
+      }
+      s
+    }
+    val fBytes = listBytes(indexPath)
+    val qBytes = listBytes(sq8Path)
+    println(s"""[scale] {"ivfprobe_batch":"$batchDir","index":"$indexDir","centroids":$nCent,"index_rows":$indexRows,"sec_pruned":${num(sec)},"sec_sq8":${num(secQ)},"list_bytes_float":$fBytes,"list_bytes_sq8":$qBytes,"list_bytes_ratio":${num(fBytes.toDouble / math.max(1L, qBytes), 2)}}""")
     spark.stop()
   }
 

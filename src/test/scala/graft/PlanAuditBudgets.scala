@@ -153,7 +153,8 @@ object PlanAuditBudgets {
     // runs all SIX ANN constructions incl. IVF-PQ; +3 in r11 for the
     // multi-table LSH member (explode-keyed candidate join + dedup)
     // 38 since the SQ8 method joined the panel (7 constructions + truth)
-    "sim_recall_gate" -> 38,
+    // 39 since the SQ8-stored-IVF construction joined (8 constructions)
+    "sim_recall_gate" -> 39,
     // ×10 gate: brute-force truth + one IVF construction over the derived
     // corpus (windows for both top-ks, assignment, probe set, hit join) —
     // a declared verification surface, constant methods regardless of sf
@@ -208,6 +209,11 @@ object PlanAuditBudgets {
     // the returned plan is the same block-max probe (the bucket-wise
     // merge ran in the upsert sink before this frame was built)
     "text_bm25_blockmax_append" -> 7,
+    // the block-max probe's 7 + the admission accounting the skewed gate
+    // carries in-plan: candidate distinct + per-query count, survivor
+    // count, and the acct join onto the top-k — all queries×blocks-scale
+    // rows AFTER the bound aggs, spent to make the prune rate hash-checked
+    "text_bm25_blockmax_skewed" -> 11,
     "taxi_inv_replay" -> 1,
     "taxi_parse" -> 1,
     "text_bigrams" -> 1,

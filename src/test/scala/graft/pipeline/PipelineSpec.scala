@@ -391,7 +391,9 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("y4m frame features demux every padded payload byte exactly once") {
-    val fb = 3 * Multimodal.Y4mW * Multimodal.Y4mH
+    // MIXED corpus: even docs are C444 (192-byte frames), odd C420 (96)
+    val pl = Multimodal.Y4mW * Multimodal.Y4mH
+    def fbOf(docId: Long): Long = if (docId % 2 == 0) 3L * pl else 3L * pl / 2
     val bytesPerDoc = Multimodal.binaryColumns(spark, dir)
       .selectExpr("doc_id", "meta.n_bytes AS n").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -400,9 +402,11 @@ class PipelineSpec extends AnyFunSuite {
     // frame count per doc = ceil(n_bytes / frameBytes); every frame full
     val counts = frames.groupBy(_.getAs[Long]("doc_id"))
       .view.mapValues(_.length.toLong).toMap
-    assert(counts == bytesPerDoc.view.mapValues(n => (n + fb - 1) / fb).toMap)
+    assert(counts == bytesPerDoc.map { case (d, n) =>
+      d -> ((n + fbOf(d) - 1) / fbOf(d))
+    })
     frames.foreach { r =>
-      assert(r.getAs[Long]("n_bytes") == fb)
+      assert(r.getAs[Long]("n_bytes") == fbOf(r.getAs[Long]("doc_id")))
       Seq("mean_y", "mean_u", "mean_v").foreach { c =>
         val m = r.getAs[Double](c)
         assert(m >= 0 && m <= 255, s"$c out of byte range: $m")
@@ -410,18 +414,22 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[String]("frame_fp").matches("[0-9a-f]{32}"))
     }
     // md5 of the demuxed planes == md5 of the padded text slice: the
-    // decoder handed back exactly the bytes the container carried
-    val doc = bytesPerDoc.keys.min
-    val text = graft.Tables.load(spark, dir, "documents")
-      .where(s"doc_id = $doc").select("text").head().getString(0)
-      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    val nf = (text.length + fb - 1) / fb
-    val padded = java.util.Arrays.copyOf(text, nf * fb)
-    java.util.Arrays.fill(padded, text.length, padded.length, 'x'.toByte)
-    val wantFps = (0 until nf).map(i => Multimodal.PpmCodec.md5Hex(
-      java.util.Arrays.copyOfRange(padded, i * fb, (i + 1) * fb)))
-    val gotFps = frames.filter(_.getAs[Long]("doc_id") == doc)
-      .sortBy(_.getAs[Long]("frame_idx")).map(_.getAs[String]("frame_fp"))
-    assert(gotFps.toSeq == wantFps)
+    // decoder handed back exactly the bytes the container carried —
+    // checked for one doc of EACH colorspace parity
+    for (doc <- Seq(bytesPerDoc.keys.filter(_ % 2 == 0).min,
+        bytesPerDoc.keys.filter(_ % 2 == 1).min)) {
+      val fb = fbOf(doc).toInt
+      val text = graft.Tables.load(spark, dir, "documents")
+        .where(s"doc_id = $doc").select("text").head().getString(0)
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val nf = (text.length + fb - 1) / fb
+      val padded = java.util.Arrays.copyOf(text, nf * fb)
+      java.util.Arrays.fill(padded, text.length, padded.length, 'x'.toByte)
+      val wantFps = (0 until nf).map(i => Multimodal.PpmCodec.md5Hex(
+        java.util.Arrays.copyOfRange(padded, i * fb, (i + 1) * fb)))
+      val gotFps = frames.filter(_.getAs[Long]("doc_id") == doc)
+        .sortBy(_.getAs[Long]("frame_idx")).map(_.getAs[String]("frame_fp"))
+      assert(gotFps.toSeq == wantFps)
+    }
   }
 }
