@@ -713,16 +713,33 @@ object Retrieval {
       "lang", "source", "n_chars")
   }
 
-  /** Stage the derived corpus as a corpus dir for the REAL index builder
-    * (hermetic temp scope per invocation, the [[blockMaxAppend]]
-    * working-copy convention; test-scale corpus, one file).
+  /** Stage a derived corpus ONCE at a stable content-keyed path (source
+    * fingerprint via [[Dedup.docsStats]], so a regenerated source corpus
+    * re-derives instead of silently reusing) — the derivation is
+    * deterministic, so the staged table AND the index the real builder
+    * commits over it are reusable across invocations (a fresh temp dir
+    * per call was re-deriving and REBUILDING the whole index every run:
+    * 6 s/invocation at sf0.001, all build). Atomic [[IndexCommit]]
+    * publication, same cross-process safety as the indexes themselves.
+    * The entries only PROBE the staged corpus/index, so sharing is safe.
     */
-  private def skewedStage(spark: SparkSession, dir: String): String = {
-    val d = graft.TempDirs.scoped("bm25-skew")
-    skewedDocs(spark, dir).coalesce(1).write.mode("overwrite")
-      .parquet(s"$d/documents.parquet")
+  private def stagedDerived(spark: SparkSession, dir: String, tag: String)(
+      derive: => DataFrame): String = {
+    val (rows, fp) = Dedup.docsStats(spark, dir)
+    val d = s"/tmp/graft_bm25_$tag/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_n${rows}_f$fp"
+    val (fs, root) = hadoopFs(spark, d)
+    IndexCommit.ensure(fs, root)(r =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$r/documents.parquet/_SUCCESS"))) {
+      tmp =>
+        derive.coalesce(1).write.mode("overwrite")
+          .parquet(s"$tmp/documents.parquet")
+    }
     d
   }
+
+  private def skewedStage(spark: SparkSession, dir: String): String =
+    stagedDerived(spark, dir, "skew")(skewedDocs(spark, dir))
 
   /** Committed skewed-surface gate (round-12 verdict item 5): the
     * block-max probe runs the REAL production path — persisted index,
@@ -891,12 +908,8 @@ object Retrieval {
       s"concat(text, ${wandMarkerCase("div", (a, m) => s"pmod($a, $m)")}) AS text",
       "lang", "source", "n_chars")
 
-  private def wandStage(spark: SparkSession, dir: String): String = {
-    val d = graft.TempDirs.scoped("bm25-wand")
-    wandDocs(spark, dir).coalesce(1).write.mode("overwrite")
-      .parquet(s"$d/documents.parquet")
-    d
-  }
+  private def wandStage(spark: SparkSession, dir: String): String =
+    stagedDerived(spark, dir, "wand")(wandDocs(spark, dir))
 
   /** Block-Max WAND with ADAPTIVE θ (Ding & Suel 2011, the document-at-
     * a-time termination re-expressed block-at-a-time): process candidate
