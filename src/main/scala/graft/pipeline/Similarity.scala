@@ -1978,18 +1978,56 @@ object Similarity {
       rerankK(corpusStats(spark, dir)._1))
   }
 
-  /** DuckDB replay of [[incrementalIvfSq8]] — the same construction from
-    * scratch: historical assignment, SQ8 quantization (`floor(x·s + 0.5)`
-    * exact integers, the [[sq8TopKSql]] arithmetic), approximate top-
-    * rerankK per query, exact re-rank, top-[[TopK]].
+  /** In-place append to the SQ8-stored index — the ingest leg completing
+    * its build/probe/append family (the [[incrementalIvfAppend]] cycle
+    * at the quantized layout): wave-1 vectors are assigned by the
+    * index's float codebook, QUANTIZED via `graft_sq8_pack`, and
+    * upserted into exactly the touched `c_id=` dirs (1/8th the rewritten
+    * bytes per touched list vs the float layout); the manifest commit
+    * makes new lists probe-visible, then wave-2 queries probe the
+    * augmented quantized lists with exact re-rank on the float corpus.
+    * Append cost is O(batch + touched lists), independent of index size.
     */
-  val incrementalIvfSq8Sql: String = {
+  def incrementalIvfSq8Append(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfSq8Index(spark, dir)
+    val aug = graft.TempDirs.scoped("ivfsq8-incr") + "/index"
+    graft.TempDirs.copyTree(spark, path, aug) // hermeticity tax only
+    val cent = indexCodebook(spark, aug)
+    val emb = embDouble(spark, dir)
+    val w = 2 * IvfSplitMod
+    val wave1 = nearestLists(emb.where(s"vec_id % $w = 0"), cent,
+        "vec_id", 1)
+      .selectExpr("vec_id", "nrm", "c_id",
+        "127.0 / array_max(transform(emb, y -> abs(y))) AS s", "emb")
+      .selectExpr("vec_id", "nrm", "c_id", "s",
+        "graft_sq8_pack(emb, s) AS qb")
+      .persist() // read twice (touched set, merge+write) — one compute
+    val touched = wave1.select("c_id").distinct()
+      .collect().map(_.getLong(0)).toSet // ≤ |wave| list ids
+    graft.streaming.Sinks.partitionedUpsertBatch(wave1.toDF(), aug,
+      partitionCols = Seq("c_id"), keyCols = Seq("vec_id"),
+      versionCols = Seq("vec_id"), sortCols = Seq("vec_id"))
+    listsManifestWrite(spark, aug, listsManifestRead(spark, aug) ++ touched)
+    val out = incrementalIvfSq8Probe(spark, waveQueries(emb, IvfSplitMod),
+      indexCodebook(spark, aug), aug, emb,
+      rerankK(corpusStats(spark, dir)._1))
+    wave1.unpersist() // probe reads the written files, not the plan
+    out
+  }
+
+  /** DuckDB replay of [[incrementalIvfSq8]] / [[incrementalIvfSq8Append]]
+    * — the same construction from scratch: `histPred` assignment, SQ8
+    * quantization (`floor(x·s + 0.5)` exact integers, the
+    * [[sq8TopKSql]] arithmetic), approximate top-rerankK per query for
+    * the wave-`rem` query set, exact re-rank, top-[[TopK]].
+    */
+  private def ivfSq8IncrSql(histPred: String, rem: Int): String = {
     val w = 2 * IvfSplitMod
     s"""WITH $embCte,
        |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
        |         WHERE vec_id < $nCentroidsSqlExpr),
        |hist AS (SELECT vec_id, emb, nrm FROM emb
-       |         WHERE vec_id % $IvfSplitMod <> 0),
+       |         WHERE $histPred),
        |lists AS (
        |  SELECT vec_id, c_id FROM (
        |    SELECT h.vec_id, c.c_id,
@@ -2005,8 +2043,8 @@ object Similarity {
        |              list_transform(emb, x -> floor(x * s + 0.5)) AS qv
        |       FROM sc),
        |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
-       |      WHERE vec_id % $w = 0
-       |        AND vec_id < ${w.toLong * QuerySetSize}),
+       |      WHERE vec_id % $w = $rem
+       |        AND vec_id < ${w.toLong * QuerySetSize + rem}),
        |qs AS (SELECT q_id, q_emb, q_nrm,
        |              127.0 / list_max(list_transform(q_emb, y -> abs(y))) AS q_s
        |       FROM q),
@@ -2049,6 +2087,13 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
   }
+
+  val incrementalIvfSq8Sql: String =
+    ivfSq8IncrSql(s"vec_id % $IvfSplitMod <> 0", 0)
+
+  val incrementalIvfSq8AppendSql: String = ivfSq8IncrSql(
+    s"vec_id % $IvfSplitMod <> 0 OR vec_id % ${2 * IvfSplitMod} = 0",
+    IvfSplitMod)
 
   /** Full-corpus SQ8-IVF construction for the recall gate: the same
     * quantized-lists + exact-re-rank scoring as the persisted index,
@@ -2460,6 +2505,7 @@ object Similarity {
     "sim_recall_gate_x10" -> recallGateX10,
     "sim_incremental_ivf" -> incrementalIvf,
     "sim_incremental_ivf_sq8" -> incrementalIvfSq8,
+    "sim_incremental_ivf_sq8_append" -> incrementalIvfSq8Append,
     "sim_incremental_ivf_append" -> incrementalIvfAppend,
     "stream_incremental_ivf" -> streamIncrementalIvf,
     "sim_semdedup" -> semDedup,
@@ -2484,6 +2530,7 @@ object Similarity {
     "sim_recall_gate_x10" -> recallGateX10Sql,
     "sim_incremental_ivf" -> incrementalIvfSqlProbe,
     "sim_incremental_ivf_sq8" -> incrementalIvfSq8Sql,
+    "sim_incremental_ivf_sq8_append" -> incrementalIvfSq8AppendSql,
     "sim_incremental_ivf_append" -> incrementalIvfSqlAppend,
     "stream_incremental_ivf" -> streamIncrementalIvfSql,
     "sim_semdedup" -> semDedupSql,

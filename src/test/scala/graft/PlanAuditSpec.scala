@@ -59,10 +59,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // incremental IVF: nearestLists crossJoins the broadcast 16-row
     // codebook (vec_id < NCentroids) for list assignment / probe set
     "sim_incremental_ivf", "sim_incremental_ivf_append",
-    // SQ8-stored IVF probe: the same bounded persisted-codebook
-    // crossJoin (nearestLists) for the probe set; list scoring itself is
-    // an equi join on c_id
-    "sim_incremental_ivf_sq8",
+    // SQ8-stored IVF probe/append: the same bounded persisted-codebook
+    // crossJoin (nearestLists) for assignment and the probe set; list
+    // scoring itself is an equi join on c_id
+    "sim_incremental_ivf_sq8", "sim_incremental_ivf_sq8_append",
     // vector leg = the incremental-IVF probe's bounded codebook broadcast
     "text_hybrid_rrf_indexed",
     // SemDeDup cluster assignment: the same bounded coarse-codebook

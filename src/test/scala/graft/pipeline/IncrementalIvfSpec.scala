@@ -171,6 +171,19 @@ class IncrementalIvfSpec extends AnyFunSuite {
       "second run must not rewrite any index file (reuse, not rebuild)")
   }
 
+  test("SQ8 append surfaces wave-1 through the quantized lists") {
+    Similarity.ensureIvfSq8Index(spark, dir)
+    val rows = Similarity.incrementalIvfSq8Append(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val w = 2 * Similarity.IvfSplitMod
+    assert(rows.exists(r => r.getLong(1) % w == 0),
+      "appended wave-1 vectors must be probe-visible in wave-2's top-k")
+    assert(rows.forall { r =>
+      val v = r.getLong(1)
+      v % Similarity.IvfSplitMod != 0 || v % w == 0
+    }, "wave-2 vectors must not be in the index")
+  }
+
   test("SQ8 probe's sims are EXACT cosines (re-rank contract) and list bytes shrink") {
     Similarity.ensureIvfIndex(spark, dir)
     val sq8Path = Similarity.ensureIvfSq8Index(spark, dir)
