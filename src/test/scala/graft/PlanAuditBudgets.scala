@@ -158,7 +158,9 @@ object PlanAuditBudgets {
     // ×10 gate: brute-force truth + one IVF construction over the derived
     // corpus (windows for both top-ks, assignment, probe set, hit join) —
     // a declared verification surface, constant methods regardless of sf
-    "sim_recall_gate_x10" -> 9,
+    // 12 since r13: the SQ8-stored construction joined (quantized ADC
+    // window, exact re-rank join, its hit join)
+    "sim_recall_gate_x10" -> 12,
     "sim_lsh_multi_topk" -> 3, // bucket join, candidate dedup, score join
     // assignment argmax agg + emb rejoin (the cached `assigned` subtree,
     // appearing on both self-join sides), c_id-keyed pair join, dropped-set
