@@ -1978,6 +1978,105 @@ object Similarity {
       rerankK(corpusStats(spark, dir)._1))
   }
 
+  /** Stream-static SQ8 probe — the quantized twin of [[streamProbeIvf]]:
+    * incoming vectors quantize STATELESSLY in the expression layer
+    * (`graft_sq8_pack` on the stream side), probe-list choice via the
+    * same broadcast codebook array, then ONE stream-static equi join on
+    * list id against the persisted QUANTIZED lists. Emitted sims are the
+    * SQ8 ROUTING scores (integer dot rescaled by the stored scales) —
+    * exactly what a live path can compute without a rank window; the
+    * exact re-rank is the downstream batch consumer's job, as in
+    * [[incrementalIvfSq8Probe]]. No watermark, no state store, and the
+    * static-side list IO is the 1-byte/dim layout (~8× less than the
+    * float twin's).
+    */
+  def streamProbeIvfSq8(incoming: DataFrame, cent: DataFrame,
+      idx: DataFrame): DataFrame = {
+    val centArr = cent.agg(array_sort(collect_list(
+      struct(col("c_id"), col("c_emb"), col("c_nrm")))).as("cents"))
+    incoming
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        explode(expr(
+          s"""slice(array_sort(transform(cents, c -> named_struct(
+             |  'negsim', CAST(0 AS DOUBLE)
+             |    - round(graft_dot(emb, c.c_emb) / (nrm * c.c_nrm), 6),
+             |  'c_id', c.c_id))), 1, $NProbe)""".stripMargin)).as("probe"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("probe.c_id").as("c_id"))
+      .selectExpr("q_id", "q_nrm", "c_id",
+        "127.0 / array_max(transform(q_emb, y -> abs(y))) AS q_s", "q_emb")
+      .selectExpr("q_id", "q_nrm", "c_id", "q_s",
+        "graft_sq8_pack(q_emb, q_s) AS q_qb")
+      .join(idx.selectExpr("CAST(c_id AS BIGINT) AS c_id", "vec_id",
+        "nrm", "s", "qb"), Seq("c_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"""round(CAST(graft_sq8_dot(qb, q_qb) AS DOUBLE)
+           |  / (s * q_s) / (nrm * q_nrm), 6) AS asim""".stripMargin)
+  }
+
+  /** The SQ8 streaming probe as a batch-checkable entry (the
+    * [[streamIncrementalIvf]] convention): the whole incoming wave
+    * probed against the persisted quantized index through the
+    * stream-capable plan; `IncrementalIvfSpec` proves the same core
+    * produces identical rows from a real MemoryStream with zero state.
+    */
+  def streamIncrementalIvfSq8(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val path = ensureIvfSq8Index(spark, dir)
+    val emb = embDouble(spark, dir)
+    streamProbeIvfSq8(emb.where(s"vec_id % $IvfSplitMod = 0"),
+      indexCodebook(spark, path), spark.read.parquet(path))
+      .orderBy("q_id", "vec_id")
+  }
+
+  val streamIncrementalIvfSq8Sql: String =
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
+       |         WHERE vec_id < $nCentroidsSqlExpr),
+       |hist AS (SELECT vec_id, emb, nrm FROM emb
+       |         WHERE vec_id % $IvfSplitMod <> 0),
+       |lists AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT h.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY h.vec_id ORDER BY
+       |             round(${cosineSql("h.emb", "c.c_emb", "h.nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM hist h, cent c)
+       |  WHERE crk = 1),
+       |sc AS (SELECT l.vec_id, l.c_id, e.nrm, e.emb,
+       |              127.0 / list_max(list_transform(e.emb, y -> abs(y))) AS s
+       |       FROM lists l JOIN emb e USING (vec_id)),
+       |sq AS (SELECT vec_id, c_id, nrm, s,
+       |              list_transform(emb, x -> floor(x * s + 0.5)) AS qv
+       |       FROM sc),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
+       |      WHERE vec_id % $IvfSplitMod = 0),
+       |qq AS (SELECT q_id, q_emb, q_nrm, q_s,
+       |              list_transform(q_emb, x -> floor(x * q_s + 0.5)) AS q_qv
+       |       FROM (SELECT *,
+       |               127.0 / list_max(list_transform(q_emb, y -> abs(y))) AS q_s
+       |             FROM q)),
+       |probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.c_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             round(${cosineSql("q.q_emb", "c.c_emb", "q.q_nrm", "c.c_nrm")}, 6) DESC,
+       |             c.c_id) AS crk
+       |    FROM q, cent c)
+       |  WHERE crk <= $NProbe)
+       |SELECT p.q_id, s.vec_id,
+       |       round(list_sum(list_transform(range(1, ${Dim + 1}),
+       |               i -> s.qv[i] * x.q_qv[i]))
+       |         / (s.s * x.q_s) / (s.nrm * x.q_nrm), 6) AS asim
+       |FROM probes p
+       |JOIN sq s USING (c_id)
+       |JOIN qq x ON x.q_id = p.q_id
+       |WHERE s.vec_id <> p.q_id
+       |ORDER BY p.q_id, s.vec_id""".stripMargin
+
   /** In-place append to the SQ8-stored index — the ingest leg completing
     * its build/probe/append family (the [[incrementalIvfAppend]] cycle
     * at the quantized layout): wave-1 vectors are assigned by the
@@ -2564,6 +2663,7 @@ object Similarity {
     "sim_incremental_ivf" -> incrementalIvf,
     "sim_incremental_ivf_sq8" -> incrementalIvfSq8,
     "sim_incremental_ivf_sq8_append" -> incrementalIvfSq8Append,
+    "stream_incremental_ivf_sq8" -> streamIncrementalIvfSq8,
     "sim_incremental_ivf_append" -> incrementalIvfAppend,
     "stream_incremental_ivf" -> streamIncrementalIvf,
     "sim_semdedup" -> semDedup,
@@ -2589,6 +2689,7 @@ object Similarity {
     "sim_incremental_ivf" -> incrementalIvfSqlProbe,
     "sim_incremental_ivf_sq8" -> incrementalIvfSq8Sql,
     "sim_incremental_ivf_sq8_append" -> incrementalIvfSq8AppendSql,
+    "stream_incremental_ivf_sq8" -> streamIncrementalIvfSq8Sql,
     "sim_incremental_ivf_append" -> incrementalIvfSqlAppend,
     "stream_incremental_ivf" -> streamIncrementalIvfSql,
     "sim_semdedup" -> semDedupSql,
