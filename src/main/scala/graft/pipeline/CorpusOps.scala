@@ -765,6 +765,140 @@ object CorpusOps {
       |            ELSE CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE) END AS retained
       |FROM u ORDER BY stage""".stripMargin
 
+  // ------------------------------------------------- end-to-end prepare
+
+  /** The composed training-data preparation DAG as ONE entry — the
+    * "could a user run their whole pipeline here" demonstration, chaining
+    * the standalone stages with their EXACT standalone semantics:
+    *
+    *   1. quality gate    — [[filterFunnel]]'s four conditions (lang,
+    *      length, distinct-word ratio, word count), conjunctively;
+    *   2. exact dedup     — [[Dedup.exact]]'s keeper policy (min doc_id
+    *      per md5(text)) among the quality survivors;
+    *   3. eval split-off  — training candidates exclude the eval docs
+    *      (`doc_id % EvalEvery == 0`, [[decontaminate]]'s split);
+    *   4. decontamination — drop candidates sharing ANY distinct
+    *      [[DecontamN]]-gram with the raw eval split (broadcast eval
+    *      grams, [[decontaminate]]'s join direction: the corpus side
+    *      never shuffles);
+    *   5. packing         — [[packSequences]]' shard-local concat-and-
+    *      chunk over the surviving docs (per-shard token cumsum, ceil
+    *      bins at [[PackBudget]]).
+    *
+    * Output is a LONG-format accounting: per-stage survivor counts, pack
+    * totals (bins / tokens / pad), and a corpus content fingerprint
+    * (Σ polyhash(text) of the final survivors — exact BIGINT, so a
+    * single changed/extra/missing surviving document breaks the hash).
+    * Every number is an exact integer; the DuckDB oracle replays the
+    * whole chain end-to-end, so a drift in ANY stage's semantics — not
+    * just its standalone entry — fails the gate. Plan shape: each stage
+    * consumes the previous stage's frame (no re-reads of the raw table
+    * except the eval-gram side), aggregates are map-side-combinable, and
+    * the only data-sized shuffles are the md5 dedup window and the
+    * contamination semi-join's gram exchange.
+    */
+  def e2ePrepare(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.load(spark, dir, "documents")
+    val quality = raw.where(
+      "lang = 'en' AND n_chars >= 100 AND " +
+        "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)" +
+        " / size(split(text, ' ')) > 0.5 AND " +
+        "size(split(text, ' ')) >= 30")
+    val keepers = quality
+      .withColumn("krk", expr(
+        "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)"))
+      .where("krk = 1").drop("krk")
+    val cand = keepers.where(s"doc_id % $EvalEvery != 0")
+    val evalGrams = raw.where(s"doc_id % $EvalEvery = 0")
+      .selectExpr("split(text, ' ') AS t")
+      .selectExpr(s"explode(${gramExpr(DecontamN)}) AS gram")
+      .distinct()
+    val contaminated = cand
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr("doc_id", s"explode(${gramExpr(DecontamN)}) AS gram")
+      .join(broadcast(evalGrams), "gram")
+      .select("doc_id").distinct()
+    val clean = cand.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+      .localCheckpoint() // consumed by pack stats AND the fingerprint
+    val shardTokens = clean
+      .selectExpr(s"doc_id % $PackShards AS shard",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
+      .groupBy("shard").agg(sum("n_tokens").as("shard_tokens"))
+    def one(stage: Int, metric: String, v: DataFrame): DataFrame =
+      v.selectExpr(s"CAST($stage AS BIGINT) AS stage", s"'$metric' AS metric",
+        "CAST(v AS BIGINT) AS value")
+    def cnt(stage: Int, metric: String, df: DataFrame): DataFrame =
+      one(stage, metric, df.agg(count(lit(1)).as("v")))
+    cnt(1, "raw_docs", raw)
+      .unionByName(cnt(2, "quality_docs", quality))
+      .unionByName(cnt(3, "exact_dedup_docs", keepers))
+      .unionByName(cnt(4, "train_candidates", cand))
+      .unionByName(cnt(5, "decontaminated_docs", clean))
+      .unionByName(one(6, "packed_bins", shardTokens.agg(
+        sum(expr(s"(shard_tokens + ${PackBudget - 1}) div $PackBudget"))
+          .as("v"))))
+      .unionByName(one(6, "packed_tokens",
+        shardTokens.agg(sum("shard_tokens").as("v"))))
+      .unionByName(one(6, "pad_tokens", shardTokens.agg(
+        (sum(expr(s"(shard_tokens + ${PackBudget - 1}) div $PackBudget"))
+          * PackBudget - sum("shard_tokens")).as("v"))))
+      .unionByName(one(7, "corpus_fp", clean.agg(
+        sum(expr(TextAnalysis.polyHashExpr("text"))).as("v"))))
+      .orderBy("stage", "metric")
+  }
+
+  val e2ePrepareSql: String = {
+    val gram =
+      s"""unnest(list_distinct(list_transform(
+         |  range(1, greatest(len(t) - ${DecontamN - 1}, 0) + 1),
+         |  i -> array_to_string(t[i:i+${DecontamN - 1}], ' ')))) AS gram""".stripMargin
+    s"""WITH q AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE lang = 'en' AND n_chars >= 100
+       |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |        / len(string_split(text, ' ')) > 0.5
+       |    AND len(string_split(text, ' ')) >= 30),
+       |k AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |           row_number() OVER (PARTITION BY md5(text)
+       |             ORDER BY doc_id) AS krk
+       |    FROM q) WHERE krk = 1),
+       |cand AS (SELECT doc_id, text FROM k WHERE doc_id % $EvalEvery != 0),
+       |eg AS (SELECT DISTINCT gram FROM (
+       |         SELECT $gram
+       |         FROM (SELECT string_split(text, ' ') AS t FROM documents
+       |               WHERE doc_id % $EvalEvery = 0))),
+       |cg AS (SELECT doc_id, gram FROM (
+       |         SELECT doc_id, $gram
+       |         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM cand))),
+       |contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (gram)),
+       |clean AS (SELECT doc_id, text FROM cand
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |st AS (SELECT doc_id % $PackShards AS shard,
+       |              sum(len(string_split(text, ' '))::BIGINT)::BIGINT
+       |                AS shard_tokens
+       |       FROM clean GROUP BY 1),
+       |rows AS (
+       |  SELECT 1::BIGINT AS stage, 'raw_docs' AS metric,
+       |         (SELECT count(*) FROM documents)::BIGINT AS value
+       |  UNION ALL SELECT 2, 'quality_docs', (SELECT count(*) FROM q)
+       |  UNION ALL SELECT 3, 'exact_dedup_docs', (SELECT count(*) FROM k)
+       |  UNION ALL SELECT 4, 'train_candidates', (SELECT count(*) FROM cand)
+       |  UNION ALL SELECT 5, 'decontaminated_docs', (SELECT count(*) FROM clean)
+       |  UNION ALL SELECT 6, 'packed_bins',
+       |    (SELECT sum((shard_tokens + ${PackBudget - 1}) // $PackBudget) FROM st)
+       |  UNION ALL SELECT 6, 'packed_tokens', (SELECT sum(shard_tokens) FROM st)
+       |  UNION ALL SELECT 6, 'pad_tokens',
+       |    (SELECT sum((shard_tokens + ${PackBudget - 1}) // $PackBudget)
+       |       * $PackBudget - sum(shard_tokens) FROM st)
+       |  UNION ALL SELECT 7, 'corpus_fp',
+       |    (SELECT sum(${TextAnalysis.polyHashSql("text")}) FROM clean))
+       |SELECT stage, metric, value::BIGINT AS value FROM rows
+       |ORDER BY stage, metric""".stripMargin
+  }
+
   // ---------------------------------------------------------------- entry
 
   // --------------------------------------------------------------- vocab
@@ -913,6 +1047,7 @@ object CorpusOps {
     "pipeline_pack_sequences" -> packSequences,
     "pipeline_chunk_documents" -> chunkDocuments,
     "pipeline_filter_funnel" -> filterFunnel,
+    "pipeline_e2e_prepare" -> e2ePrepare,
     "pipeline_weighted_sample" -> weightedSample,
     "pipeline_temperature_sample" -> temperatureSample,
     "text_fuzzy_match" -> fuzzyMatch,
@@ -932,6 +1067,7 @@ object CorpusOps {
     "pipeline_pack_sequences" -> packSequencesSql,
     "pipeline_chunk_documents" -> chunkDocumentsSql,
     "pipeline_filter_funnel" -> filterFunnelSql,
+    "pipeline_e2e_prepare" -> e2ePrepareSql,
     "pipeline_weighted_sample" -> weightedSampleSql,
     "pipeline_temperature_sample" -> temperatureSampleSql,
     "text_fuzzy_match" -> fuzzyMatchSql,

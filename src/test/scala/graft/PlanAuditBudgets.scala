@@ -216,6 +216,12 @@ object PlanAuditBudgets {
     // count, and the acct join onto the top-k — all queries×blocks-scale
     // rows AFTER the bound aggs, spent to make the prune rate hash-checked
     "text_bm25_blockmax_skewed" -> 11,
+    // the composed 5-stage prepare DAG: md5-dedup window, eval-gram
+    // distinct + contamination join + candidate distinct + anti join,
+    // shard agg, and the per-stage count aggregates the long-format
+    // accounting unions — one pipeline deliberately spending each
+    // stage's one shuffle
+    "pipeline_e2e_prepare" -> 11,
     "taxi_inv_replay" -> 1,
     "taxi_parse" -> 1,
     "text_bigrams" -> 1,

@@ -324,4 +324,71 @@ class CorpusOpsSpec extends AnyFunSuite {
         s"unexpected file counts for ${r.getAs[String]("source")}")
     }
   }
+
+  /** Constructed corpus for the end-to-end prepare funnel where EVERY
+    * stage provably drops documents (on the real corpora the exact-dedup
+    * stage happens to be a no-op — no exact dupes survive the quality
+    * gate — so this is where stage liveness is pinned), plus an
+    * independent Scala replica of the full funnel checking the corpus
+    * fingerprint.
+    */
+  test("e2e prepare: every stage live on a constructed corpus, fp replica agrees") {
+    import spark.implicits._
+    // 40 distinct words ≈ 280 chars, distinct ratio 1.0: passes quality
+    def good(seed: Int): String =
+      (0 until 40).map(i => s"w${seed}x$i").mkString(" ")
+    val rows = Seq.newBuilder[(Long, String, String, String, Long)]
+    def add(id: Long, text: String, lang: String = "en"): Unit =
+      rows += ((id, text, lang, s"src${id % 3}", text.length.toLong))
+    add(0L, good(100)) // eval doc (id % 10 == 0)
+    add(1L, good(1)); add(2L, good(2)); add(3L, good(3))
+    add(4L, good(2))               // exact duplicate of doc 2 -> dedup drop
+    add(5L, good(1), lang = "de")  // language gate drop
+    add(6L, "short words only")    // length gate drop
+    add(7L, Seq.fill(40)("rep").mkString(" ")) // distinct-ratio drop
+    // near-copy of eval doc 0 (first word differs so exact dedup keeps
+    // it) — shares 5-grams with the eval split, so decontamination drops
+    add(8L, "zzz " + good(100).split(' ').drop(1).mkString(" "))
+    add(9L, good(9)); add(11L, good(11))
+    add(10L, good(200))            // second eval doc
+    val dir2 = graft.TempDirs.scoped("e2e-spec")
+    rows.result().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+
+    val out = CorpusOps.e2ePrepare(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // independent funnel replica (plain Scala, no Spark)
+    val docs = rows.result()
+    val quality = docs.filter { case (_, t, l, _, n) =>
+      val ws = t.split(' ')
+      l == "en" && n >= 100 && ws.distinct.length.toDouble / ws.length > 0.5 &&
+        ws.length >= 30
+    }
+    val dedup = quality.groupBy(_._2).map { case (_, g) =>
+      g.minBy(_._1)
+    }.toSeq.sortBy(_._1)
+    val cand = dedup.filter(_._1 % CorpusOps.EvalEvery != 0)
+    def grams(t: String): Set[String] =
+      t.split(' ').sliding(CorpusOps.DecontamN).map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._1 % CorpusOps.EvalEvery == 0)
+      .flatMap(d => grams(d._2)).toSet
+    val clean = cand.filter(d => grams(d._2).intersect(evalGrams).isEmpty)
+    // every stage strictly drops
+    assert(quality.size < docs.size, "quality gate idle")
+    assert(dedup.size < quality.size, "exact dedup idle")
+    assert(cand.size < dedup.size, "eval split-off idle")
+    assert(clean.size < cand.size, "decontamination idle")
+    assert(out((1L, "raw_docs")) == docs.size)
+    assert(out((2L, "quality_docs")) == quality.size)
+    assert(out((3L, "exact_dedup_docs")) == dedup.size)
+    assert(out((4L, "train_candidates")) == cand.size)
+    assert(out((5L, "decontaminated_docs")) == clean.size)
+    // fingerprint: Σ polyhash over exactly the replica's surviving texts
+    val wantFp = clean.map(d => Retrieval.polyHashLocal(d._2)).sum
+    assert(out((7L, "corpus_fp")) == wantFp, "fingerprint replica disagrees")
+    // pack algebra: pad = bins·budget − tokens, bins ≥ ceil(tokens/budget)
+    val bins = out((6L, "packed_bins")); val toks = out((6L, "packed_tokens"))
+    assert(out((6L, "pad_tokens")) == bins * CorpusOps.PackBudget - toks)
+    assert(toks == clean.map(_._2.split(' ').length.toLong).sum)
+  }
 }
