@@ -313,7 +313,7 @@ object VectorExpressions {
     * indexing exprs(n) unchecked turns a wrong-arity call into an opaque
     * IndexOutOfBoundsException (ADVICE r5). Validate and name the signature.
     */
-  private def arity(name: String, sig: String, n: Int)(
+  private[functions] def arity(name: String, sig: String, n: Int)(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
     if (exprs.length != n)
       // the signature rides in functionName (the template has no signature
@@ -327,56 +327,67 @@ object VectorExpressions {
           "actualNum" -> exprs.length.toString,
           "docroot" -> "https://spark.apache.org/docs/latest"))
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => {
-        arity("graft_dot", "graft_dot(vec1 array<float>, vec2 array<float>)", 2)(exprs)
-        DotProduct(exprs(0), exprs(1))
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_polyhash", exprs => {
-        arity("graft_polyhash", "graft_polyhash(token string)", 1)(exprs)
-        PolyHash(exprs.head)
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_token_hashes", exprs => {
-        arity("graft_token_hashes", "graft_token_hashes(text string)", 1)(exprs)
-        TokenHashes(exprs.head)
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_gram_fps", exprs => {
-        arity("graft_gram_fps", "graft_gram_fps(text string, len int)", 2)(exprs)
-        GramFps(exprs(0), exprs(1))
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sq8_pack", exprs => {
-        arity("graft_sq8_pack",
-          "graft_sq8_pack(vec array<double>, scale double)", 2)(exprs)
-        Sq8Pack(exprs(0), exprs(1))
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sq8_dot", exprs => {
-        arity("graft_sq8_dot", "graft_sq8_dot(a binary, b binary)", 2)(exprs)
-        Sq8Dot(exprs(0), exprs(1))
-      }, "scala_udf")
-    // Spark ships codegen'd bloom-filter expressions for its own runtime
-    // row-level filtering but does not register them in the public function
-    // registry — surface them under graft names so SQL/selectExpr plans can
-    // build explicit semi-join pre-filters (BloomFilter sketch: no false
-    // negatives, so bloom-prefilter + exact confirm == exact semi join).
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg", exprs => {
-        arity("graft_bloom_agg",
-          "graft_bloom_agg(key bigint, estimatedNumItems bigint, numBits bigint)", 3)(exprs)
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs(0), exprs(1), exprs(2)).toAggregateExpression()
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_might_contain", exprs => {
-        arity("graft_might_contain",
-          "graft_might_contain(bloomFilter binary, key bigint)", 2)(exprs)
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1))
-      }, "scala_udf")
-  }
+  /** (name, signature, arity, builder) — the single source of truth for
+    * both registration paths: the runtime [[register]] every `Tables.load`
+    * call applies, and the [[GraftExtensions]] injection a deployment
+    * configures once via `spark.sql.extensions`. The bloom pair surfaces
+    * Spark's own codegen'd bloom-filter expressions (shipped for runtime
+    * row-level filtering but absent from the public registry) so SQL
+    * plans can build explicit semi-join pre-filters — a Bloom sketch has
+    * no false negatives, so bloom-prefilter + exact confirm == exact
+    * semi join.
+    */
+  private[functions] val builders: Seq[(String, String, Int,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    ("graft_dot", "graft_dot(vec1 array<float>, vec2 array<float>)", 2,
+      es => DotProduct(es(0), es(1))),
+    ("graft_polyhash", "graft_polyhash(token string)", 1,
+      es => PolyHash(es.head)),
+    ("graft_token_hashes", "graft_token_hashes(text string)", 1,
+      es => TokenHashes(es.head)),
+    ("graft_gram_fps", "graft_gram_fps(text string, len int)", 2,
+      es => GramFps(es(0), es(1))),
+    ("graft_sq8_pack", "graft_sq8_pack(vec array<double>, scale double)", 2,
+      es => Sq8Pack(es(0), es(1))),
+    ("graft_sq8_dot", "graft_sq8_dot(a binary, b binary)", 2,
+      es => Sq8Dot(es(0), es(1))),
+    ("graft_bloom_agg",
+      "graft_bloom_agg(key bigint, estimatedNumItems bigint, numBits bigint)", 3,
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0), es(1), es(2)).toAggregateExpression()),
+    ("graft_might_contain",
+      "graft_might_contain(bloomFilter binary, key bigint)", 2,
+      es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1))))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, sig, n, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => { arity(name, sig, n)(exprs); build(exprs) },
+        "scala_udf")
+    }
+}
+
+/** The library's `SparkSessionExtensions` hook — how a deployment ships
+  * graft's native expressions WITHOUT calling [[VectorExpressions.register]]
+  * per session: set `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`) and
+  * every session created from that builder/conf resolves the `graft_*`
+  * functions through Catalyst's injected-function registry. Same builder
+  * table, same arity validation, same expressions.
+  */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    VectorExpressions.builders.foreach { case (name, sig, n, build) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        exprs => {
+          VectorExpressions.arity(name, sig, n)(exprs); build(exprs)
+        }))
+    }
 }

@@ -102,6 +102,40 @@ class VectorExpressionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("GraftExtensions injects every graft_* function at session build") {
+    // a FRESH session on the shared context, built THROUGH the extensions
+    // hook (getOrCreate would return the suite session, which never saw
+    // the injection — clear, build, restore)
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "graft_polyhash('abc') AS p, " +
+          "graft_sq8_dot(graft_sq8_pack(array(1.0d), 1.0d), " +
+          "              graft_sq8_pack(array(1.0d), 1.0d)) AS q").head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getLong(1) == 96354L)
+      assert(r.getLong(2) == 1L)
+      // arity validation rides the injected path too
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT graft_dot(array(1.0d))").collect()
+      }
+      assert(e.getMessage.contains("graft_dot"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("graft_sq8 edge cases: byte range, empty, null") {
     VectorExpressions.register(spark)
     val r = spark.sql(
