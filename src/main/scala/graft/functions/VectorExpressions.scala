@@ -294,12 +294,18 @@ case class Sq8Dot(left: Expression, right: Expression)
 }
 
 object Sq8Dot {
-  /** Called from generated code. */
+  /** Called from generated code. Dimension is fixed corpus-wide, so a
+    * length mismatch can only mean a corrupt row or the wrong column —
+    * fail loud (the family's arity/manifest convention) instead of
+    * silently truncating to a plausible-looking score (ADVICE r13).
+    */
   def dot(a: Array[Byte], b: Array[Byte]): Long = {
-    val n = math.min(a.length, b.length)
+    require(a.length == b.length,
+      s"graft_sq8_dot: packed-vector length mismatch (${a.length} vs " +
+        s"${b.length}) — SQ8 dims are fixed corpus-wide")
     var s = 0L
     var i = 0
-    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+    while (i < a.length) { s += a(i).toLong * b(i).toLong; i += 1 }
     s
   }
 }

@@ -54,9 +54,25 @@ object IndexCommit {
         // The destination blocks publication yet holds no committed
         // index: under this protocol that can only be a PRE-protocol
         // crash leftover (a racing protocol writer only ever publishes a
-        // complete index, atomically). Clear it and retry once; a second
-        // failure with no committed winner is a real IO fault.
-        fs.delete(finalRoot, true)
+        // complete index, atomically). Clearing it by a bare delete would
+        // be a TOCTOU (ADVICE r13): a racer can publish between our
+        // staleness observation and the delete, and the delete would
+        // destroy the freshly COMMITTED index. Instead move the blocker
+        // ASIDE with one atomic rename, then inspect what we actually
+        // grabbed: a true leftover is discarded; a committed index that
+        // raced in is put back (or, if yet another publication beat the
+        // restore, dropped as a redundant identical build — `build` is a
+        // deterministic function of the corpus).
+        val trash = new Path(parent,
+          ".trash-" + finalRoot.getName + "-" +
+            java.util.UUID.randomUUID().toString.take(8))
+        if (fs.rename(finalRoot, trash)) {
+          if (isCommitted(trash)) {
+            // we grabbed a committed index — restore it; if a racer
+            // published meanwhile, both are complete so ours is surplus
+            if (!fs.rename(trash, finalRoot)) fs.delete(trash, true)
+          } else fs.delete(trash, true)
+        }
         if (!publish() && !isCommitted(finalRoot))
           throw new java.io.IOException(
             s"index commit failed: cannot rename $tmp -> $finalRoot and " +

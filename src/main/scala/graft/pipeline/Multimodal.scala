@@ -428,8 +428,15 @@ object Multimodal {
     * changes a SAD and breaks the hash.
     */
   def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    // multi-frame means n_chars > frame-bytes OF THE DOC'S COLORSPACE:
+    // odd docs are C420 (96-byte frames), so a shared C444 threshold
+    // (192) silently left 420 clips of 97–192 chars outside the
+    // detector's coverage (ADVICE r13) — filter per parity
+    val fb420 = Y4mPlane + 2 * (Y4mPlane / 4)
     val out = Tables.load(spark, dir, "documents")
-      .where(s"n_chars > $Y4mFrameBytes").select("doc_id", "text")
+      .where(s"n_chars > CASE WHEN doc_id % 2 = 1 THEN $fb420 " +
+        s"ELSE $Y4mFrameBytes END")
+      .select("doc_id", "text")
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val docId = r.getLong(0)
@@ -463,7 +470,7 @@ object Multimodal {
          |           unnest(range(0, (length(text) + ${fb - 1}) // $fb)) AS frame_idx,
          |           rpad(text, ($fb * ((length(text) + ${fb - 1}) // $fb))::INT, 'x') AS px
          |    FROM documents
-         |    WHERE length(text) > $Y4mFrameBytes AND doc_id % 2 = $parity)) c
+         |    WHERE length(text) > $fb AND doc_id % 2 = $parity)) c
          |JOIN (
          |  SELECT doc_id, frame_idx,
          |         substring(px, frame_idx * $fb + 1, $fb) AS fx
@@ -472,7 +479,7 @@ object Multimodal {
          |           unnest(range(0, (length(text) + ${fb - 1}) // $fb)) AS frame_idx,
          |           rpad(text, ($fb * ((length(text) + ${fb - 1}) // $fb))::INT, 'x') AS px
          |    FROM documents
-         |    WHERE length(text) > $Y4mFrameBytes AND doc_id % 2 = $parity)) p
+         |    WHERE length(text) > $fb AND doc_id % 2 = $parity)) p
          |  ON c.doc_id = p.doc_id AND c.frame_idx = p.frame_idx + 1""".stripMargin
     }
     s"""SELECT doc_id, frame_idx::BIGINT AS frame_idx, sad_y,

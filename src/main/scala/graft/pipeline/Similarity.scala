@@ -894,12 +894,19 @@ object Similarity {
     * [[pqTopK]]) but the representation the OTHER indexes store their
     * lists in — 25 TB of int8 instead of 100 TB of float32 moving through
     * every probe.
+    *
+    * Degenerate-vector guard (ADVICE r13): s = 127/max|x| divides by zero
+    * on an all-zero vector — Spark would pack floor(NaN)=0 while DuckDB
+    * keeps NaN through list_sum, desyncing the oracle. Every pack site in
+    * BOTH engines therefore computes s = 127/greatest(max|x|, 1e-300):
+    * real vectors are untouched (corpus |x| ≫ 1e-300), an all-zero vector
+    * packs to all-zero bytes identically on both sides.
     */
   def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(spark, dir)
     val sq = emb
       .selectExpr("vec_id", "nrm",
-        "127.0 / array_max(transform(emb, y -> abs(y))) AS s", "emb")
+        "127.0 / greatest(array_max(transform(emb, y -> abs(y))), 1e-300) AS s", "emb")
       .selectExpr("vec_id", "nrm", "s",
         // CAST to DOUBLE: graft_dot takes double arrays; the values stay
         // exact small integers either way
@@ -919,7 +926,7 @@ object Similarity {
   val sq8TopKSql: String =
     s"""WITH $embCte,
        |sc AS (SELECT vec_id, nrm, emb,
-       |              127.0 / list_max(list_transform(emb, y -> abs(y))) AS s
+       |              127.0 / greatest(list_max(list_transform(emb, y -> abs(y))), 1e-300) AS s
        |       FROM emb),
        |sq AS (SELECT vec_id, nrm, s,
        |              list_transform(emb, x -> floor(x * s + 0.5)) AS qv
@@ -1889,7 +1896,7 @@ object Similarity {
       nearestLists(emb.where(s"vec_id % $IvfSplitMod <> 0"), cent,
           "vec_id", 1)
         .selectExpr("vec_id", "nrm", "c_id",
-          "127.0 / array_max(transform(emb, y -> abs(y))) AS s", "emb")
+          "127.0 / greatest(array_max(transform(emb, y -> abs(y))), 1e-300) AS s", "emb")
         .selectExpr("vec_id", "nrm", "c_id", "s",
           "graft_sq8_pack(emb, s) AS qb")
         .repartition(col("c_id"))
@@ -1909,7 +1916,7 @@ object Similarity {
     */
   private def sq8Queries(probes: DataFrame): DataFrame = probes
     .selectExpr("q_id", "q_emb", "q_nrm", "c_id",
-      "127.0 / array_max(transform(q_emb, y -> abs(y))) AS q_s")
+      "127.0 / greatest(array_max(transform(q_emb, y -> abs(y))), 1e-300) AS q_s")
     .selectExpr("q_id", "q_emb", "q_nrm", "c_id", "q_s",
       "graft_sq8_pack(q_emb, q_s) AS q_qb")
 
@@ -2006,7 +2013,7 @@ object Similarity {
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
         col("probe.c_id").as("c_id"))
       .selectExpr("q_id", "q_nrm", "c_id",
-        "127.0 / array_max(transform(q_emb, y -> abs(y))) AS q_s", "q_emb")
+        "127.0 / greatest(array_max(transform(q_emb, y -> abs(y))), 1e-300) AS q_s", "q_emb")
       .selectExpr("q_id", "q_nrm", "c_id", "q_s",
         "graft_sq8_pack(q_emb, q_s) AS q_qb")
       .join(idx.selectExpr("CAST(c_id AS BIGINT) AS c_id", "vec_id",
@@ -2047,7 +2054,7 @@ object Similarity {
        |    FROM hist h, cent c)
        |  WHERE crk = 1),
        |sc AS (SELECT l.vec_id, l.c_id, e.nrm, e.emb,
-       |              127.0 / list_max(list_transform(e.emb, y -> abs(y))) AS s
+       |              127.0 / greatest(list_max(list_transform(e.emb, y -> abs(y))), 1e-300) AS s
        |       FROM lists l JOIN emb e USING (vec_id)),
        |sq AS (SELECT vec_id, c_id, nrm, s,
        |              list_transform(emb, x -> floor(x * s + 0.5)) AS qv
@@ -2057,7 +2064,7 @@ object Similarity {
        |qq AS (SELECT q_id, q_emb, q_nrm, q_s,
        |              list_transform(q_emb, x -> floor(x * q_s + 0.5)) AS q_qv
        |       FROM (SELECT *,
-       |               127.0 / list_max(list_transform(q_emb, y -> abs(y))) AS q_s
+       |               127.0 / greatest(list_max(list_transform(q_emb, y -> abs(y))), 1e-300) AS q_s
        |             FROM q)),
        |probes AS (
        |  SELECT q_id, c_id FROM (
@@ -2097,7 +2104,7 @@ object Similarity {
     val wave1 = nearestLists(emb.where(s"vec_id % $w = 0"), cent,
         "vec_id", 1)
       .selectExpr("vec_id", "nrm", "c_id",
-        "127.0 / array_max(transform(emb, y -> abs(y))) AS s", "emb")
+        "127.0 / greatest(array_max(transform(emb, y -> abs(y))), 1e-300) AS s", "emb")
       .selectExpr("vec_id", "nrm", "c_id", "s",
         "graft_sq8_pack(emb, s) AS qb")
       .persist() // read twice (touched set, merge+write) — one compute
@@ -2136,7 +2143,7 @@ object Similarity {
        |    FROM hist h, cent c)
        |  WHERE crk = 1),
        |sc AS (SELECT l.vec_id, l.c_id, e.nrm, e.emb,
-       |              127.0 / list_max(list_transform(e.emb, y -> abs(y))) AS s
+       |              127.0 / greatest(list_max(list_transform(e.emb, y -> abs(y))), 1e-300) AS s
        |       FROM lists l JOIN emb e USING (vec_id)),
        |sq AS (SELECT vec_id, c_id, nrm, s,
        |              list_transform(emb, x -> floor(x * s + 0.5)) AS qv
@@ -2145,7 +2152,7 @@ object Similarity {
        |      WHERE vec_id % $w = $rem
        |        AND vec_id < ${w.toLong * QuerySetSize + rem}),
        |qs AS (SELECT q_id, q_emb, q_nrm,
-       |              127.0 / list_max(list_transform(q_emb, y -> abs(y))) AS q_s
+       |              127.0 / greatest(list_max(list_transform(q_emb, y -> abs(y))), 1e-300) AS q_s
        |       FROM q),
        |qq AS (SELECT q_id, q_emb, q_nrm, q_s,
        |              list_transform(q_emb, x -> floor(x * q_s + 0.5)) AS q_qv
@@ -2205,7 +2212,7 @@ object Similarity {
     val cent = coarseCent(emb, nCentroids(spark, dir))
     val lists = nearestLists(emb, cent, "vec_id", 1)
       .selectExpr("vec_id", "nrm", "c_id",
-        "127.0 / array_max(transform(emb, y -> abs(y))) AS s", "emb")
+        "127.0 / greatest(array_max(transform(emb, y -> abs(y))), 1e-300) AS s", "emb")
       .selectExpr("vec_id", "nrm", "c_id", "s",
         "graft_sq8_pack(emb, s) AS qb")
     val probes = nearestLists(emb.where(s"vec_id < $QuerySetSize"), cent,
@@ -2228,7 +2235,7 @@ object Similarity {
        |    FROM emb h, cent c)
        |  WHERE crk = 1),
        |sc AS (SELECT l.vec_id, l.c_id, e.nrm, e.emb,
-       |              127.0 / list_max(list_transform(e.emb, y -> abs(y))) AS s
+       |              127.0 / greatest(list_max(list_transform(e.emb, y -> abs(y))), 1e-300) AS s
        |       FROM lists l JOIN emb e USING (vec_id)),
        |sq AS (SELECT vec_id, c_id, nrm, s,
        |              list_transform(emb, x -> floor(x * s + 0.5)) AS qv
@@ -2236,7 +2243,7 @@ object Similarity {
        |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
        |      WHERE vec_id < $QuerySetSize),
        |qs AS (SELECT q_id, q_emb, q_nrm,
-       |              127.0 / list_max(list_transform(q_emb, y -> abs(y))) AS q_s
+       |              127.0 / greatest(list_max(list_transform(q_emb, y -> abs(y))), 1e-300) AS q_s
        |       FROM q),
        |qq AS (SELECT q_id, q_emb, q_nrm, q_s,
        |              list_transform(q_emb, x -> floor(x * q_s + 0.5)) AS q_qv
@@ -2373,7 +2380,7 @@ object Similarity {
     // float layout's (round-13, completing verdict item 4's evidence)
     val sq8Lists = assigned
       .selectExpr("vec_id", "nrm", "c_id",
-        "127.0 / array_max(transform(emb, y -> abs(y))) AS s", "emb")
+        "127.0 / greatest(array_max(transform(emb, y -> abs(y))), 1e-300) AS s", "emb")
       .selectExpr("vec_id", "nrm", "c_id", "s",
         "graft_sq8_pack(emb, s) AS qb")
     val sq8 = sq8ProbeCore(sq8Lists, sq8Queries(probes), emb,
@@ -2435,7 +2442,7 @@ object Similarity {
        |    FROM probes p JOIN assigned a USING (c_id) WHERE a.vec_id <> p.q_id)
        |  WHERE rk <= $TopK),
        |sc AS (SELECT a.vec_id, a.c_id, a.nrm, a.emb,
-       |              127.0 / list_max(list_transform(a.emb, y -> abs(y))) AS s
+       |              127.0 / greatest(list_max(list_transform(a.emb, y -> abs(y))), 1e-300) AS s
        |       FROM assigned a),
        |sq AS (SELECT vec_id, c_id, nrm, s,
        |              list_transform(emb, x -> floor(x * s + 0.5)) AS qv
@@ -2443,7 +2450,7 @@ object Similarity {
        |qq AS (SELECT q_id, q_emb, q_nrm, c_id, q_s,
        |              list_transform(q_emb, x -> floor(x * q_s + 0.5)) AS q_qv
        |       FROM (SELECT *,
-       |               127.0 / list_max(list_transform(q_emb, y -> abs(y))) AS q_s
+       |               127.0 / greatest(list_max(list_transform(q_emb, y -> abs(y))), 1e-300) AS q_s
        |             FROM probes)),
        |approx AS (
        |  SELECT p.q_id, s.vec_id,

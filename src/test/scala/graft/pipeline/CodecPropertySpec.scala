@@ -98,13 +98,24 @@ class CodecPropertySpec extends AnyFunSuite {
         qb.map(b => b.toLong * b).sum)
       assert(Sq8Dot.dot(qb, qb) >= 0L)
     }
-    forAll(Gen.zip(vecGen, vecGen)) { case (a, b) =>
+    // pairs share one dimension — SQ8 dims are fixed corpus-wide, and
+    // Sq8Dot fails loud on a mismatch rather than truncating (ADVICE r13)
+    val pairGen = for {
+      n <- Gen.choose(1, 96)
+      xs <- Gen.listOfN(n, Gen.choose(-1000000, 1000000).map(_ / 1000000.0))
+      ys <- Gen.listOfN(n, Gen.choose(-1000000, 1000000).map(_ / 1000000.0))
+    } yield (xs.toArray, ys.toArray)
+    forAll(pairGen) { case (a, b) =>
       val (qa, _) = pack(a); val (qc, _) = pack(b)
       assert(Sq8Dot.dot(qa, qc) == Sq8Dot.dot(qc, qa),
-        "integer dot must be symmetric (min-length semantics)")
-      val n = math.min(qa.length, qc.length)
+        "integer dot must be symmetric")
       assert(Sq8Dot.dot(qa, qc) ==
-        (0 until n).map(i => qa(i).toLong * qc(i).toLong).sum)
+        qa.indices.map(i => qa(i).toLong * qc(i).toLong).sum)
     }
+    // a dimension mismatch is a corrupt row / wrong column: loud failure
+    val e = intercept[IllegalArgumentException] {
+      Sq8Dot.dot(Array[Byte](1, 2, 3), Array[Byte](1, 2))
+    }
+    assert(e.getMessage.contains("length mismatch"))
   }
 }
