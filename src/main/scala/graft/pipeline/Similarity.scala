@@ -2284,6 +2284,395 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
+  // ------------- PQ-coded persisted IVF index (on-disk IndexIVFPQ)
+
+  /** Path of the PQ-coded IVF index — the float-lists path plus a layout
+    * tag, so the three list representations (float / SQ8 / PQ) never
+    * shadow each other.
+    */
+  def ivfPqIndexPath(spark: SparkSession, dir: String): String =
+    ivfIndexPath(spark, dir) + "_pq"
+
+  /** PQ sub-codebook subdir inside the PQ index (leading underscore:
+    * invisible to parquet scans of the index root, like [[CodebookDir]]).
+    */
+  val PqCodebookDir = "_pqcodebook"
+
+  /** The PQ sub-codebook of a corpus frame: the first [[PqK]] vectors'
+    * [[PqM]] subspace slices (the family's frozen seeded-codebook
+    * convention, [[pqTopK]]) with the [[QScale]]-quantized code norm.
+    * Columns (m, p_id, p_sub, pcq) — the `p_` prefix keeps PQ code ids
+    * and coarse list ids (c_id) from ever colliding in a probe plan.
+    */
+  private def pqCodebook(emb: DataFrame): DataFrame = {
+    val subSlices = (0 until PqM)
+      .map(m => s"slice(emb, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+    emb.where(s"vec_id < $PqK")
+      .selectExpr("vec_id", s"posexplode(array($subSlices)) AS (m, sub)")
+      .selectExpr("m", "vec_id AS p_id", "sub AS p_sub",
+        s"CAST(floor(graft_dot(sub, sub) * $QScale.0 + 0.5) AS BIGINT) AS pcq")
+  }
+
+  /** PQ-encode `vecs` (vec_id, emb, nrm, c_id): nearest sub-code per
+    * (vector, subspace) — the [[pqTopK]] argmin, term-by-term squared L2
+    * so both engines fold identically — with the [[PqM]] 4-bit codes
+    * packed into ONE 16-bit integer, pcode = Σ code_m·16^m (each code
+    * < [[PqK]] = 16). Packing is storage, not semantics: the probe
+    * unpacks with exact integer arithmetic, so the oracle can replay
+    * from unpacked (m, code) pairs and still hash-match.
+    */
+  private def pqEncode(vecs: DataFrame, pqc: DataFrame): DataFrame = {
+    val subSlices = (0 until PqM)
+      .map(m => s"slice(emb, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+    val caseM = (0 until PqM)
+      .map(m => s"WHEN $m THEN ${1L << (4 * m)}L").mkString("CASE m ", " ", " END")
+    vecs.selectExpr("vec_id", "nrm", "c_id",
+        s"posexplode(array($subSlices)) AS (m, sub)")
+      .join(broadcast(pqc), "m")
+      .selectExpr("vec_id", "nrm", "c_id", "m", "p_id",
+        s"""round(graft_dot(sub, sub) - 2 * graft_dot(sub, p_sub)
+           |  + graft_dot(p_sub, p_sub), 6) AS d2""".stripMargin)
+      .withColumn("prk", expr(
+        "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, p_id ASC)"))
+      .where("prk = 1")
+      .groupBy("vec_id", "nrm", "c_id")
+      .agg(expr(s"CAST(sum(p_id * ($caseM)) AS INT)").as("pcode"))
+  }
+
+  /** The persisted PQ sub-codebook of a built PQ index. Fails loud when
+    * absent — ADC against a mismatched codebook silently returns wrong
+    * neighbors (the [[indexCodebook]] contract).
+    */
+  def indexPqCodebook(spark: SparkSession, indexPath: String): DataFrame = {
+    val (fs, _) = hadoopFs(spark, indexPath)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/$PqCodebookDir/_SUCCESS")))
+      throw new IllegalStateException(
+        s"no $PqCodebookDir at $indexPath — index was not built by " +
+          "ensureIvfPqIndex; rebuild the index")
+    spark.read.parquet(s"$indexPath/$PqCodebookDir")
+  }
+
+  /** Build-once: the historical corpus's inverted lists stored as PQ
+    * CODES — per row (vec_id, nrm, pcode) where `pcode` packs the
+    * [[PqM]]×4-bit sub-codes (2 bytes of payload vs SQ8's 64-byte `qb`
+    * and the float layout's 512-byte array), partitioned by `c_id`
+    * exactly like [[ensureIvfIndex]]/[[ensureIvfSq8Index]]. This
+    * completes the FAISS storage ladder (IndexIVFPQ: codes in the lists,
+    * codebooks in the index, ADC at probe time, exact re-rank on the
+    * corpus): at 100 TB the probed lists move ~16× fewer bytes than SQ8
+    * and ~256× fewer than float64. Same persisted coarse codebook,
+    * `_lists` manifest, and atomic [[IndexCommit]] publication as the
+    * sibling layouts; the PQ sub-codebook travels in [[PqCodebookDir]].
+    */
+  def ensureIvfPqIndex(spark: SparkSession, dir: String): String = {
+    val path = ivfPqIndexPath(spark, dir)
+    val (fs, root) = hadoopFs(spark, path)
+    def committed(r: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(r, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$r/$CodebookDir/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$r/$PqCodebookDir/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(r, ListsManifestFile))
+    IndexCommit.ensure(fs, root)(committed) { tmp =>
+      val emb = embDouble(spark, dir)
+      val cent = coarseCent(emb, nCentroids(spark, dir))
+      val pqc = pqCodebook(emb)
+      pqEncode(
+        nearestLists(emb.where(s"vec_id % $IvfSplitMod <> 0"), cent,
+            "vec_id", 1)
+          .select("vec_id", "emb", "nrm", "c_id"), pqc)
+        .repartition(col("c_id"))
+        .sortWithinPartitions("c_id", "vec_id")
+        .write.mode("overwrite").partitionBy("c_id").parquet(tmp.toString)
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$CodebookDir")
+      pqc.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$PqCodebookDir")
+      val lists = fs.listStatus(tmp).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
+        .map(_.getPath.getName.stripPrefix("c_id=").toLong).toSet
+      listsManifestWrite(spark, tmp.toString, lists)
+    }
+    path
+  }
+
+  /** Probe an already-built PQ index: nearest [[NProbe]] centroids per
+    * query (float coarse codebook), manifest-intersected touched dirs,
+    * then classic ADC — a broadcast Q×M×K lookup table of quantized
+    * partial dots scores the UNPACKED stored codes (the only pass over
+    * list rows moves 2-byte codes, never vectors), the adaptive
+    * top-`rerank` ADC candidates re-score exactly against `floats`, and
+    * the final top-`k` emerges. The [[ivfPqTopK]] refine contract over a
+    * persisted code-layout index.
+    */
+  def incrementalIvfPqProbe(spark: SparkSession, queries: DataFrame,
+      cent: DataFrame, pqc: DataFrame, indexPath: String, floats: DataFrame,
+      rerank: Long, k: Int = TopK): DataFrame = {
+    val probes = nearestLists(queries, cent, "q_id", NProbe)
+      .selectExpr("q_id", "emb AS q_emb", "nrm AS q_nrm", "c_id")
+    val manifest = listsManifestRead(spark, indexPath) // fails loud if absent
+    val touchedDirs = probes.select("c_id").distinct()
+      .collect() // ≤ Q × NProbe list ids: metadata-scale
+      .map(_.getLong(0))
+      .filter(manifest.contains)
+      .sorted.map(c => s"$indexPath/c_id=$c")
+    val idx =
+      if (touchedDirs.isEmpty) spark.read.parquet(indexPath).limit(0)
+      else spark.read.option("basePath", indexPath)
+        .parquet(touchedDirs.toIndexedSeq: _*)
+    // ADC lookup table: Q×M×K quantized partial dots + code norms
+    val subSlices = (0 until PqM)
+      .map(m => s"slice(emb, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+    val lut = queries
+      .selectExpr("vec_id AS q_id", "nrm AS q_nrm",
+        s"posexplode(array($subSlices)) AS (m, sub)")
+      .join(broadcast(pqc), "m")
+      .selectExpr("q_id", "q_nrm", "m", "p_id AS code",
+        s"CAST(floor(graft_dot(sub, p_sub) * $QScale.0 + 0.5) AS BIGINT) AS pq",
+        "pcq")
+    // unpack stored codes with exact integer arithmetic and ADC-score
+    val unpack = (0 until PqM)
+      .map(m => s"CAST((pcode DIV ${1L << (4 * m)}) % $PqK AS BIGINT)")
+      .mkString(", ")
+    val adc = idx.join(broadcast(probes.select("q_id", "c_id")), "c_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"posexplode(array($unpack)) AS (m, code)")
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(max("q_nrm").as("q_nrm"), sum("pq").as("adcq"), sum("pcq").as("rq"))
+      .selectExpr("q_id", "vec_id",
+        s"""round((CAST(adcq AS DOUBLE) / $QScale.0)
+           |  / (q_nrm * sqrt(CAST(rq AS DOUBLE) / $QScale.0)), 6) AS adc_sim""".stripMargin)
+      .withColumn("ark", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id ASC)"))
+      .where(s"ark <= $rerank")
+    val qv = queries.selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm")
+    adc.select("q_id", "vec_id")
+      .join(floats.select("vec_id", "emb", "nrm"), "vec_id")
+      .join(broadcast(qv), "q_id")
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $k")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  /** Refine multiplier of the PQ-index probe over the family's adaptive
+    * [[rerankK]]: PQ codes are ~16× lossier than SQ8 bytes (2-byte codes
+    * vs 64), so the ADC pre-cut must keep proportionally more candidates
+    * for the exact re-rank to recover code-mis-ranked true neighbors —
+    * the FAISS refine `k_factor` knob. Measured on this corpus: recall
+    * 60%/48% at ×1 (below the 72% gate) vs ≥ the gate at ×4, while
+    * 4·rerankK·Q full-vector reads stay negligible at every scale.
+    */
+  final val PqIdxRefine = 4
+
+  /** Incremental ANN over the PQ-coded index, probe leg: wave-1 queries
+    * against the persisted 2-byte-code lists with exact re-rank on the
+    * float corpus — [[incrementalIvf]]'s cross-run contract at the
+    * smallest rung of the storage ladder.
+    */
+  def incrementalIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfPqIndex(spark, dir)
+    val emb = embDouble(spark, dir)
+    incrementalIvfPqProbe(spark, waveQueries(emb, 0),
+      indexCodebook(spark, path), indexPqCodebook(spark, path), path, emb,
+      PqIdxRefine * rerankK(corpusStats(spark, dir)._1))
+  }
+
+  /** In-place append to the PQ-coded index — the ingest leg completing
+    * its build/probe/append family: wave-1 vectors are assigned by the
+    * index's persisted float codebook, ENCODED with its persisted PQ
+    * sub-codebook (a frozen training artifact — appends never retrain),
+    * and upserted into exactly the touched `c_id=` dirs; the manifest
+    * commit makes new lists probe-visible, then wave-2 queries probe the
+    * augmented code lists. Append cost is O(batch + touched lists),
+    * independent of index size.
+    */
+  def incrementalIvfPqAppend(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfPqIndex(spark, dir)
+    val aug = graft.TempDirs.scoped("ivfpq-incr") + "/index"
+    graft.TempDirs.copyTree(spark, path, aug) // hermeticity tax only
+    val cent = indexCodebook(spark, aug)
+    val pqc = indexPqCodebook(spark, aug)
+    val emb = embDouble(spark, dir)
+    val w = 2 * IvfSplitMod
+    val wave1 = pqEncode(
+      nearestLists(emb.where(s"vec_id % $w = 0"), cent, "vec_id", 1)
+        .select("vec_id", "emb", "nrm", "c_id"), pqc)
+      .persist() // read twice (touched set, merge+write) — one compute
+    val touched = wave1.select("c_id").distinct()
+      .collect().map(_.getLong(0)).toSet // ≤ |wave| list ids
+    graft.streaming.Sinks.partitionedUpsertBatch(wave1.toDF(), aug,
+      partitionCols = Seq("c_id"), keyCols = Seq("vec_id"),
+      versionCols = Seq("vec_id"), sortCols = Seq("vec_id"))
+    listsManifestWrite(spark, aug, listsManifestRead(spark, aug) ++ touched)
+    val out = incrementalIvfPqProbe(spark, waveQueries(emb, IvfSplitMod),
+      indexCodebook(spark, aug), pqc, aug, emb,
+      PqIdxRefine * rerankK(corpusStats(spark, dir)._1))
+    wave1.unpersist() // probe reads the written files, not the plan
+    out
+  }
+
+  /** DuckDB CTE chain replaying the PQ-index probe from scratch (DuckDB
+    * has no persisted index, so `histPred` names the index CONTENT):
+    * coarse assignment, PQ encode (codes as (vec_id, m, c_id) rows — the
+    * 16-bit packing is Spark-side storage the unpack inverts exactly),
+    * ADC over the probed lists for the wave-`rem` query set, adaptive
+    * cut, exact re-rank. Ends in `ranked(q_id, vec_id, sim, rk)` plus
+    * `hist`/`q` for callers that need them (the recall gate).
+    */
+  private def ivfPqIncrCtes(histPred: String, rem: Int): String = {
+    val w = 2 * IvfSplitMod
+    val subSelects = (0 until PqM)
+      .map(m => s"SELECT vec_id, nrm, $m AS m, emb[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS sub FROM emb")
+      .mkString("\n  UNION ALL ")
+    def dotSub(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i]))"
+    def normSq(a: String): String =
+      s"list_sum(list_transform($a, v -> v * v))"
+    s"""$embCte,
+       |gcent AS (SELECT vec_id AS g_id, emb AS g_emb, nrm AS g_nrm FROM emb
+       |          WHERE vec_id < $nCentroidsSqlExpr),
+       |hist AS (SELECT vec_id, emb, nrm FROM emb WHERE $histPred),
+       |lists AS (
+       |  SELECT vec_id, g_id FROM (
+       |    SELECT h.vec_id, g.g_id,
+       |           row_number() OVER (PARTITION BY h.vec_id ORDER BY
+       |             round(${cosineSql("h.emb", "g.g_emb", "h.nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM hist h, gcent g)
+       |  WHERE grk = 1),
+       |subs AS (
+       |  $subSelects),
+       |pcent AS (SELECT m, vec_id AS c_id, sub AS c_sub,
+       |                 floor(${normSq("sub")} * $QScale.0 + 0.5)::BIGINT AS cq
+       |          FROM subs WHERE vec_id < $PqK),
+       |codes AS (
+       |  SELECT vec_id, m, c_id FROM (
+       |    SELECT s.vec_id, s.m, c.c_id,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |             round(${normSq("s.sub")} - 2 * ${dotSub("s.sub", "c.c_sub")}
+       |               + ${normSq("c.c_sub")}, 6) ASC, c.c_id ASC) AS crk
+       |    FROM subs s
+       |    JOIN hist h ON h.vec_id = s.vec_id
+       |    JOIN pcent c USING (m))
+       |  WHERE crk = 1),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
+       |      WHERE vec_id % $w = $rem
+       |        AND vec_id < ${w.toLong * QuerySetSize + rem}),
+       |probes AS (
+       |  SELECT q_id, g_id FROM (
+       |    SELECT q.q_id, g.g_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             round(${cosineSql("q.q_emb", "g.g_emb", "q.q_nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM q, gcent g)
+       |  WHERE grk <= $NProbe),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.nrm AS q_nrm, s.m, c.c_id,
+       |         floor(${dotSub("s.sub", "c.c_sub")} * $QScale.0 + 0.5)::BIGINT AS pq,
+       |         c.cq
+       |  FROM subs s
+       |  JOIN q ON q.q_id = s.vec_id
+       |  JOIN pcent c USING (m)),
+       |cand AS (
+       |  SELECT p.q_id, l.vec_id
+       |  FROM probes p JOIN lists l USING (g_id) WHERE l.vec_id <> p.q_id),
+       |adcs AS (
+       |  SELECT n.q_id, n.vec_id, max(l.q_nrm) AS q_nrm,
+       |         sum(l.pq)::BIGINT AS adcq, sum(l.cq)::BIGINT AS rq
+       |  FROM cand n
+       |  JOIN codes c ON c.vec_id = n.vec_id
+       |  JOIN lut l ON l.q_id = n.q_id AND l.m = c.m AND l.c_id = c.c_id
+       |  GROUP BY n.q_id, n.vec_id),
+       |cut AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY
+       |             round((adcq::DOUBLE / $QScale.0)
+       |               / (q_nrm * sqrt(rq::DOUBLE / $QScale.0)), 6) DESC,
+       |             vec_id ASC) AS ark
+       |    FROM adcs)
+       |  WHERE ark <= $PqIdxRefine
+       |    * greatest($RerankKMin, (SELECT count(*) // 1000 FROM emb))),
+       |reranked AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         round(${cosineSql("q.q_emb", "e.emb", "q.q_nrm", "e.nrm")}, 6) AS sim
+       |  FROM cut c
+       |  JOIN emb e ON e.vec_id = c.vec_id
+       |  JOIN q ON q.q_id = c.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM reranked)""".stripMargin
+  }
+
+  private def ivfPqIncrSql(histPred: String, rem: Int): String =
+    s"""WITH ${ivfPqIncrCtes(histPred, rem)}
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+
+  val incrementalIvfPqSql: String =
+    ivfPqIncrSql(s"vec_id % $IvfSplitMod <> 0", 0)
+
+  val incrementalIvfPqAppendSql: String = ivfPqIncrSql(
+    s"vec_id % $IvfSplitMod <> 0 OR vec_id % ${2 * IvfSplitMod} = 0",
+    IvfSplitMod)
+
+  /** Recall floor (percent) of the persisted PQ layout — the in-plan
+    * ivfpq gate's threshold ([[RecallGatePct]]): the stored-code layout
+    * must not retrieve worse than the same construction computed
+    * in-query.
+    */
+  val IvfPqIdxRecallPct = 72
+
+  /** Retrieval-quality gate for the PERSISTED PQ layout, apples to
+    * apples: truth = exact top-[[TopK]] of the wave-1 queries over the
+    * INDEX CONTENT (the historical corpus — the only population the
+    * index can return), hits = the [[incrementalIvfPq]] probe's
+    * intersection with that truth, thresholded at [[IvfPqIdxRecallPct]].
+    * Exact integers + a boolean, hash-oracled like [[recallGate]].
+    */
+  def ivfPqIdxRecallGate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val hist = emb.where(s"vec_id % $IvfSplitMod <> 0")
+    val q = waveQueries(emb, 0)
+      .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm")
+    val bf = hist.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $TopK").select("q_id", "vec_id")
+    val hits = incrementalIvfPq(spark, dir).select("q_id", "vec_id")
+      .join(bf, Seq("q_id", "vec_id"))
+      .agg(count(lit(1)).as("hits"))
+    val truth = bf.agg(count(lit(1)).as("truth"))
+    hits.crossJoin(broadcast(truth))
+      .selectExpr("'ivf_pq_idx' AS method", "hits", "truth",
+        s"CAST($IvfPqIdxRecallPct AS BIGINT) AS thr_pct",
+        s"hits * 100 >= $IvfPqIdxRecallPct * truth AS ok")
+  }
+
+  val ivfPqIdxRecallGateSql: String =
+    s"""WITH ${ivfPqIncrCtes(s"vec_id % $IvfSplitMod <> 0", 0)},
+       |bf AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, h.vec_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             round(${cosineSql("q.q_emb", "h.emb", "q.q_nrm", "h.nrm")}, 6) DESC,
+       |             h.vec_id ASC) AS rk
+       |    FROM hist h, q WHERE h.vec_id <> q.q_id)
+       |  WHERE rk <= $TopK),
+       |pk AS (SELECT q_id, vec_id FROM ranked WHERE rk <= $TopK),
+       |h2 AS (SELECT count(*)::BIGINT AS hits FROM pk JOIN bf USING (q_id, vec_id)),
+       |t AS (SELECT count(*)::BIGINT AS truth FROM bf)
+       |SELECT 'ivf_pq_idx' AS method, h2.hits, t.truth,
+       |       $IvfPqIdxRecallPct::BIGINT AS thr_pct,
+       |       h2.hits * 100 >= $IvfPqIdxRecallPct * t.truth AS ok
+       |FROM h2 CROSS JOIN t""".stripMargin
+
   // ------------------------- recall gate on a derived ×10 corpus
 
   /** ×10 in-process corpus replication for [[recallGateX10]] — the Scale
@@ -2671,6 +3060,9 @@ object Similarity {
     "sim_incremental_ivf_sq8" -> incrementalIvfSq8,
     "sim_incremental_ivf_sq8_append" -> incrementalIvfSq8Append,
     "stream_incremental_ivf_sq8" -> streamIncrementalIvfSq8,
+    "sim_incremental_ivf_pq" -> incrementalIvfPq,
+    "sim_incremental_ivf_pq_append" -> incrementalIvfPqAppend,
+    "sim_ivfpq_idx_recall_gate" -> ivfPqIdxRecallGate,
     "sim_incremental_ivf_append" -> incrementalIvfAppend,
     "stream_incremental_ivf" -> streamIncrementalIvf,
     "sim_semdedup" -> semDedup,
@@ -2697,6 +3089,9 @@ object Similarity {
     "sim_incremental_ivf_sq8" -> incrementalIvfSq8Sql,
     "sim_incremental_ivf_sq8_append" -> incrementalIvfSq8AppendSql,
     "stream_incremental_ivf_sq8" -> streamIncrementalIvfSq8Sql,
+    "sim_incremental_ivf_pq" -> incrementalIvfPqSql,
+    "sim_incremental_ivf_pq_append" -> incrementalIvfPqAppendSql,
+    "sim_ivfpq_idx_recall_gate" -> ivfPqIdxRecallGateSql,
     "sim_incremental_ivf_append" -> incrementalIvfSqlAppend,
     "stream_incremental_ivf" -> streamIncrementalIvfSql,
     "sim_semdedup" -> semDedupSql,

@@ -329,6 +329,22 @@ object Scale {
     }
     onceSq8() // untimed warmup
     val secQ = math.min(onceSq8(), onceSq8())
+    // PQ-coded index: the same queries against the 2-byte-code lists
+    // (ADC + ×PqIdxRefine exact re-rank) — the smallest rung of the
+    // storage ladder; reports its wall + list bytes next to the others
+    val pqPath = Similarity.ensureIvfPqIndex(spark, indexDir)
+    def oncePq(): Double = {
+      val t = timed(
+        Similarity.incrementalIvfPqProbe(spark, queries,
+            Similarity.indexCodebook(spark, pqPath),
+            Similarity.indexPqCodebook(spark, pqPath), pqPath, floats,
+            Similarity.PqIdxRefine * rerank)
+          .write.format("noop").mode("overwrite").save())
+      spark.catalog.clearCache()
+      t
+    }
+    oncePq() // untimed warmup
+    val secP = math.min(oncePq(), oncePq())
     def listBytes(root: String): Long = {
       val p = new org.apache.hadoop.fs.Path(root)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -343,7 +359,8 @@ object Scale {
     }
     val fBytes = listBytes(indexPath)
     val qBytes = listBytes(sq8Path)
-    println(s"""[scale] {"ivfprobe_batch":"$batchDir","index":"$indexDir","centroids":$nCent,"index_rows":$indexRows,"sec_pruned":${num(sec)},"sec_sq8":${num(secQ)},"list_bytes_float":$fBytes,"list_bytes_sq8":$qBytes,"list_bytes_ratio":${num(fBytes.toDouble / math.max(1L, qBytes), 2)}}""")
+    val pBytes = listBytes(pqPath)
+    println(s"""[scale] {"ivfprobe_batch":"$batchDir","index":"$indexDir","centroids":$nCent,"index_rows":$indexRows,"sec_pruned":${num(sec)},"sec_sq8":${num(secQ)},"sec_pq":${num(secP)},"list_bytes_float":$fBytes,"list_bytes_sq8":$qBytes,"list_bytes_pq":$pBytes,"list_bytes_ratio":${num(fBytes.toDouble / math.max(1L, qBytes), 2)},"list_bytes_sq8_over_pq":${num(qBytes.toDouble / math.max(1L, pBytes), 2)}}""")
     spark.stop()
   }
 

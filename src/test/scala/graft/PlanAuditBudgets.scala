@@ -147,6 +147,15 @@ object PlanAuditBudgets {
     // IVF-PQ composes three indexes (coarse lists, per-subspace codes,
     // candidate ADC) plus an exact re-rank join — each stage shuffles once
     "sim_ivfpq_topk" -> 9,
+    // persisted-PQ probe: the ADC sum is a (q_id, vec_id)-keyed aggregate
+    // over the exploded (m, code) rows (one shuffle the SQ8 integer-dot
+    // probe doesn't pay), plus the ark window, exact re-rank join, and
+    // presentation sort — all query-batch-sized after the list scan
+    "sim_incremental_ivf_pq" -> 4,
+    "sim_incremental_ivf_pq_append" -> 4,
+    // the probe's 4 plus the hist brute-force truth (its top-k window +
+    // hit join + two scalar aggregates) — a declared verification surface
+    "sim_ivfpq_idx_recall_gate" -> 8,
     "sim_label_centroids" -> 2,
     "sim_lsh_topk" -> 2,
     "sim_pq_topk" -> 4,

@@ -63,6 +63,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // crossJoin (nearestLists) for assignment and the probe set; list
     // scoring itself is an equi join on c_id
     "sim_incremental_ivf_sq8", "sim_incremental_ivf_sq8_append",
+    // PQ-coded IVF probe/append/gate: the same bounded persisted-codebook
+    // crossJoin (nearestLists) plus the gate's query-batch (wave-1, ≤
+    // QuerySetSize rows) brute-force truth broadcast; ADC itself is an
+    // equi join on (q_id, m, code) against a broadcast Q×M×K LUT
+    "sim_incremental_ivf_pq", "sim_incremental_ivf_pq_append",
+    "sim_ivfpq_idx_recall_gate",
     // vector leg = the incremental-IVF probe's bounded codebook broadcast
     "text_hybrid_rrf_indexed",
     // SemDeDup cluster assignment: the same bounded coarse-codebook

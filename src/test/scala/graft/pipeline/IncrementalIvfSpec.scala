@@ -256,4 +256,99 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(sq8Bytes * 2 < floatBytes,
       s"sq8 lists ($sq8Bytes B) must be well under the float lists ($floatBytes B)")
   }
+
+  test("PQ index: 2-byte packed codes, codebooks in the index, byte-for-byte reuse") {
+    val path = Similarity.ivfPqIndexPath(spark, dir)
+    deleteRecursively(Paths.get(path))
+
+    val first = Similarity.incrementalIvfPq(spark, dir).collect().toSeq
+    assert(first.nonEmpty)
+    assert(new File(path + "/_SUCCESS").exists(), "index must be committed")
+    assert(new File(path + "/" + Similarity.ListsManifestFile).exists())
+    val stateAfterBuild = fileState(path)
+
+    val idx = spark.read.parquet(path)
+    val cols = idx.columns.toSet
+    assert(!cols.contains("emb") && !cols.contains("qb"),
+      "PQ lists hold codes only — no float vectors, no SQ8 bytes")
+    assert(idx.schema("pcode").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // the storage contract: PqM 4-bit codes in one 16-bit integer
+    assert(idx.selectExpr("pcode >= 0 AND pcode < 65536 AS ok")
+      .where("NOT ok").count() == 0)
+    val nHist = graft.Tables.load(spark, dir, "embeddings")
+      .where(s"vec_id % ${Similarity.IvfSplitMod} <> 0").count()
+    assert(idx.count() == nHist)
+    // both codebooks travel WITH the index: coarse (16+) + PQ (M×K rows)
+    val pqc = Similarity.indexPqCodebook(spark, path)
+    assert(pqc.count() == Similarity.PqM.toLong * Similarity.PqK)
+    // every unpacked sub-code indexes a real codebook row
+    val unpackOk = (0 until Similarity.PqM)
+      .map(m => s"(pcode DIV ${1L << (4 * m)}) % ${Similarity.PqK} >= 0")
+      .mkString(" AND ")
+    assert(idx.selectExpr(s"$unpackOk AS ok").where("NOT ok").count() == 0)
+
+    val second = Similarity.incrementalIvfPq(spark, dir).collect().toSeq
+    assert(second == first, "replayed probe must be bit-identical")
+    assert(fileState(path) == stateAfterBuild,
+      "second run must not rewrite any index file (reuse, not rebuild)")
+  }
+
+  test("PQ append surfaces wave-1 through the code lists") {
+    Similarity.ensureIvfPqIndex(spark, dir)
+    val rows = Similarity.incrementalIvfPqAppend(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val w = 2 * Similarity.IvfSplitMod
+    assert(rows.exists(r => r.getLong(1) % w == 0),
+      "appended wave-1 vectors must be probe-visible in wave-2's top-k")
+    assert(rows.forall { r =>
+      val v = r.getLong(1)
+      v % Similarity.IvfSplitMod != 0 || v % w == 0
+    }, "wave-2 vectors must not be in the index")
+  }
+
+  test("PQ probe's sims are EXACT cosines and code lists undercut SQ8's") {
+    Similarity.ensureIvfSq8Index(spark, dir)
+    val pqPath = Similarity.ensureIvfPqIndex(spark, dir)
+    val out = Similarity.incrementalIvfPq(spark, dir)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      .selectExpr("vec_id", "emb", "sqrt(graft_dot(emb, emb)) AS nrm")
+    val mismatches = out
+      .join(emb.selectExpr("vec_id", "emb AS v_emb", "nrm AS v_nrm"), "vec_id")
+      .join(emb.selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm"), "q_id")
+      .selectExpr("sim",
+        "round(graft_dot(q_emb, v_emb) / (q_nrm * v_nrm), 6) AS exact")
+      .where("sim <> exact").count()
+    assert(mismatches == 0, "emitted sims must be exact float cosines")
+    // even at toy scale (parquet per-file overhead shared by both layouts)
+    // the 2-byte-code lists must undercut the 64-byte SQ8 lists; the
+    // <1/4 payload claim is measured where overhead amortizes
+    // (graft.tools.Scale ivfprobe at x10/x100, NOTES_r14)
+    def listBytes(root: String): Long = {
+      val base = Paths.get(root)
+      Files.walk(base).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.toString.contains("c_id=") && p.toString.endsWith(".parquet"))
+        .map(Files.size(_)).sum
+    }
+    val sq8Bytes = listBytes(Similarity.ivfSq8IndexPath(spark, dir))
+    val pqBytes = listBytes(pqPath)
+    assert(pqBytes < sq8Bytes,
+      s"pq code lists ($pqBytes B) must undercut sq8 lists ($sq8Bytes B)")
+  }
+
+  test("PQ persisted-layout recall gate holds against hist brute force") {
+    val row = Similarity.ivfPqIdxRecallGate(spark, dir).collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getString(0) == "ivf_pq_idx")
+    val (hits, truth) = (r.getLong(1), r.getLong(2))
+    assert(truth ==
+      Similarity.QuerySetSize.toLong * Similarity.TopK)
+    assert(hits <= truth)
+    assert(r.getBoolean(4) == (hits * 100 >= r.getLong(3) * truth),
+      "ok must be the thresholded hits/truth comparison")
+  }
 }
