@@ -109,6 +109,7 @@ object SparkEntry {
       pipeline.CorpusOps.all ++
       pipeline.SnapshotMv.all ++
       pipeline.TextAnalysis.all ++
+      pipeline.HtmlExtract.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
       pipeline.Retrieval.all ++
@@ -237,6 +238,7 @@ object SparkEntry {
       pipeline.CorpusOps.oracles ++
       pipeline.SnapshotMv.oracles ++
       pipeline.TextAnalysis.oracles ++
+      pipeline.HtmlExtract.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
       pipeline.Retrieval.oracles ++
