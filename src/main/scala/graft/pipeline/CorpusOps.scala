@@ -775,13 +775,21 @@ object CorpusOps {
     *      length, distinct-word ratio, word count), conjunctively;
     *   2. exact dedup     — [[Dedup.exact]]'s keeper policy (min doc_id
     *      per md5(text)) among the quality survivors;
-    *   3. eval split-off  — training candidates exclude the eval docs
+    *   3. FUZZY near-dup  — [[Dedup.jaccardLshGated]]'s full construction
+    *      (MinHash banding for candidates, exact Jaccard to confirm)
+    *      over the exact-dedup survivors — the most expensive stage of
+    *      the real pipeline (r13 verdict item 4) — resolved by the
+    *      deterministic single-pass keep-first policy: a doc drops iff
+    *      it has a CONFIRMED near-dup of smaller doc_id (transitive
+    *      cluster resolution stays [[Dedup.duplicateClusters]]'
+    *      standalone concern);
+    *   4. eval split-off  — training candidates exclude the eval docs
     *      (`doc_id % EvalEvery == 0`, [[decontaminate]]'s split);
-    *   4. decontamination — drop candidates sharing ANY distinct
+    *   5. decontamination — drop candidates sharing ANY distinct
     *      [[DecontamN]]-gram with the raw eval split (broadcast eval
     *      grams, [[decontaminate]]'s join direction: the corpus side
     *      never shuffles);
-    *   5. packing         — [[packSequences]]' shard-local concat-and-
+    *   6. packing         — [[packSequences]]' shard-local concat-and-
     *      chunk over the surviving docs (per-shard token cumsum, ceil
     *      bins at [[PackBudget]]).
     *
@@ -794,8 +802,10 @@ object CorpusOps {
     * just its standalone entry — fails the gate. Plan shape: each stage
     * consumes the previous stage's frame (no re-reads of the raw table
     * except the eval-gram side), aggregates are map-side-combinable, and
-    * the only data-sized shuffles are the md5 dedup window and the
-    * contamination semi-join's gram exchange.
+    * the data-sized shuffles are the md5 dedup window, the near-dup
+    * stage's signature/band/shingle exchanges (bucket-local self-join,
+    * candidate-driven confirm — the [[Dedup.jaccardLshGated]] shape),
+    * and the contamination semi-join's gram exchange.
     */
   def e2ePrepare(spark: SparkSession, dir: String): DataFrame = {
     val raw = Tables.load(spark, dir, "documents")
@@ -808,7 +818,18 @@ object CorpusOps {
       .withColumn("krk", expr(
         "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)"))
       .where("krk = 1").drop("krk")
-    val cand = keepers.where(s"doc_id % $EvalEvery != 0")
+      // consumed ~6× by the near-dup construction (signatures, both band
+      // sides, shingles A/B, sizes) plus the anti-join and the count —
+      // checkpoint once so the quality+dedup subtree is neither re-planned
+      // nor re-executed per consumer (the `clean` precedent below)
+      .localCheckpoint()
+    // fuzzy near-dup: every CONFIRMED pair (doc_a < doc_b by
+    // construction) drops its doc_b — keep-first, one pass, replayable
+    val neardup = keepers.join(
+      Dedup.jaccardLshGated(keepers.select("doc_id", "text"))
+        .selectExpr("doc_b AS doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+    val cand = neardup.where(s"doc_id % $EvalEvery != 0")
     val evalGrams = raw.where(s"doc_id % $EvalEvery = 0")
       .selectExpr("split(text, ' ') AS t")
       .selectExpr(s"explode(${gramExpr(DecontamN)}) AS gram")
@@ -833,17 +854,18 @@ object CorpusOps {
     cnt(1, "raw_docs", raw)
       .unionByName(cnt(2, "quality_docs", quality))
       .unionByName(cnt(3, "exact_dedup_docs", keepers))
-      .unionByName(cnt(4, "train_candidates", cand))
-      .unionByName(cnt(5, "decontaminated_docs", clean))
-      .unionByName(one(6, "packed_bins", shardTokens.agg(
+      .unionByName(cnt(4, "lsh_neardup_docs", neardup))
+      .unionByName(cnt(5, "train_candidates", cand))
+      .unionByName(cnt(6, "decontaminated_docs", clean))
+      .unionByName(one(7, "packed_bins", shardTokens.agg(
         sum(expr(s"(shard_tokens + ${PackBudget - 1}) div $PackBudget"))
           .as("v"))))
-      .unionByName(one(6, "packed_tokens",
+      .unionByName(one(7, "packed_tokens",
         shardTokens.agg(sum("shard_tokens").as("v"))))
-      .unionByName(one(6, "pad_tokens", shardTokens.agg(
+      .unionByName(one(7, "pad_tokens", shardTokens.agg(
         (sum(expr(s"(shard_tokens + ${PackBudget - 1}) div $PackBudget"))
           * PackBudget - sum("shard_tokens")).as("v"))))
-      .unionByName(one(7, "corpus_fp", clean.agg(
+      .unionByName(one(8, "corpus_fp", clean.agg(
         sum(expr(TextAnalysis.polyHashExpr("text"))).as("v"))))
       .orderBy("stage", "metric")
   }
@@ -865,16 +887,19 @@ object CorpusOps {
        |           row_number() OVER (PARTITION BY md5(text)
        |             ORDER BY doc_id) AS krk
        |    FROM q) WHERE krk = 1),
-       |cand AS (SELECT doc_id, text FROM k WHERE doc_id % $EvalEvery != 0),
+       |${Dedup.lshGatedCtes("k")},
+       |nd AS (SELECT doc_id, text FROM k
+       |       WHERE doc_id NOT IN (SELECT doc_b FROM gated)),
+       |tc AS (SELECT doc_id, text FROM nd WHERE doc_id % $EvalEvery != 0),
        |eg AS (SELECT DISTINCT gram FROM (
        |         SELECT $gram
        |         FROM (SELECT string_split(text, ' ') AS t FROM documents
        |               WHERE doc_id % $EvalEvery = 0))),
        |cg AS (SELECT doc_id, gram FROM (
        |         SELECT doc_id, $gram
-       |         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM cand))),
+       |         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM tc))),
        |contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (gram)),
-       |clean AS (SELECT doc_id, text FROM cand
+       |clean AS (SELECT doc_id, text FROM tc
        |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
        |st AS (SELECT doc_id % $PackShards AS shard,
        |              sum(len(string_split(text, ' '))::BIGINT)::BIGINT
@@ -885,15 +910,16 @@ object CorpusOps {
        |         (SELECT count(*) FROM documents)::BIGINT AS value
        |  UNION ALL SELECT 2, 'quality_docs', (SELECT count(*) FROM q)
        |  UNION ALL SELECT 3, 'exact_dedup_docs', (SELECT count(*) FROM k)
-       |  UNION ALL SELECT 4, 'train_candidates', (SELECT count(*) FROM cand)
-       |  UNION ALL SELECT 5, 'decontaminated_docs', (SELECT count(*) FROM clean)
-       |  UNION ALL SELECT 6, 'packed_bins',
+       |  UNION ALL SELECT 4, 'lsh_neardup_docs', (SELECT count(*) FROM nd)
+       |  UNION ALL SELECT 5, 'train_candidates', (SELECT count(*) FROM tc)
+       |  UNION ALL SELECT 6, 'decontaminated_docs', (SELECT count(*) FROM clean)
+       |  UNION ALL SELECT 7, 'packed_bins',
        |    (SELECT sum((shard_tokens + ${PackBudget - 1}) // $PackBudget) FROM st)
-       |  UNION ALL SELECT 6, 'packed_tokens', (SELECT sum(shard_tokens) FROM st)
-       |  UNION ALL SELECT 6, 'pad_tokens',
+       |  UNION ALL SELECT 7, 'packed_tokens', (SELECT sum(shard_tokens) FROM st)
+       |  UNION ALL SELECT 7, 'pad_tokens',
        |    (SELECT sum((shard_tokens + ${PackBudget - 1}) // $PackBudget)
        |       * $PackBudget - sum(shard_tokens) FROM st)
-       |  UNION ALL SELECT 7, 'corpus_fp',
+       |  UNION ALL SELECT 8, 'corpus_fp',
        |    (SELECT sum(${TextAnalysis.polyHashSql("text")}) FROM clean))
        |SELECT stage, metric, value::BIGINT AS value FROM rows
        |ORDER BY stage, metric""".stripMargin

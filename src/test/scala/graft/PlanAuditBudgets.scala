@@ -229,8 +229,13 @@ object PlanAuditBudgets {
     // distinct + contamination join + candidate distinct + anti join,
     // shard agg, and the per-stage count aggregates the long-format
     // accounting unions — one pipeline deliberately spending each
-    // stage's one shuffle
-    "pipeline_e2e_prepare" -> 11,
+    // stage's one shuffle. 22 since r14: the MinHash-LSH near-dup stage
+    // joined the DAG (signature agg, band self-join, candidate-driven
+    // shingle confirm, sizes, pair distinct — the jaccardLshGated shape,
+    // whose identical subtrees land as static exchange nodes here but
+    // dedupe through ReuseExchange at runtime; keepers is checkpointed so
+    // the quality+dedup prefix is computed once); measured 4.1 s at sf0.1
+    "pipeline_e2e_prepare" -> 22,
     "taxi_inv_replay" -> 1,
     "taxi_parse" -> 1,
     "text_bigrams" -> 1,

@@ -346,11 +346,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     add(5L, good(1), lang = "de")  // language gate drop
     add(6L, "short words only")    // length gate drop
     add(7L, Seq.fill(40)("rep").mkString(" ")) // distinct-ratio drop
-    // near-copy of eval doc 0 (first word differs so exact dedup keeps
-    // it) — shares 5-grams with the eval split, so decontamination drops
-    add(8L, "zzz " + good(100).split(' ').drop(1).mkString(" "))
+    // shares EXACTLY one 5-gram run with eval doc 0 (the decontamination
+    // trigger) while its shingle Jaccard to doc 0 stays ~0.04 — far under
+    // the near-dup confirm, so THIS doc must reach and fail stage 6, not
+    // be swallowed by the LSH stage
+    add(8L, ((0 until 35).map(i => s"w8y$i") ++
+      good(100).split(' ').take(5)).mkString(" "))
     add(9L, good(9)); add(11L, good(11))
     add(10L, good(200))            // second eval doc
+    // near-dup of doc 3 (one trailing word swapped: shingle Jaccard ≈
+    // 0.93, same band buckets) — survives exact dedup, drops at the LSH
+    // stage under keep-first (12 > 3)
+    add(12L, (good(3).split(' ').dropRight(1) :+ "w3swapped").mkString(" "))
     val dir2 = graft.TempDirs.scoped("e2e-spec")
     rows.result().toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
@@ -367,7 +374,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     val dedup = quality.groupBy(_._2).map { case (_, g) =>
       g.minBy(_._1)
     }.toSeq.sortBy(_._1)
-    val cand = dedup.filter(_._1 % CorpusOps.EvalEvery != 0)
+    // MinHash-LSH + exact-Jaccard confirm replica from the published
+    // constants (Dedup.H/B/R/As/Bs, TextAnalysis.FpMod, JaccardThreshold)
+    val fp = TextAnalysis.FpMod
+    def tokH(t: String): Vector[Long] =
+      t.split(' ').toVector.map(Retrieval.polyHashLocal)
+    def shingleH(t: String): Set[Long] = {
+      val th = tokH(t)
+      (0 to th.length - 3).map(i =>
+        ((((th(i) * 31 + th(i + 1)) % fp) * 31) + th(i + 2)) % fp).toSet
+    }
+    def shingleS(t: String): Set[String] =
+      t.split(' ').sliding(3).map(_.mkString(" ")).toSet
+    def sig(t: String): Vector[Long] = {
+      val hs = shingleH(t)
+      (0 until Dedup.H).map(i =>
+        hs.map(h => (Dedup.As(i) * h + Dedup.Bs(i)) % fp).min).toVector
+    }
+    def bandKeys(t: String): Set[(Int, Long)] = {
+      val s = sig(t)
+      (0 until Dedup.B).map { b =>
+        b -> (0 until Dedup.R).foldLeft(0L)((acc, r) =>
+          (acc * 31 + s(b * Dedup.R + r)) % fp)
+      }.toSet
+    }
+    def jac(a: String, b: String): Double = {
+      val sa = shingleS(a); val sb = shingleS(b)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val confirmedB = (for {
+      a <- dedup; b <- dedup
+      if a._1 < b._1 && bandKeys(a._2).intersect(bandKeys(b._2)).nonEmpty
+      if jac(a._2, b._2) >= Dedup.JaccardThreshold
+    } yield b._1).toSet
+    val neardup = dedup.filterNot(d => confirmedB(d._1))
+    val cand = neardup.filter(_._1 % CorpusOps.EvalEvery != 0)
     def grams(t: String): Set[String] =
       t.split(' ').sliding(CorpusOps.DecontamN).map(_.mkString(" ")).toSet
     val evalGrams = docs.filter(_._1 % CorpusOps.EvalEvery == 0)
@@ -376,19 +417,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     // every stage strictly drops
     assert(quality.size < docs.size, "quality gate idle")
     assert(dedup.size < quality.size, "exact dedup idle")
-    assert(cand.size < dedup.size, "eval split-off idle")
+    assert(neardup.size < dedup.size, "LSH near-dup idle")
+    assert(cand.size < neardup.size, "eval split-off idle")
     assert(clean.size < cand.size, "decontamination idle")
     assert(out((1L, "raw_docs")) == docs.size)
     assert(out((2L, "quality_docs")) == quality.size)
     assert(out((3L, "exact_dedup_docs")) == dedup.size)
-    assert(out((4L, "train_candidates")) == cand.size)
-    assert(out((5L, "decontaminated_docs")) == clean.size)
+    assert(out((4L, "lsh_neardup_docs")) == neardup.size)
+    assert(out((5L, "train_candidates")) == cand.size)
+    assert(out((6L, "decontaminated_docs")) == clean.size)
+    // the constructed near-dup (doc 12, keep-first loser to doc 3) is the
+    // stage-4 drop; its keeper survives
+    assert(confirmedB == Set(12L), s"unexpected confirm set $confirmedB")
     // fingerprint: Σ polyhash over exactly the replica's surviving texts
     val wantFp = clean.map(d => Retrieval.polyHashLocal(d._2)).sum
-    assert(out((7L, "corpus_fp")) == wantFp, "fingerprint replica disagrees")
+    assert(out((8L, "corpus_fp")) == wantFp, "fingerprint replica disagrees")
     // pack algebra: pad = bins·budget − tokens, bins ≥ ceil(tokens/budget)
-    val bins = out((6L, "packed_bins")); val toks = out((6L, "packed_tokens"))
-    assert(out((6L, "pad_tokens")) == bins * CorpusOps.PackBudget - toks)
+    val bins = out((7L, "packed_bins")); val toks = out((7L, "packed_tokens"))
+    assert(out((7L, "pad_tokens")) == bins * CorpusOps.PackBudget - toks)
     assert(toks == clean.map(_._2.split(' ').length.toLong).sum)
   }
 }
