@@ -122,6 +122,81 @@ object Tokenizer {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------- vocabulary-scale training
+
+  /** Vocabulary-scale merge count (r13 verdict item 5: 8 merges is a toy;
+    * ≥256 proves the vocab-bounded-wall claim where it matters).
+    */
+  val MergesBig = 256
+
+  /** Sub-vocabulary multiplier of the derived vocab-rich surface: the raw
+    * corpus holds only 31 distinct words, whose pairs EXHAUST after 107
+    * merges (the loop's `require` fails loud) — no honest 256-merge run
+    * exists on it. The derived surface suffixes every occurrence with
+    * `~(doc_id % 13)` (the skewed-BM25 derived-surface convention):
+    * ≤ 31·13 = 403 distinct words, ~3,200 merge capacity, counts still
+    * corpus-driven, and DuckDB replays the identical derivation.
+    */
+  val VocabMult = 13
+
+  /** The derived vocab-rich count table — still exactly ONE corpus scan. */
+  def wordCountsBig(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS w0")
+      .where("w0 <> ''")
+      .selectExpr(s"concat(w0, '~', CAST(doc_id % $VocabMult AS STRING)) AS word")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** The [[MergesBig]]-round trainer. The corpus is touched ONCE (the
+    * count aggregation); the merge loop then runs DRIVER-SIDE on the
+    * collected count table — vocabulary-sized, never corpus-sized (403
+    * rows here; ~10M words even at web scale — megabytes), which is the
+    * factoring production tokenizer trainers use (count in the cluster,
+    * merge in memory). For vocabularies too large to hold, the per-round
+    * distributed form ([[train]]) remains. Merge application replays the
+    * bracketed-string `replace` EXACTLY: greedy left-to-right
+    * non-overlapping pairing, argmax tie-break (count DESC, l, r) in
+    * plain ASCII compares — bit-identical to the unrolled SQL stages.
+    */
+  def bpeTrainBig(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab: Array[(String, Long)] = wordCountsBig(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var syms: Array[Vector[String]] =
+      vocab.map(_._1.split("").toVector)
+    val cnts = vocab.map(_._2)
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (rank <- 1 to MergesBig) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var k = 0
+      while (k < syms.length) {
+        val s = syms(k); val c = cnts(k)
+        var i = 0
+        while (i < s.length - 1) {
+          val key = (s(i), s(i + 1))
+          pc(key) = pc.getOrElse(key, 0L) + c
+          i += 1
+        }
+        k += 1
+      }
+      require(pc.nonEmpty, s"BPE round $rank: no pairs left to merge")
+      val ((l, r), best) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+      merges += ((rank.toLong, l, r, l + r, best))
+      syms = syms.map { s =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+            out += (l + r); i += 2 // greedy non-overlap == replace()
+          } else { out += s(i); i += 1 }
+        }
+        out.result()
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
   // ------------------------------------------------------------- oracle
 
   private def symsInitSql(col: String): String =
@@ -130,10 +205,14 @@ object Tokenizer {
 
   /** The K merge rounds unrolled into SQL stages: stage i computes pair
     * counts over w(i−1), picks the argmax with the same tie-break, and
-    * applies it via the same bracketed `replace`.
+    * applies it via the same bracketed `replace`. Every multi-referenced
+    * CTE is MATERIALIZED — w(i−1) feeds both p_i and w_i, and DuckDB
+    * would otherwise INLINE it twice, doubling the plan per stage
+    * (exponential by 256; the 64-stage un-hinted form already exhausts
+    * file descriptors re-opening the scan).
     */
-  private def stagesSql: String =
-    (1 to Merges).map { i =>
+  private def stagesSqlFor(merges: Int): String =
+    (1 to merges).map { i =>
       s"""p$i AS (SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS pc
          |  FROM (SELECT cnt,
          |          unnest(list_transform(range(1, len(s)),
@@ -145,30 +224,51 @@ object Tokenizer {
          |        WHERE len(s) >= 2)
          |  GROUP BY 1, 2),
          |m$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
-         |w$i AS (SELECT word, cnt,
+         |w$i AS MATERIALIZED (SELECT word, cnt,
          |          replace(syms, '<' || l || '><' || r || '>',
          |                  '<' || l || r || '>') AS syms
          |        FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n")
 
-  private def baseSql: String =
-    s"""w0 AS (SELECT word, cnt, ${symsInitSql("word")} AS syms
-       |       FROM (SELECT word, count(*)::BIGINT AS cnt
-       |             FROM (SELECT unnest(string_split(text, ' ')) AS word
-       |                   FROM documents)
-       |             WHERE word <> '' GROUP BY 1)),
-       |$stagesSql""".stripMargin
+  private def baseSqlFor(countsBody: String, merges: Int): String =
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, cnt, ${symsInitSql("word")} AS syms
+       |  FROM ($countsBody)),
+       |${stagesSqlFor(merges)}""".stripMargin
 
-  val bpeTrainSql: String = {
-    val union = (1 to Merges).map { i =>
+  private val docsCountsBody: String =
+    """SELECT word, count(*)::BIGINT AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |      FROM documents)
+      |WHERE word <> '' GROUP BY 1""".stripMargin
+
+  private def bigCountsBody: String =
+    s"""SELECT word, count(*)::BIGINT AS cnt
+       |FROM (SELECT w0 || '~' || (doc_id % $VocabMult)::VARCHAR AS word
+       |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w0
+       |            FROM documents)
+       |      WHERE w0 <> '')
+       |GROUP BY 1""".stripMargin
+
+  private def mergeTableUnion(merges: Int): String =
+    (1 to merges).map { i =>
       s"SELECT $i::BIGINT AS rank, l AS \"left\", r AS \"right\", " +
         s"l || r AS merged, pc AS pair_count FROM m$i"
     }.mkString("\n  UNION ALL ")
+
+  private def baseSql: String = baseSqlFor(docsCountsBody, Merges)
+
+  val bpeTrainBigSql: String =
+    s"""WITH ${baseSqlFor(bigCountsBody, MergesBig)}
+       |SELECT * FROM (
+       |  ${mergeTableUnion(MergesBig)}
+       |) ORDER BY rank""".stripMargin
+
+  val bpeTrainSql: String =
     s"""WITH $baseSql
        |SELECT * FROM (
-       |  $union
+       |  ${mergeTableUnion(Merges)}
        |) ORDER BY rank""".stripMargin
-  }
 
   val bpeSegmentSql: String =
     s"""WITH $baseSql
@@ -195,11 +295,13 @@ object Tokenizer {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> bpeTrain,
+    "text_bpe_train_256" -> bpeTrainBig,
     "text_bpe_segment" -> bpeSegment,
     "text_bpe_encode" -> bpeEncode)
 
   val oracles: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_train_256" -> bpeTrainBigSql,
     "text_bpe_segment" -> bpeSegmentSql,
     "text_bpe_encode" -> bpeEncodeSql)
 }

@@ -60,4 +60,58 @@ class TokenizerSpec extends AnyFunSuite {
     val b = Tokenizer.bpeTrain(spark, dir).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("256-merge trainer: full rank ladder, monotone counts, live pairs") {
+    val merges = Tokenizer.bpeTrainBig(spark, dir).collect()
+    assert(merges.length == Tokenizer.MergesBig)
+    assert(merges.map(_.getLong(0)).toSeq ==
+      (1L to Tokenizer.MergesBig.toLong))
+    val counts = merges.map(_.getLong(4))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "greedy argmax implies non-increasing pair counts")
+    assert(counts.last >= 1, "every learned rule must have a live count")
+    val pairs = merges.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length == pairs.length)
+    // merged symbols chain: every rule's sides are single chars or the
+    // product of an EARLIER rule — the defining BPE closure property
+    val known = scala.collection.mutable.Set.empty[String]
+    merges.foreach { r =>
+      val (l, rr) = (r.getString(1), r.getString(2))
+      assert(l.length == 1 || known(l), s"left '$l' unknown at rank ${r.getLong(0)}")
+      assert(rr.length == 1 || known(rr), s"right '$rr' unknown at rank ${r.getLong(0)}")
+      known += r.getString(3)
+    }
+  }
+
+  test("local merge loop == the distributed rounds on the same surface") {
+    // the driver-side loop (bpeTrainBig's engine) must be bit-equal to
+    // the per-round Spark aggregation for the rounds both can run: rerun
+    // the distributed argmax 8 rounds ON THE DERIVED SURFACE and compare
+    import org.apache.spark.sql.functions._
+    var w = Tokenizer.wordCountsBig(spark, dir)
+      .selectExpr("word", "cnt",
+        "concat_ws('', transform(split(word, ''), c -> concat('<', c, '>'))) AS syms")
+    val dist = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (rank <- 1 to 8) {
+      val top = w
+        .selectExpr("cnt",
+          "split(substring(syms, 2, length(syms) - 2), '><') AS s")
+        .where("size(s) >= 2")
+        .selectExpr("cnt",
+          "explode(transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))) AS p")
+        .groupBy("p.l", "p.r").agg(sum("cnt").as("pc"))
+        .orderBy(desc("pc"), asc("l"), asc("r"))
+        .limit(1).collect()
+      val (l, r, pc) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      dist += ((rank.toLong, l, r, l + r, pc))
+      w = w.withColumn("syms", expr(s"replace(syms, '<$l><$r>', '<$l$r>')"))
+    }
+    val local = Tokenizer.bpeTrainBig(spark, dir).collect()
+      .take(8).map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(local == dist.result(),
+      "driver-side merge loop diverged from the distributed rounds")
+  }
 }
