@@ -110,6 +110,7 @@ object SparkEntry {
       pipeline.SnapshotMv.all ++
       pipeline.TextAnalysis.all ++
       pipeline.HtmlExtract.all ++
+      pipeline.UrlDedup.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
       pipeline.Retrieval.all ++
@@ -239,6 +240,7 @@ object SparkEntry {
       pipeline.SnapshotMv.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.HtmlExtract.oracles ++
+      pipeline.UrlDedup.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
       pipeline.Retrieval.oracles ++

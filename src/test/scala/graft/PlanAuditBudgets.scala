@@ -104,6 +104,12 @@ object PlanAuditBudgets {
     // exact countDistinct pairs, the sketch-sized merge agg, output sort
     "stream_kmv_distinct" -> 6,
     "pipeline_filter_funnel" -> 1,
+    // canonical-keeper window (canon key), the salted phase-1 window
+    // (domain×16 salts), the bounded phase-2 window (≤ Salts·Cap rows
+    // per domain), the cap-flag join-back, presentation sort — the
+    // two-phase cap deliberately SPENDS one extra exchange to keep the
+    // head domain's population out of any single window partition
+    "pipeline_url_dedup" -> 5,
     // two bucket-count aggs (raw + target), the 1024-row score build,
     // the per-doc agg, the one-row max, the presentation sort
     "pipeline_importance_sample" -> 6,
