@@ -1178,7 +1178,132 @@ object Multimodal {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------- cross-modal caption ↔ image training pairs
+
+  /** Acceptance floor of the caption↔image gate, quantized to the
+    * [[Similarity.QScale]] grid: cosine ≥ 0.1 (aligned-pair cosines on
+    * this corpus span ≈ −0.44…0.39 with median ≈ 0, so BOTH classes are
+    * live at every committed sf).
+    */
+  val CaptionAcceptQ: Long = Similarity.QScale / 10
+
+  /** Anchor images mining hard negatives (bounded query batch). */
+  val CaptionAnchors = 8
+
+  /** Hard negatives kept per anchor. */
+  val CaptionHnK = 5
+
+  private case class MmImageVec(doc_id: Long, iv: Array[Double])
+
+  /** Each document's IMAGE EMBEDDING: the decoded first frame's luma
+    * raster (64 exact integer components) from the REAL .y4m round-trip
+    * — the luma plane leads the frame in BOTH colorspaces, so the vector
+    * is colorspace-independent by construction.
+    */
+  private def imageVectors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.newProductEncoder
+    Tables.load(spark, dir, "documents")
+      .where("n_chars > 0").select("doc_id", "text")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val text = r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val vid = Y4mCodec.decode(
+            Y4mCodec.encode(y4mVideo(text, y4mCs(docId))))
+          MmImageVec(docId,
+            vid.frames.head.y.map(b => (b & 0xff).toDouble))
+        }
+      }(Encoders.product[MmImageVec]).toDF()
+  }
+
+  /** CLIP-style (image, caption) training-pair construction — the
+    * multimodal-training data op composing [[imageVectors]] (real codec
+    * path) with the embeddings corpus as captions (vec_id ≡ doc_id):
+    *
+    *  - `pair` rows: every aligned (image, caption) scored by quantized
+    *    cosine; `accepted` applies the [[CaptionAcceptQ]] similarity
+    *    gate — the filter a real pairing pipeline uses to drop mismatched
+    *    alt-text (both accept and reject classes live on this corpus);
+    *  - `hardneg` rows: for each of the first [[CaptionAnchors]] anchor
+    *    images, the top-[[CaptionHnK]] NON-matching captions by the same
+    *    score — the in-batch hard negatives contrastive training mines.
+    *
+    * Scale shape: the aligned leg is one equi join (linear); negative
+    * mining broadcasts the constant-bounded anchor batch against the
+    * caption corpus (the [[Similarity.hardNegatives]] shape). All scores
+    * are [[Similarity.QScale]]-grid BIGINTs — order-free, hash-stable.
+    */
+  def captionPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val img = imageVectors(spark, dir)
+      .selectExpr("doc_id", "iv", "sqrt(graft_dot(iv, iv)) AS inrm")
+    val cap = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS cv")
+      .selectExpr("vec_id", "cv", "sqrt(graft_dot(cv, cv)) AS cnrm")
+    def q(iv: String, cv: String, inrm: String, cnrm: String) =
+      s"CAST(floor(graft_dot($iv, $cv) / ($inrm * $cnrm)" +
+        s" * ${Similarity.QScale}.0 + 0.5) AS BIGINT)"
+    val pairs = img.join(cap, col("doc_id") === col("vec_id"))
+      .selectExpr("'pair' AS kind", "doc_id", "vec_id",
+        s"${q("iv", "cv", "inrm", "cnrm")} AS simq",
+        "CAST(0 AS BIGINT) AS rk")
+    val anchors = img.where(s"doc_id < $CaptionAnchors")
+      .selectExpr("doc_id AS a_id", "iv AS a_iv", "inrm AS a_inrm")
+    val negs = cap.crossJoin(broadcast(anchors))
+      .where(col("vec_id") =!= col("a_id"))
+      .selectExpr("a_id AS doc_id", "vec_id",
+        s"${q("a_iv", "cv", "a_inrm", "cnrm")} AS simq")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY doc_id ORDER BY simq DESC, vec_id ASC)"))
+      .where(s"rk <= $CaptionHnK")
+      .selectExpr("'hardneg' AS kind", "doc_id", "vec_id", "simq",
+        "CAST(rk AS BIGINT) AS rk")
+    pairs.unionByName(negs)
+      .selectExpr("kind", "doc_id", "vec_id", "simq", "rk",
+        s"kind = 'pair' AND simq >= $CaptionAcceptQ AS accepted")
+      .orderBy("kind", "doc_id", "rk", "vec_id")
+  }
+
+  val captionPairsSql: String = {
+    def q(iv: String, cv: String, inrm: String, cnrm: String) =
+      s"""floor(list_sum(list_transform(range(1, ${Y4mPlane + 1}),
+         |        k -> $iv[k] * $cv[k])) / ($inrm * $cnrm)
+         |      * ${Similarity.QScale}.0 + 0.5)::BIGINT""".stripMargin
+    s"""WITH img AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, ${Y4mPlane + 1}),
+       |           i -> ord(substring(rpad(text, $Y4mPlane, 'x'), i, 1))::DOUBLE)
+       |           AS iv
+       |  FROM documents WHERE length(text) > 0),
+       |im AS (SELECT doc_id, iv,
+       |              sqrt(list_sum(list_transform(iv, v -> v * v))) AS inrm
+       |       FROM img),
+       |cm AS (SELECT vec_id, cv,
+       |              sqrt(list_sum(list_transform(cv, v -> v * v))) AS cnrm
+       |       FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)),
+       |p AS (SELECT 'pair' AS kind, i.doc_id, c.vec_id,
+       |             ${q("i.iv", "c.cv", "i.inrm", "c.cnrm")} AS simq,
+       |             0::BIGINT AS rk
+       |      FROM im i JOIN cm c ON c.vec_id = i.doc_id),
+       |n0 AS (SELECT a.doc_id, c.vec_id,
+       |              ${q("a.iv", "c.cv", "a.inrm", "c.cnrm")} AS simq
+       |       FROM im a, cm c
+       |       WHERE a.doc_id < $CaptionAnchors AND c.vec_id <> a.doc_id),
+       |n AS (SELECT 'hardneg' AS kind, doc_id, vec_id, simq, rk FROM (
+       |        SELECT doc_id, vec_id, simq,
+       |               row_number() OVER (PARTITION BY doc_id
+       |                 ORDER BY simq DESC, vec_id ASC)::BIGINT AS rk
+       |        FROM n0)
+       |      WHERE rk <= $CaptionHnK)
+       |SELECT kind, doc_id, vec_id, simq, rk,
+       |       kind = 'pair' AND simq >= $CaptionAcceptQ AS accepted
+       |FROM (SELECT * FROM p UNION ALL SELECT * FROM n)
+       |ORDER BY kind, doc_id, rk, vec_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_caption_pairs" -> captionPairs,
     "mm_metadata" -> metadata,
     "mm_frame_features" -> frameFeatures,
     "mm_scene_cut" -> sceneCuts,
@@ -1191,6 +1316,7 @@ object Multimodal {
     "mm_wav_autocorr" -> wavAutocorr)
 
   val oracles: Map[String, String] = Map(
+    "mm_caption_pairs" -> captionPairsSql,
     "mm_metadata" -> metadataSql,
     "mm_frame_features" -> frameFeaturesSql,
     "mm_scene_cut" -> sceneCutsSql,

@@ -48,6 +48,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_mmr_topk",
     // anchor batch broadcast (vec_id < 5), label predicate decides role
     "sim_hard_negatives",
+    // hard-negative mining broadcasts the CaptionAnchors-bounded anchor
+    // image batch (doc_id < 8) against the caption corpus — the
+    // sim_hard_negatives shape with a decoded-image build side
+    "mm_caption_pairs",
     // vector leg = the brute-force query-batch broadcast (vec_id < 5)
     "text_hybrid_rrf",
     "sim_sq8_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
