@@ -1193,7 +1193,10 @@ object Multimodal {
   /** Hard negatives kept per anchor. */
   val CaptionHnK = 5
 
-  private case class MmImageVec(doc_id: Long, iv: Array[Double])
+  // public like the sibling row classes (Y4mSceneCut, Y4mFrameFeature):
+  // a private case class breaks whole-stage codegen — Janino cannot call
+  // private accessors, and Spark silently falls back to interpreted rows
+  case class MmImageVec(doc_id: Long, iv: Array[Double])
 
   /** Each document's IMAGE EMBEDDING: the decoded first frame's luma
     * raster (64 exact integer components) from the REAL .y4m round-trip
