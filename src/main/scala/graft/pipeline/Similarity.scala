@@ -2514,6 +2514,142 @@ object Similarity {
     out
   }
 
+  /** Stream-static PQ probe — the code-layout twin of
+    * [[streamProbeIvfSq8]]: incoming vectors pick their [[NProbe]] probe
+    * lists via the broadcast codebook array, then ONE stream-static equi
+    * join on list id against the persisted CODE lists; each candidate
+    * row ADC-scores STATELESSLY from its unpacked 4-bit codes and a
+    * second broadcast 1-row array of the M×K PQ cells (`element_at` by
+    * m·K+code — the lookup table as an expression, no per-query LUT
+    * frame, no aggregation, no state store). Emitted sims are the ADC
+    * ROUTING scores — exactly what a live path computes without a rank
+    * window; exact re-rank is the downstream batch consumer's job, as in
+    * [[incrementalIvfPqProbe]]. Static-side list IO is the 2-byte-code
+    * layout (~30× less than SQ8's quantized bytes + scales).
+    */
+  def streamProbeIvfPq(incoming: DataFrame, cent: DataFrame,
+      pqc: DataFrame, idx: DataFrame): DataFrame = {
+    val centArr = cent.agg(array_sort(collect_list(
+      struct(col("c_id"), col("c_emb"), col("c_nrm")))).as("cents"))
+    // the PQ codebook as ONE ordered array: cell m·K+p_id at index
+    // m·K+p_id+1 (struct sort is lexicographic and idx is unique)
+    val pqArr = pqc.agg(array_sort(collect_list(
+      struct(expr(s"m * $PqK + p_id").as("idx"), col("p_sub"),
+        col("pcq")))).as("pq"))
+    def cell(m: Int) =
+      s"element_at(pq, ${m * PqK} + CAST((pcode DIV ${1L << (4 * m)}) % $PqK AS INT) + 1)"
+    val adcq = (0 until PqM).map { m =>
+      s"""CAST(floor(graft_dot(
+         |  slice(q_emb, ${m * PqSubDim + 1}, $PqSubDim),
+         |  ${cell(m)}.p_sub) * $QScale.0 + 0.5) AS BIGINT)""".stripMargin
+    }.mkString(" + ")
+    val rq = (0 until PqM).map(m => s"${cell(m)}.pcq").mkString(" + ")
+    incoming
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        explode(expr(
+          s"""slice(array_sort(transform(cents, c -> named_struct(
+             |  'negsim', CAST(0 AS DOUBLE)
+             |    - round(graft_dot(emb, c.c_emb) / (nrm * c.c_nrm), 6),
+             |  'c_id', c.c_id))), 1, $NProbe)""".stripMargin)).as("probe"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("probe.c_id").as("c_id"))
+      .crossJoin(broadcast(pqArr))
+      .join(idx.selectExpr("CAST(c_id AS BIGINT) AS c_id", "vec_id",
+        "pcode"), Seq("c_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"""round((CAST($adcq AS DOUBLE) / $QScale.0)
+           |  / (q_nrm * sqrt(CAST($rq AS DOUBLE) / $QScale.0)), 6)
+           |  AS asim""".stripMargin)
+  }
+
+  /** The PQ streaming probe as a batch-checkable entry (the
+    * [[streamIncrementalIvfSq8]] convention): the whole incoming wave
+    * probed against the persisted code lists through the stream-capable
+    * plan; `IncrementalIvfSpec` proves the same core produces identical
+    * rows from a real MemoryStream with zero state stores.
+    */
+  def streamIncrementalIvfPq(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val path = ensureIvfPqIndex(spark, dir)
+    val emb = embDouble(spark, dir)
+    streamProbeIvfPq(emb.where(s"vec_id % $IvfSplitMod = 0"),
+      indexCodebook(spark, path), indexPqCodebook(spark, path),
+      spark.read.parquet(path))
+      .orderBy("q_id", "vec_id")
+  }
+
+  val streamIncrementalIvfPqSql: String = {
+    val subSelects = (0 until PqM)
+      .map(m => s"SELECT vec_id, nrm, $m AS m, emb[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS sub FROM emb")
+      .mkString("\n  UNION ALL ")
+    def dotSub(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i]))"
+    def normSq(a: String): String =
+      s"list_sum(list_transform($a, v -> v * v))"
+    s"""WITH $embCte,
+       |gcent AS (SELECT vec_id AS g_id, emb AS g_emb, nrm AS g_nrm FROM emb
+       |          WHERE vec_id < $nCentroidsSqlExpr),
+       |hist AS (SELECT vec_id, emb, nrm FROM emb
+       |         WHERE vec_id % $IvfSplitMod <> 0),
+       |lists AS (
+       |  SELECT vec_id, g_id FROM (
+       |    SELECT h.vec_id, g.g_id,
+       |           row_number() OVER (PARTITION BY h.vec_id ORDER BY
+       |             round(${cosineSql("h.emb", "g.g_emb", "h.nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM hist h, gcent g)
+       |  WHERE grk = 1),
+       |subs AS (
+       |  $subSelects),
+       |pcent AS (SELECT m, vec_id AS c_id, sub AS c_sub,
+       |                 floor(${normSq("sub")} * $QScale.0 + 0.5)::BIGINT AS cq
+       |          FROM subs WHERE vec_id < $PqK),
+       |codes AS (
+       |  SELECT vec_id, m, c_id FROM (
+       |    SELECT s.vec_id, s.m, c.c_id,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |             round(${normSq("s.sub")} - 2 * ${dotSub("s.sub", "c.c_sub")}
+       |               + ${normSq("c.c_sub")}, 6) ASC, c.c_id ASC) AS crk
+       |    FROM subs s
+       |    JOIN hist h ON h.vec_id = s.vec_id
+       |    JOIN pcent c USING (m))
+       |  WHERE crk = 1),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
+       |      WHERE vec_id % $IvfSplitMod = 0),
+       |probes AS (
+       |  SELECT q_id, g_id FROM (
+       |    SELECT q.q_id, g.g_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             round(${cosineSql("q.q_emb", "g.g_emb", "q.q_nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM q, gcent g)
+       |  WHERE grk <= $NProbe),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.m, c.c_id,
+       |         floor(${dotSub("s.sub", "c.c_sub")} * $QScale.0 + 0.5)::BIGINT AS pq,
+       |         c.cq
+       |  FROM subs s
+       |  JOIN q ON q.q_id = s.vec_id
+       |  JOIN pcent c USING (m)),
+       |adcs AS (
+       |  SELECT n.q_id, n.vec_id,
+       |         sum(l.pq)::BIGINT AS adcq, sum(l.cq)::BIGINT AS rq
+       |  FROM (SELECT p.q_id, ls.vec_id
+       |        FROM probes p JOIN lists ls USING (g_id)
+       |        WHERE ls.vec_id <> p.q_id) n
+       |  JOIN codes c ON c.vec_id = n.vec_id
+       |  JOIN lut l ON l.q_id = n.q_id AND l.m = c.m AND l.c_id = c.c_id
+       |  GROUP BY n.q_id, n.vec_id)
+       |SELECT a.q_id, a.vec_id,
+       |       round((a.adcq::DOUBLE / $QScale.0)
+       |         / (q.q_nrm * sqrt(a.rq::DOUBLE / $QScale.0)), 6) AS asim
+       |FROM adcs a JOIN q ON q.q_id = a.q_id
+       |ORDER BY a.q_id, a.vec_id""".stripMargin
+  }
+
   /** DuckDB CTE chain replaying the PQ-index probe from scratch (DuckDB
     * has no persisted index, so `histPred` names the index CONTENT):
     * coarse assignment, PQ encode (codes as (vec_id, m, c_id) rows — the
@@ -3062,6 +3198,7 @@ object Similarity {
     "stream_incremental_ivf_sq8" -> streamIncrementalIvfSq8,
     "sim_incremental_ivf_pq" -> incrementalIvfPq,
     "sim_incremental_ivf_pq_append" -> incrementalIvfPqAppend,
+    "stream_incremental_ivf_pq" -> streamIncrementalIvfPq,
     "sim_ivfpq_idx_recall_gate" -> ivfPqIdxRecallGate,
     "sim_incremental_ivf_append" -> incrementalIvfAppend,
     "stream_incremental_ivf" -> streamIncrementalIvf,
@@ -3091,6 +3228,7 @@ object Similarity {
     "stream_incremental_ivf_sq8" -> streamIncrementalIvfSq8Sql,
     "sim_incremental_ivf_pq" -> incrementalIvfPqSql,
     "sim_incremental_ivf_pq_append" -> incrementalIvfPqAppendSql,
+    "stream_incremental_ivf_pq" -> streamIncrementalIvfPqSql,
     "sim_ivfpq_idx_recall_gate" -> ivfPqIdxRecallGateSql,
     "sim_incremental_ivf_append" -> incrementalIvfSqlAppend,
     "stream_incremental_ivf" -> streamIncrementalIvfSql,

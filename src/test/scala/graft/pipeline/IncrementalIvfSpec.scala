@@ -168,6 +168,48 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq, "streaming output must equal batch")
   }
 
+  test("PQ streamed probe equals the batch core and keeps no state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val indexPath = Similarity.ensureIvfPqIndex(spark, dir)
+    val idx = spark.read.parquet(indexPath)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      .selectExpr("vec_id", "emb", "sqrt(graft_dot(emb, emb)) AS nrm")
+    val wave = emb.where(s"vec_id % ${Similarity.IvfSplitMod} = 0")
+    val cent = Similarity.indexCodebook(spark, indexPath)
+    val pqc = Similarity.indexPqCodebook(spark, indexPath)
+
+    val want = Similarity.streamProbeIvfPq(wave, cent, pqc, idx).collect()
+      .map(_.toSeq).sortBy(_.toString)
+
+    val rows = wave.as[(Long, Seq[Double], Double)].collect()
+    val src = MemoryStream[(Long, Seq[Double], Double)]
+    val q = Similarity.streamProbeIvfPq(
+        src.toDS().toDF("vec_id", "emb", "nrm"), cent, pqc, idx)
+      .writeStream.format("memory").queryName("ivf_pq_probe")
+      .outputMode("append")
+      .start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the PQ probe must be stateless (no watermark, no state store)")
+    } finally q.stop()
+
+    val got = spark.table("ivf_pq_probe").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    spark.catalog.dropTempView("ivf_pq_probe")
+    assert(got.length == want.length,
+      s"cardinality: streaming ${got.length} vs batch ${want.length}")
+    assert(got.toSeq == want.toSeq, "streaming output must equal batch")
+  }
+
   test("missing manifest: reader fails loud, ensure treats as uncommitted") {
     val path = Similarity.ensureIvfIndex(spark, dir)
     val mf = Paths.get(path, Similarity.ListsManifestFile)
