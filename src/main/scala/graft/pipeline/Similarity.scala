@@ -2417,6 +2417,17 @@ object Similarity {
       if (touchedDirs.isEmpty) spark.read.parquet(indexPath).limit(0)
       else spark.read.option("basePath", indexPath)
         .parquet(touchedDirs.toIndexedSeq: _*)
+    pqProbeCore(idx, queries, probes, pqc, floats, rerank, k)
+  }
+
+  /** ADC probe core over code lists, shared by the persisted probe and
+    * the ×10 recall-gate construction: broadcast Q×M×K LUT, unpacked-code
+    * scoring (the only pass over list rows moves 2-byte codes), adaptive
+    * top-`rerank` cut, exact re-rank on `floats`, final top-`k`.
+    */
+  private def pqProbeCore(codeLists: DataFrame, queries: DataFrame,
+      probes: DataFrame, pqc: DataFrame, floats: DataFrame,
+      rerank: Long, k: Int): DataFrame = {
     // ADC lookup table: Q×M×K quantized partial dots + code norms
     val subSlices = (0 until PqM)
       .map(m => s"slice(emb, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
@@ -2431,7 +2442,7 @@ object Similarity {
     val unpack = (0 until PqM)
       .map(m => s"CAST((pcode DIV ${1L << (4 * m)}) % $PqK AS BIGINT)")
       .mkString(", ")
-    val adc = idx.join(broadcast(probes.select("q_id", "c_id")), "c_id")
+    val adc = codeLists.join(broadcast(probes.select("q_id", "c_id")), "c_id")
       .where(col("vec_id") =!= col("q_id"))
       .selectExpr("q_id", "vec_id",
         s"posexplode(array($unpack)) AS (m, code)")
@@ -2911,6 +2922,15 @@ object Similarity {
     val sq8 = sq8ProbeCore(sq8Lists, sq8Queries(probes), emb,
         rerankK(corpusStats(spark, dir)._1 * X10Copies), TopK)
       .select("q_id", "vec_id")
+    // the PQ-coded layout at the same ×10 scale: codes over the same
+    // assignment, ADC probe, ×PqIdxRefine adaptive exact re-rank —
+    // recall-at-scale is now a hash-checked gate for ALL THREE list
+    // layouts (round-14, completing the storage-ladder evidence)
+    val pqc10 = pqCodebook(emb)
+    val pq = pqProbeCore(pqEncode(assigned, pqc10),
+        emb.where(s"vec_id < $QuerySetSize"), probes, pqc10, emb,
+        PqIdxRefine * rerankK(corpusStats(spark, dir)._1 * X10Copies), TopK)
+      .select("q_id", "vec_id")
     val truth = bf.agg(count(lit(1)).as("truth"))
     def gateRow(hits: DataFrame, name: String): DataFrame = hits
       .join(bf, Seq("q_id", "vec_id"))
@@ -2920,6 +2940,7 @@ object Similarity {
         s"CAST($RecallGateX10Pct AS BIGINT) AS thr_pct",
         s"hits * 100 >= $RecallGateX10Pct * truth AS ok")
     gateRow(ivf, "ivf_x10").unionByName(gateRow(sq8, "ivf_sq8_x10"))
+      .unionByName(gateRow(pq, "ivf_pq_x10"))
       .orderBy("method")
   }
 
@@ -3001,8 +3022,65 @@ object Similarity {
        |    JOIN embx e ON e.vec_id = c.vec_id
        |    JOIN q qx ON qx.q_id = c.q_id)
        |  WHERE rk <= $TopK),
+       |subs10 AS (
+       |  ${(0 until PqM).map(m =>
+            s"SELECT vec_id, nrm, $m AS m, emb[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS sub FROM embx")
+            .mkString("\n  UNION ALL ")}),
+       |pcent10 AS (SELECT m, vec_id AS c_id, sub AS c_sub,
+       |                   floor(list_sum(list_transform(sub, v -> v * v))
+       |                     * $QScale.0 + 0.5)::BIGINT AS cq
+       |            FROM subs10 WHERE vec_id < $PqK),
+       |codes10 AS (
+       |  SELECT vec_id, m, c_id FROM (
+       |    SELECT s.vec_id, s.m, c.c_id,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |             round(list_sum(list_transform(s.sub, v -> v * v))
+       |               - 2 * list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |                     i -> s.sub[i] * c.c_sub[i]))
+       |               + list_sum(list_transform(c.c_sub, v -> v * v)), 6)
+       |             ASC, c.c_id ASC) AS crk
+       |    FROM subs10 s JOIN pcent10 c USING (m))
+       |  WHERE crk = 1),
+       |lut10 AS (
+       |  SELECT s.vec_id AS q_id, s.nrm AS q_nrm, s.m, c.c_id,
+       |         floor(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |                 i -> s.sub[i] * c.c_sub[i]))
+       |           * $QScale.0 + 0.5)::BIGINT AS pq,
+       |         c.cq
+       |  FROM subs10 s JOIN pcent10 c USING (m)
+       |  WHERE s.vec_id < $QuerySetSize),
+       |adcs10 AS (
+       |  SELECT n.q_id, n.vec_id, max(l.q_nrm) AS q_nrm,
+       |         sum(l.pq)::BIGINT AS adcq, sum(l.cq)::BIGINT AS rq
+       |  FROM (SELECT p.q_id, a.vec_id
+       |        FROM probes p JOIN assigned a USING (c_id)
+       |        WHERE a.vec_id <> p.q_id) n
+       |  JOIN codes10 c ON c.vec_id = n.vec_id
+       |  JOIN lut10 l ON l.q_id = n.q_id AND l.m = c.m AND l.c_id = c.c_id
+       |  GROUP BY n.q_id, n.vec_id),
+       |cut10 AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY
+       |             round((adcq::DOUBLE / $QScale.0)
+       |               / (q_nrm * sqrt(rq::DOUBLE / $QScale.0)), 6) DESC,
+       |             vec_id ASC) AS ark
+       |    FROM adcs10)
+       |  WHERE ark <= $PqIdxRefine
+       |    * greatest($RerankKMin, (SELECT count(*) // 1000 FROM embx))),
+       |pqr AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT c.q_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY c.q_id ORDER BY
+       |             round(${cosX("qx.q_emb", "e.emb", "qx.q_nrm", "e.nrm")}, 6) DESC,
+       |             c.vec_id ASC) AS rk
+       |    FROM cut10 c
+       |    JOIN embx e ON e.vec_id = c.vec_id
+       |    JOIN q qx ON qx.q_id = c.q_id)
+       |  WHERE rk <= $TopK),
        |h AS (SELECT count(*)::BIGINT AS hits FROM ivf JOIN bf USING (q_id, vec_id)),
        |h2 AS (SELECT count(*)::BIGINT AS hits FROM sq8 JOIN bf USING (q_id, vec_id)),
+       |h3 AS (SELECT count(*)::BIGINT AS hits FROM pqr JOIN bf USING (q_id, vec_id)),
        |t AS (SELECT count(*)::BIGINT AS truth FROM bf)
        |SELECT * FROM (
        |  SELECT 'ivf_x10' AS method, h.hits, t.truth,
@@ -3013,7 +3091,12 @@ object Similarity {
        |  SELECT 'ivf_sq8_x10' AS method, h2.hits, t.truth,
        |         $RecallGateX10Pct::BIGINT AS thr_pct,
        |         h2.hits * 100 >= $RecallGateX10Pct * t.truth AS ok
-       |  FROM h2 CROSS JOIN t)
+       |  FROM h2 CROSS JOIN t
+       |  UNION ALL
+       |  SELECT 'ivf_pq_x10' AS method, h3.hits, t.truth,
+       |         $RecallGateX10Pct::BIGINT AS thr_pct,
+       |         h3.hits * 100 >= $RecallGateX10Pct * t.truth AS ok
+       |  FROM h3 CROSS JOIN t)
        |ORDER BY method""".stripMargin
   }
 

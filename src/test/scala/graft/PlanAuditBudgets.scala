@@ -175,7 +175,10 @@ object PlanAuditBudgets {
     // a declared verification surface, constant methods regardless of sf
     // 12 since r13: the SQ8-stored construction joined (quantized ADC
     // window, exact re-rank join, its hit join)
-    "sim_recall_gate_x10" -> 12,
+    // 16 since r14: the PQ-coded construction joined (sub-code argmin
+    // window, ADC aggregate, cut window, its hit join) — all three list
+    // layouts now recall-gate at ×10
+    "sim_recall_gate_x10" -> 16,
     "sim_lsh_multi_topk" -> 3, // bucket join, candidate dedup, score join
     // assignment argmax agg + emb rejoin (the cached `assigned` subtree,
     // appearing on both self-join sides), c_id-keyed pair join, dropped-set
