@@ -110,6 +110,7 @@ object SparkEntry {
       pipeline.SnapshotMv.all ++
       pipeline.TextAnalysis.all ++
       pipeline.HtmlExtract.all ++
+      pipeline.LineDedup.all ++
       pipeline.UrlDedup.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
@@ -240,6 +241,7 @@ object SparkEntry {
       pipeline.SnapshotMv.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.HtmlExtract.oracles ++
+      pipeline.LineDedup.oracles ++
       pipeline.UrlDedup.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++

@@ -16,6 +16,11 @@ object PlanAuditBudgets {
     // islands window, and the final sort; all frames are gram- or
     // doc-sized, nothing is resident
     "text_substring_dedup" -> 4,
+    // first-occurrence agg on the line key, the shuffle join back (dup
+    // lines are corpus-proportional — deliberately NOT broadcast), the
+    // per-doc reassembly agg, the presentation sort; every frame is
+    // line- or doc-sized, map-side partial min absorbs hot-line skew
+    "text_line_dedup" -> 4,
     // inverted-index build (distinct + df agg) reshuffles the corpus
     // shingle table on `s`, the prefix rank/candidate/intersection joins
     // rekey the PROBE-bounded tables (fragment side is tiny and
