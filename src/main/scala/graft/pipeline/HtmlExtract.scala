@@ -84,7 +84,15 @@ object HtmlExtract {
     * exact per-mille; kept = density ≥ [[DensityPm]] AND length ≥
     * [[MinTextLen]]. Empty blocks score 0.
     */
-  def extractBlocks(pages: DataFrame): DataFrame = {
+  def extractBlocks(pages: DataFrame): DataFrame =
+    extractBlocksCore(pages).orderBy("doc_id", "block_idx")
+
+  /** The sort-free extraction core — every step row-local (explode +
+    * projections, no shuffle, no state), so the SAME frame runs over a
+    * streaming source unchanged; [[extractBlocks]] adds the batch
+    * presentation sort.
+    */
+  def extractBlocksCore(pages: DataFrame): DataFrame = {
     val density =
       "CASE WHEN length(raw) = 0 THEN CAST(0 AS BIGINT) " +
         "ELSE CAST(length(txt) * 1000 DIV length(raw) AS BIGINT) END"
@@ -98,7 +106,6 @@ object HtmlExtract {
         s"$density AS density_pm",
         s"$density >= $DensityPm AND length(txt) >= $MinTextLen AS kept",
         "txt AS text")
-      .orderBy("doc_id", "block_idx")
   }
 
   /** Q — the committed entry: wrap every document in the derived page,
@@ -128,9 +135,40 @@ object HtmlExtract {
        |       txt AS text
        |FROM bt ORDER BY doc_id, block_idx""".stripMargin
 
+  /** STATELESS streaming extraction — the ingest-path twin: crawled
+    * pages arrive as real micro-batches and every block classifies
+    * row-locally inside the batch that carried it (zero state stores,
+    * no watermark — spec-asserted), so extraction rides the fetch hot
+    * path instead of waiting for a batch job. Documents are staged and
+    * replayed, the page wrap + extraction run INSIDE the stream, and
+    * the append-mode result must equal the batch entry — it shares
+    * [[sql]] as its oracle.
+    */
+  def streamQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.PacedReplay
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val stage = graft.TempDirs.scoped("html-extract") + "/docs"
+    val rowsPerFile = math.max(1L, docs.count() / 4L).toInt
+    PacedReplay.stage(docs, Seq("doc_id"), rowsPerFile, stage)
+    val out = extractBlocksCore(
+      PacedReplay.stream(spark, stage, docs.schema)
+        .selectExpr("doc_id", s"$pageExpr AS page"))
+    val qn = "graft_stream_html_extract"
+    val q = out.writeStream
+      .outputMode("append").format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(qn).orderBy("doc_id", "block_idx")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_html_extract" -> query)
+    "text_html_extract" -> query,
+    "stream_html_extract" -> streamQuery)
 
   val oracles: Map[String, String] = Map(
-    "text_html_extract" -> sql)
+    "text_html_extract" -> sql,
+    // streamed == batch: the extraction is row-local, so the replayed
+    // stream must reproduce the batch table bit-for-bit
+    "stream_html_extract" -> sql)
 }

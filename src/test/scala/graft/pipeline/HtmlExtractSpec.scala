@@ -110,4 +110,33 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(broken >= 0) // broken is diagnostic; spaceCut is the contract
     df.unpersist()
   }
+
+  test("streamed extraction is stateless and equals the batch entry") {
+    val dir = "/root/testdata/sf0.001"
+    // drive the committed streaming entry itself; its memory query is
+    // inspectable after the frame returns
+    val streamed = HtmlExtract.streamQuery(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = HtmlExtract.query(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.length == batch.length,
+      s"cardinality: streamed ${streamed.length} vs batch ${batch.length}")
+    assert(streamed.toSeq == batch.toSeq, "streamed output must equal batch")
+    // the extraction core carries no state operator on a streaming frame
+    import graft.streaming.PacedReplay
+    val docs = graft.Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val stage = graft.TempDirs.scoped("html-extract-spec") + "/docs"
+    PacedReplay.stage(docs, Seq("doc_id"),
+      math.max(1L, docs.count() / 4L).toInt, stage)
+    val qn = "graft_spec_html_extract"
+    val q = HtmlExtract.extractBlocksCore(
+        PacedReplay.stream(spark, stage, docs.schema)
+          .selectExpr("doc_id", "concat('<p>', text, '</p>') AS page"))
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "block extraction must carry no state store")
+    spark.catalog.dropTempView(qn)
+  }
 }
