@@ -274,6 +274,82 @@ object CorpusOps {
          |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** Cosine threshold for [[decontaminateSemantic]]: on the synthetic
+    * embedding geometry the train-vs-eval max-cosine spread is
+    * [0.10, 0.49] with ~p90 at 0.36, so 0.35 keeps BOTH verdict classes
+    * live at every SF (sf0.001: 38/450 contaminated; sf0.1: 608/1800).
+    */
+  val SemanticTau = 0.35
+
+  /** SEMANTIC decontamination — the n-gram check's blind spot: a
+    * paraphrased benchmark item shares no 5-gram with its source but
+    * sits next to it in embedding space, so production pipelines ALSO
+    * drop training docs whose nearest eval-set neighbor clears a cosine
+    * threshold (the embedding-similarity decontamination run against
+    * GSM8K-style benchmarks). Eval slice = the same every-10th-doc split
+    * as [[decontaminate]], via the doc-aligned embeddings.
+    *
+    * Scale shape mirrors the n-gram twin: the eval side is benchmark-
+    * sized and BROADCASTS; the corpus side is ONE scan; the per-doc
+    * nearest-eval reduction is a combinable `max(struct(sim, -eval_id))`
+    * (map-side partials, no skew, no window) — |corpus|×|eval| scoring
+    * is inherent to exact semantic decontamination, and the broadcast
+    * nested-loop keeps it shuffle-free. The approximate 100 TB fast
+    * path reuses the persisted IVF index ([[Similarity.ensureIvfIndex]]
+    * + probe with the eval rows as queries); this entry is the exact
+    * form the index path is gated against.
+    */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    decontaminateSemanticCore(
+      Tables.load(spark, dir, "embeddings").select("vec_id", "embedding"))
+  }
+
+  /** The decontamination core over (vec_id, embedding) rows — exposed so
+    * the spec can drive constructed geometries (exact copies, orthogonal
+    * vectors, nearest-neighbor ties).
+    */
+  def decontaminateSemanticCore(vectors: DataFrame): DataFrame = {
+    val emb = vectors
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      .selectExpr("vec_id", "emb", "sqrt(graft_dot(emb, emb)) AS nrm")
+    val eval = emb.where(s"vec_id % $EvalEvery = 0")
+      .selectExpr("vec_id AS eval_id", "emb AS e_emb", "nrm AS e_nrm")
+    emb.where(s"vec_id % $EvalEvery != 0")
+      .join(broadcast(eval))
+      .selectExpr("vec_id AS doc_id",
+        "named_struct('sim', round(graft_dot(emb, e_emb) / (nrm * e_nrm), 6)," +
+          " 'neg', -eval_id) AS c")
+      .groupBy("doc_id")
+      // max over (sim, -eval_id): ties go to the SMALLER eval_id
+      .agg(expr("max(c) AS m"))
+      .selectExpr("doc_id", "-m.neg AS nearest_eval", "m.sim AS max_sim",
+        s"m.sim >= $SemanticTau AS contaminated")
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSemanticSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v))) AS nrm
+       |  FROM embeddings),
+       |ev AS (SELECT vec_id AS eval_id, emb AS e_emb, nrm AS e_nrm FROM e
+       |       WHERE vec_id % $EvalEvery = 0),
+       |tr AS (SELECT * FROM e WHERE vec_id % $EvalEvery <> 0),
+       |s AS (
+       |  SELECT tr.vec_id AS doc_id, ev.eval_id,
+       |         round(list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+       |                 i -> tr.emb[i] * ev.e_emb[i])) / (tr.nrm * ev.e_nrm), 6) AS sim
+       |  FROM tr, ev),
+       |m AS (
+       |  SELECT doc_id, eval_id, sim,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY sim DESC, eval_id ASC) AS rk
+       |  FROM s)
+       |SELECT doc_id, eval_id AS nearest_eval, sim AS max_sim,
+       |       sim >= $SemanticTau AS contaminated
+       |FROM m WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- packing
 
   /** Sequence packing — the concat-and-chunk layout pretraining data takes:
@@ -1070,6 +1146,7 @@ object CorpusOps {
     "pipeline_stratified_sample" -> stratifiedSample,
     "pipeline_decontaminate" -> decontaminate,
     "pipeline_decontaminate_bloom" -> decontaminateBloom,
+    "pipeline_decontaminate_semantic" -> decontaminateSemantic,
     "pipeline_pack_sequences" -> packSequences,
     "pipeline_chunk_documents" -> chunkDocuments,
     "pipeline_filter_funnel" -> filterFunnel,
@@ -1090,6 +1167,7 @@ object CorpusOps {
     "pipeline_stratified_sample" -> stratifiedSampleSql,
     "pipeline_decontaminate" -> decontaminateSql,
     "pipeline_decontaminate_bloom" -> decontaminateSql, // exact join: bloom admits a superset, confirm restores it
+    "pipeline_decontaminate_semantic" -> decontaminateSemanticSql,
     "pipeline_pack_sequences" -> packSequencesSql,
     "pipeline_chunk_documents" -> chunkDocumentsSql,
     "pipeline_filter_funnel" -> filterFunnelSql,

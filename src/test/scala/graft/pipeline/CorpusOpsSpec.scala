@@ -437,4 +437,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out((7L, "pad_tokens")) == bins * CorpusOps.PackBudget - toks)
     assert(toks == clean.map(_._2.split(' ').length.toLong).sum)
   }
+
+  test("semantic decontamination: copies flag, orthogonals pass, ties break low") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val d = 4
+    def v(xs: Double*): Seq[Float] =
+      (xs ++ Seq.fill(d - xs.length)(0.0)).map(_.toFloat)
+    // eval ids: 0, 10, 20 (vec_id % 10 == 0); train: the rest
+    val rows = Seq(
+      0L -> v(1, 0, 0, 0), // eval axis x
+      10L -> v(0, 1, 0, 0), // eval axis y
+      20L -> v(1, 0, 0, 0), // eval DUPLICATE of 0 — the tie pair
+      1L -> v(2, 0, 0, 0), // exact direction copy of eval 0 AND 20: sim 1
+      2L -> v(0, 0, 3, 0), // orthogonal to every eval vector: sim 0
+      3L -> v(1, 1, 0, 0) // 45° to x and y: sim ~0.7071 — contaminated
+    )
+    val out = CorpusOps.decontaminateSemanticCore(
+        rows.toDF("vec_id", "embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "only train docs are scored")
+    // doc 1 ties between eval 0 and eval 20 at sim 1.0 — smaller id wins
+    assert(out(1L) == ((0L, 1.0, true)))
+    assert(out(2L)._2 == 0.0 && !out(2L)._3)
+    assert(out(3L)._3 && math.abs(out(3L)._2 - 0.707107) < 1e-6)
+  }
+
+  test("semantic decontamination entry: both classes live, train-sized") {
+    val df = CorpusOps.decontaminateSemantic(spark, "/root/testdata/sf0.001").cache()
+    val nTrain = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .where(s"vec_id % ${CorpusOps.EvalEvery} <> 0").count()
+    assert(df.count() == nTrain, "every train doc gets a verdict row")
+    assert(df.where("contaminated").count() > 0, "contaminated class live")
+    assert(df.where("NOT contaminated").count() > 0, "clean class live")
+    // nearest_eval is always a genuine eval-slice id
+    assert(df.where(s"nearest_eval % ${CorpusOps.EvalEvery} <> 0").count() == 0)
+    df.unpersist()
+  }
 }
