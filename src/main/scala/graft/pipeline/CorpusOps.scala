@@ -281,6 +281,15 @@ object CorpusOps {
     */
   val SemanticTau = 0.35
 
+  /** The eval set is BENCHMARK-sized — a constant, not a corpus fraction
+    * (GSM8K has ~8k items no matter how many tokens you train on) — so
+    * the broadcast side of the scoring join is bounded by construction:
+    * at most [[SemanticEvalCap]] eval items (every-10th doc ids below
+    * 10·cap). Docs matching the eval PATTERN beyond the cap stay
+    * excluded from the train side — they are eval-reserved either way.
+    */
+  val SemanticEvalCap = 64
+
   /** SEMANTIC decontamination — the n-gram check's blind spot: a
     * paraphrased benchmark item shares no 5-gram with its source but
     * sits next to it in embedding space, so production pipelines ALSO
@@ -313,7 +322,8 @@ object CorpusOps {
     val emb = vectors
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
       .selectExpr("vec_id", "emb", "sqrt(graft_dot(emb, emb)) AS nrm")
-    val eval = emb.where(s"vec_id % $EvalEvery = 0")
+    val eval = emb.where(
+        s"vec_id % $EvalEvery = 0 AND vec_id < ${EvalEvery * SemanticEvalCap}")
       .selectExpr("vec_id AS eval_id", "emb AS e_emb", "nrm AS e_nrm")
     emb.where(s"vec_id % $EvalEvery != 0")
       .join(broadcast(eval))
@@ -334,7 +344,8 @@ object CorpusOps {
        |         sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v))) AS nrm
        |  FROM embeddings),
        |ev AS (SELECT vec_id AS eval_id, emb AS e_emb, nrm AS e_nrm FROM e
-       |       WHERE vec_id % $EvalEvery = 0),
+       |       WHERE vec_id % $EvalEvery = 0
+       |         AND vec_id < ${EvalEvery * SemanticEvalCap}),
        |tr AS (SELECT * FROM e WHERE vec_id % $EvalEvery <> 0),
        |s AS (
        |  SELECT tr.vec_id AS doc_id, ev.eval_id,

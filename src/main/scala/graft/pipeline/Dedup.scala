@@ -368,17 +368,71 @@ object Dedup {
     * of all nodes that can reach it (its whole component, undirected), min =
     * the component keeper. UNION (not ALL) bounds the walk.
     */
-  val duplicateClustersSql: String =
-    s"""WITH RECURSIVE $lshGatedCtesDocs,
+  /** The component CTE chain (ends in `clusters(doc_id, comp)`), shared
+    * by [[duplicateClustersSql]] and [[bestOfClusterSql]]. Callers prefix
+    * `WITH RECURSIVE`.
+    */
+  private[pipeline] val clusterCtes: String =
+    s"""$lshGatedCtesDocs,
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM gated
        |          UNION ALL SELECT doc_b, doc_a FROM gated),
        |nodes AS (SELECT DISTINCT src AS d FROM edges),
        |walk(d, comp) AS (
        |  SELECT d, d FROM nodes
        |  UNION
-       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.d = e.src)
-       |SELECT d AS doc_id, min(comp) AS keeper
-       |FROM walk GROUP BY d ORDER BY doc_id""".stripMargin
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.d = e.src),
+       |clusters AS (SELECT d AS doc_id, min(comp) AS comp FROM walk GROUP BY d)""".stripMargin
+
+  val duplicateClustersSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT doc_id, comp AS keeper FROM clusters ORDER BY doc_id""".stripMargin
+
+  /** Quality-canonical duplicate selection — WHICH copy survives dedup
+    * matters as much as finding the duplicates: production pipelines keep
+    * the best-quality member of each near-dup cluster (longest, cleanest
+    * extraction), not the one with the smallest crawl id. Composes the
+    * label-propagation clusters of [[duplicateClusters]] with the EXACT
+    * quality score of [[TextAnalysis.quality]] (shared expression tree —
+    * the entries cannot drift) and picks each cluster's argmax by
+    * (quality, then smaller doc_id).
+    *
+    * Scale shape: the cluster table is edge-bounded (near-dup pairs are a
+    * vanishing fraction of the corpus) — the quality join touches only
+    * members, the per-cluster argmax is a combinable `max(struct(...))`
+    * agg (no window, no skew), and the canonical map joins back
+    * cluster-sized.
+    */
+  def bestOfCluster(spark: SparkSession, dir: String): DataFrame = {
+    val members = duplicateClusters(spark, dir)
+      .selectExpr("doc_id", "keeper AS comp")
+    val scored = members
+      .join(TextAnalysis.qualityCore(Tables.load(spark, dir, "documents"))
+        .selectExpr("doc_id", "round(quality, 6) AS quality"), "doc_id")
+    val best = scored.groupBy("comp")
+      .agg(expr("max(named_struct('q', quality, 'neg', -doc_id)) AS b"))
+      .selectExpr("comp", "-b.neg AS canonical")
+    scored.join(broadcast(best), "comp")
+      .selectExpr("comp", "doc_id", "quality", "canonical",
+        "doc_id = canonical AS is_canonical")
+      .orderBy("comp", "doc_id")
+  }
+
+  val bestOfClusterSql: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |q AS (${TextAnalysis.qualityCteSql}),
+       |scored AS (
+       |  SELECT c.comp, c.doc_id, round(q.quality, 6) AS quality
+       |  FROM clusters c JOIN q USING (doc_id)),
+       |best AS (
+       |  SELECT comp, doc_id AS canonical,
+       |         row_number() OVER (PARTITION BY comp
+       |                            ORDER BY quality DESC, doc_id ASC) AS rk
+       |  FROM scored)
+       |SELECT s.comp, s.doc_id, s.quality, b.canonical,
+       |       s.doc_id = b.canonical AS is_canonical
+       |FROM scored s JOIN (SELECT comp, canonical FROM best WHERE rk = 1) b
+       |  USING (comp)
+       |ORDER BY s.comp, s.doc_id""".stripMargin
 
   // ---- SimHash ----
 
@@ -1373,7 +1427,8 @@ object Dedup {
     "dedup_incremental_append_inplace" ->
       ((s: SparkSession, d: String) => incrementalAppendInplace(s, d)),
     "stream_incremental_dedup" -> streamIncrementalQuery,
-    "dedup_components" -> ((s: SparkSession, dir: String) => duplicateClusters(s, dir)))
+    "dedup_components" -> ((s: SparkSession, dir: String) => duplicateClusters(s, dir)),
+    "dedup_best_of_cluster" -> bestOfCluster)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -1395,5 +1450,6 @@ object Dedup {
     // recompute-from-scratch oracle is shared verbatim
     "dedup_incremental_append_inplace" -> incrementalAppendSql,
     "stream_incremental_dedup" -> streamIncrementalSql,
-    "dedup_components" -> duplicateClustersSql)
+    "dedup_components" -> duplicateClustersSql,
+    "dedup_best_of_cluster" -> bestOfClusterSql)
 }

@@ -103,7 +103,14 @@ object TextAnalysis {
     * combined score (identical FP expression tree on both engines).
     */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents").selectExpr(
+    qualityCore(Tables.load(spark, dir, "documents")).orderBy("doc_id")
+
+  /** The sort-free quality frame over (doc_id, text) rows — reused by
+    * composing ops ([[Dedup.bestOfCluster]] picks the canonical duplicate
+    * by this exact score, so the two entries can never drift).
+    */
+  private[pipeline] def qualityCore(docs: DataFrame): DataFrame =
+    docs.selectExpr(
       "doc_id",
       "CAST(length(text) AS BIGINT) AS n_chars_m",
       "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
@@ -117,7 +124,21 @@ object TextAnalysis {
       "(CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 + " +
         "(1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3 + " +
         "least(CAST(n_chars_m AS DOUBLE) / 500.0, 1.0) * 0.2 AS quality")
-    .orderBy("doc_id")
+
+  /** [[qualityCore]]'s (doc_id, quality) projection in DuckDB's dialect,
+    * as a composable CTE body (same FP tree as [[qualitySql]]).
+    */
+  private[pipeline] val qualityCteSql: String =
+    s"""SELECT doc_id,
+       |       (n_stop::DOUBLE / n_tokens) * 0.5 +
+       |       (1.0 - n_punct::DOUBLE / n_chars_m) * 0.3 +
+       |       least(n_chars_m::DOUBLE / 500.0, 1.0) * 0.2 AS quality
+       |FROM (SELECT doc_id,
+       |             length(text)::BIGINT AS n_chars_m,
+       |             len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |             len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
+       |             len(regexp_extract_all(lower(text), '${markerRegex(LangMarkers.head._2)}'))::BIGINT AS n_stop
+       |      FROM documents)""".stripMargin
 
   val qualitySql: String =
     s"""SELECT doc_id, n_chars_m, n_tokens, n_punct, n_stop,

@@ -54,6 +54,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "mm_caption_pairs",
     // vector leg = the brute-force query-batch broadcast (vec_id < 5)
     "text_hybrid_rrf",
+    // the broadcast side is the BENCHMARK-sized eval slice, bounded by
+    // the constant SemanticEvalCap (vec_id < 640) — not a corpus fraction
+    "pipeline_decontaminate_semantic",
     "sim_sq8_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
     "sim_ivfpq_topk", // coarse codebook broadcast: vec_id < NCentroids (16)
     // two-level IVF: the L1 coarse codebook broadcast (vec_id < l1Cells,

@@ -334,6 +334,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("best-of-cluster: canonical is the quality argmax, not the min id") {
+    val rows = Dedup.bestOfCluster(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // membership identical to the components entry
+    val comp = Dedup.duplicateClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper")).toMap
+    assert(rows.map(r => r._2 -> r._1).toMap == comp)
+    rows.groupBy(_._1).foreach { case (_, members) =>
+      // exactly one canonical per cluster; it is the (quality, -doc_id) max
+      val canon = members.filter(_._5)
+      assert(canon.length == 1)
+      val want = members.minBy(m => (-m._3, m._2))
+      assert(canon.head._2 == want._2, "canonical must be the quality argmax")
+      // every member agrees on the canonical id column
+      assert(members.map(_._4).distinct.toSeq == Seq(want._2))
+    }
+    // load-bearing: in SOME cluster the quality winner is NOT the min id
+    val differs = rows.groupBy(_._1).count { case (_, ms) =>
+      ms.find(_._5).get._2 != ms.map(_._2).min
+    }
+    assert(differs > 0, "quality selection must differ from keep-first somewhere")
+  }
+
   test("semdedup: drop rule matches a brute-force within-cluster replica") {
     val out = Similarity.semDedup(spark, dir).collect()
       .map(r => r.getAs[Long]("vec_id") ->
