@@ -615,8 +615,12 @@ object Similarity {
       .selectExpr("c_id", "c_emb", "sqrt(graft_dot(c_emb, c_emb)) AS c_nrm")
   }
 
-  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embDouble(spark, dir)
+  /** [[KmRounds]] Lloyd iterations over the whole corpus (first-K init,
+    * quantized-sum means, codebook materialized between rounds) — the
+    * training loop shared by [[ivfTrainedTopK]] and [[clusterMix]].
+    */
+  private def trainedCentroids(spark: SparkSession, dir: String,
+      emb: DataFrame): DataFrame = {
     var cent = materializeCodebook(spark,
       emb.where(s"vec_id < ${nCentroids(spark, dir)}")
         .selectExpr("vec_id AS c_id", "emb AS c_emb"))
@@ -636,6 +640,12 @@ object Similarity {
           .agg(count(lit(1)).as("cn"), qsums: _*)
           .selectExpr("c_id", s"$meanArr AS c_emb"))
     }
+    cent
+  }
+
+  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val cent = trainedCentroids(spark, dir, emb)
     def nearest(src: DataFrame, idAs: String, keep: Int): DataFrame =
       if (keep == 1) assignOne(src, cent, idAs, "c_id", "c_emb", "c_nrm", "csim", "crk")
       else src.crossJoin(broadcast(cent))
@@ -658,7 +668,12 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  val ivfTrainedTopKSql: String = {
+  /** DuckDB CTE chain replaying [[trainedCentroids]] + the final whole-
+    * corpus assignment: cent0 → (assign, mean) × [[KmRounds]] → cent2 →
+    * `assigned(vec_id, emb, nrm, c_id)`. Callers compose after
+    * [[embCte]]. Shared by the trained-IVF and cluster-mix oracles.
+    */
+  private val trainedAssignCtes: String = {
     def assignCte(centName: String, outName: String): String =
       s"""$outName AS (
          |  SELECT vec_id, emb, nrm, c_id FROM (
@@ -682,21 +697,18 @@ object Similarity {
          |             sqrt(list_sum(list_transform(c_emb, v -> v * v))) AS c_nrm
          |             FROM ${outName}_e)""".stripMargin
     }
-    s"""WITH $embCte,
-       |cent0 AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
+    s"""cent0 AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM emb
        |          WHERE vec_id < $nCentroidsSqlExpr),
        |${assignCte("cent0", "a1")},
        |${meanCte("a1", "cent1")},
        |${assignCte("cent1", "a2")},
        |${meanCte("a2", "cent2")},
-       |assigned AS (
-       |  SELECT vec_id, emb, nrm, c_id FROM (
-       |    SELECT e.vec_id, e.emb, e.nrm, c.c_id,
-       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |             round(${cosineSql("e.emb", "c.c_emb", "e.nrm", "c.c_nrm")}, 6) DESC,
-       |             c.c_id) AS crk
-       |    FROM emb e, cent2 c)
-       |  WHERE crk = 1),
+       |${assignCte("cent2", "assigned")}""".stripMargin
+  }
+
+  val ivfTrainedTopKSql: String = {
+    s"""WITH $embCte,
+       |$trainedAssignCtes,
        |probes AS (
        |  SELECT q_id, q_emb, q_nrm, c_id FROM (
        |    SELECT e.vec_id AS q_id, e.emb AS q_emb, e.nrm AS q_nrm, c.c_id,
@@ -716,6 +728,52 @@ object Similarity {
        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
   }
+
+  /** Cluster-balanced corpus mixing — the data-curation rebalance over
+    * LEARNED topical clusters instead of metadata labels: k-means over
+    * the document embeddings (the [[trainedCentroids]] Lloyd loop; the
+    * cluster-then-curate shape of SemDeDup/DataComp pipelines), then the
+    * α=1/2 temperature accept of [[CorpusOps.temperatureSample]] applied
+    * per CLUSTER — group `c` keeps √(c_min/c_c) of its docs, flattening
+    * topical skew a `lang`/`source` column can't see. The accept test is
+    * the same sqrt-free integer form (u²·n_cluster < c_min·2³², Knuth-
+    * hash u on a 2¹⁶ grid); every doc is emitted with its verdict so
+    * both classes sit under the hash.
+    *
+    * Scale shape: training is [[KmRounds]] corpus scans with combinable
+    * argmax assignment (no window), cluster counts are one map-side-
+    * combinable agg broadcast back, the accept is per-row. No
+    * data-sized shuffle anywhere but the presentation sort.
+    */
+  def clusterMix(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(spark, dir)
+    val cent = trainedCentroids(spark, dir, emb)
+    val assigned = assignOne(emb, cent, "vec_id", "c_id", "c_emb", "c_nrm",
+      "csim", "crk").select("vec_id", "c_id")
+    val counts = assigned.groupBy("c_id").agg(count(lit(1)).as("n_cluster"))
+    val minc = counts.agg(min("n_cluster").as("c_min"))
+    assigned.join(broadcast(counts), "c_id")
+      .crossJoin(broadcast(minc))
+      .selectExpr("vec_id AS doc_id", "c_id", "n_cluster", "c_min",
+        "((vec_id % 2147483647) * 2654435761) % 2147483647 % 65536 AS u_bucket")
+      .selectExpr("doc_id", "c_id", "n_cluster", "u_bucket",
+        "u_bucket * u_bucket * n_cluster < c_min * 4294967296 AS kept")
+      .orderBy("doc_id")
+  }
+
+  val clusterMixSql: String =
+    s"""WITH $embCte,
+       |$trainedAssignCtes,
+       |counts AS (SELECT c_id, count(*)::BIGINT AS n_cluster
+       |           FROM assigned GROUP BY c_id),
+       |m AS (SELECT min(n_cluster)::BIGINT AS c_min FROM counts),
+       |u AS (SELECT a.vec_id AS doc_id, a.c_id, c.n_cluster,
+       |             ((a.vec_id % 2147483647) * 2654435761) % 2147483647 % 65536 AS u_bucket
+       |      FROM assigned a JOIN counts c USING (c_id))
+       |SELECT doc_id, c_id, n_cluster, u_bucket,
+       |       u_bucket * u_bucket * n_cluster < m.c_min * 4294967296 AS kept
+       |FROM u CROSS JOIN m
+       |ORDER BY doc_id""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs, blocked on (label × banded
     * hyperplane-LSH bucket): candidates must share the label AND at least
@@ -3270,6 +3328,7 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf2_topk" -> ivf2TopK,
     "sim_ivf_trained_topk" -> ivfTrainedTopK,
+    "pipeline_cluster_mix" -> clusterMix,
     "sim_pq_topk" -> pqTopK,
     "sim_sq8_topk" -> sq8TopK,
     "sim_ivfpq_topk" -> ivfPqTopK,
@@ -3300,6 +3359,7 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_ivf2_topk" -> ivf2TopKSql,
     "sim_ivf_trained_topk" -> ivfTrainedTopKSql,
+    "pipeline_cluster_mix" -> clusterMixSql,
     "sim_pq_topk" -> pqTopKSql,
     "sim_sq8_topk" -> sq8TopKSql,
     "sim_ivfpq_topk" -> ivfPqTopKSql,

@@ -21,6 +21,12 @@ object PlanAuditBudgets {
     // per-doc reassembly agg, the presentation sort; every frame is
     // line- or doc-sized, map-side partial min absorbs hot-line skew
     "text_line_dedup" -> 4,
+    // the final whole-corpus assignment (assignOne: argmax agg + join
+    // back) feeds BOTH the cluster-count agg and the output join, so the
+    // returned plan carries assignment agg/join ×2 (training rounds run
+    // eagerly in materializeCodebook, not here) plus the presentation
+    // sort; every exchanged frame is corpus- or codebook-sized
+    "pipeline_cluster_mix" -> 5,
     // inverted-index build (distinct + df agg) reshuffles the corpus
     // shingle table on `s`, the prefix rank/candidate/intersection joins
     // rekey the PROBE-bounded tables (fragment side is tiny and

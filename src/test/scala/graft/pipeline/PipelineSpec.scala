@@ -359,6 +359,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(differs > 0, "quality selection must differ from keep-first somewhere")
   }
 
+  test("cluster mix: verdict for every vector, exact accept algebra, min cluster whole") {
+    val rows = Similarity.clusterMix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val nVecs = graft.Tables.load(spark, dir, "embeddings").count()
+    assert(rows.length == nVecs, "every vector gets a mix verdict")
+    // per-cluster count column is the true member count
+    rows.groupBy(_._2).foreach { case (_, ms) =>
+      assert(ms.map(_._3).distinct.toSeq == Seq(ms.length.toLong))
+    }
+    val cMin = rows.map(_._3).min
+    rows.foreach { case (docId, _, n, u, kept) =>
+      // the integer accept test replayed exactly
+      assert(u == ((docId % 2147483647L) * 2654435761L) % 2147483647L % 65536L)
+      assert(kept == (u * u * n < cMin * 4294967296L),
+        s"accept algebra diverged for doc $docId")
+    }
+    // argmin clusters keep every member (u² < 2³² always)
+    rows.filter(_._3 == cMin).foreach(r => assert(r._5))
+    // at least one larger cluster actually shrinks
+    assert(rows.exists(r => !r._5), "subsampling must be live")
+  }
+
   test("semdedup: drop rule matches a brute-force within-cluster replica") {
     val out = Similarity.semDedup(spark, dir).collect()
       .map(r => r.getAs[Long]("vec_id") ->
