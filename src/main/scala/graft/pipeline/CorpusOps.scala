@@ -18,6 +18,36 @@ import graft.Tables
   */
 object CorpusOps {
 
+  // Constants FIRST, before any val that touches [[Similarity]]: that
+  // object's own initializer reads these back (its indexed-decontamination
+  // SQL), so they must be assigned before a cross-object val can trigger
+  // the Similarity <-> CorpusOps init cycle — a later declaration would be
+  // read as 0 mid-initialization (caught by the r14 indexed-decon oracle:
+  // `vec_id % 0 = 0`).
+
+  /** Word-n-gram width of [[decontaminate]]. */
+  val DecontamN = 5
+
+  /** Eval-slice selector: every [[EvalEvery]]-th doc_id. */
+  val EvalEvery = 10
+
+  /** Cosine threshold for [[decontaminateSemantic]]: on the synthetic
+    * embedding geometry the train-vs-eval max-cosine spread is
+    * [0.10, 0.49] with ~p90 at 0.36, so 0.35 keeps BOTH verdict classes
+    * live at every SF (sf0.001: 38/450 contaminated; sf0.1: 219/1800
+    * under the capped eval set).
+    */
+  val SemanticTau = 0.35
+
+  /** The eval set is BENCHMARK-sized — a constant, not a corpus fraction
+    * (GSM8K has ~8k items no matter how many tokens you train on) — so
+    * the broadcast side of the scoring join is bounded by construction:
+    * at most [[SemanticEvalCap]] eval items (every-10th doc ids below
+    * 10·cap). Docs matching the eval PATTERN beyond the cap stay
+    * excluded from the train side — they are eval-reserved either way.
+    */
+  val SemanticEvalCap = 64
+
   // ---------------------------------------------------------------- split
 
   /** Deterministic train/val/test assignment by content-free hashing of the
@@ -199,9 +229,6 @@ object CorpusOps {
     * decontamination costs one scan of the corpus, which is the only
     * acceptable price at 100 TB.
     */
-  val DecontamN = 5
-  val EvalEvery = 10
-
   private def gramExpr(n: Int): String =
     s"array_distinct(transform(sequence(1, greatest(size(t) - ${n - 1}, 0))," +
       s" i -> array_join(slice(t, i, $n), ' ')))"
@@ -273,22 +300,6 @@ object CorpusOps {
          |FROM pruned p JOIN e ON p.gram = e.gram
          |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin)
   }
-
-  /** Cosine threshold for [[decontaminateSemantic]]: on the synthetic
-    * embedding geometry the train-vs-eval max-cosine spread is
-    * [0.10, 0.49] with ~p90 at 0.36, so 0.35 keeps BOTH verdict classes
-    * live at every SF (sf0.001: 38/450 contaminated; sf0.1: 608/1800).
-    */
-  val SemanticTau = 0.35
-
-  /** The eval set is BENCHMARK-sized — a constant, not a corpus fraction
-    * (GSM8K has ~8k items no matter how many tokens you train on) — so
-    * the broadcast side of the scoring join is bounded by construction:
-    * at most [[SemanticEvalCap]] eval items (every-10th doc ids below
-    * 10·cap). Docs matching the eval PATTERN beyond the cap stay
-    * excluded from the train side — they are eval-reserved either way.
-    */
-  val SemanticEvalCap = 64
 
   /** SEMANTIC decontamination — the n-gram check's blind spot: a
     * paraphrased benchmark item shares no 5-gram with its source but

@@ -57,6 +57,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the broadcast side is the BENCHMARK-sized eval slice, bounded by
     // the constant SemanticEvalCap (vec_id < 640) — not a corpus fraction
     "pipeline_decontaminate_semantic",
+    // the indexed twin: the eval batch crossJoins the bounded persisted
+    // codebook (nearestLists) for probe-list selection — the incremental
+    // IVF family's vetted shape; list scoring is an equi join on c_id
+    "pipeline_decontaminate_semantic_indexed",
     "sim_sq8_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
     "sim_ivfpq_topk", // coarse codebook broadcast: vec_id < NCentroids (16)
     // two-level IVF: the L1 coarse codebook broadcast (vec_id < l1Cells,

@@ -382,6 +382,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.exists(r => !r._5), "subsampling must be live")
   }
 
+  test("indexed semantic decon: never invents contamination, recall >= 75%") {
+    val idx = Similarity.decontaminateSemanticIndexed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(idx.nonEmpty, "flagged class must be live")
+    val exact = CorpusOps.decontaminateSemantic(spark, dir).collect()
+      .filter(_.getBoolean(3))
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    idx.foreach { case (d, ev, s) =>
+      // only indexed-split, non-eval docs can be flagged
+      assert(d % Similarity.IvfSplitMod != 0 && d % CorpusOps.EvalEvery != 0)
+      assert(ev % CorpusOps.EvalEvery == 0, "nearest_eval must be an eval id")
+      // no false positives: every indexed flag is exactly contaminated,
+      // and the probed max can never exceed the exhaustive max
+      assert(exact.contains(d), s"doc $d flagged by index but exactly clean")
+      assert(s >= CorpusOps.SemanticTau && s <= exact(d))
+    }
+    // recall against the exact verdicts over the INDEXED split
+    val truth = exact.keySet.filter(_ % Similarity.IvfSplitMod != 0)
+    val recall = idx.map(_._1).toSet.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.75, s"indexed decon recall $recall < 0.75 " +
+      s"(${idx.size}/${truth.size})")
+  }
+
   test("semdedup: drop rule matches a brute-force within-cluster replica") {
     val out = Similarity.semDedup(spark, dir).collect()
       .map(r => r.getAs[Long]("vec_id") ->
