@@ -94,10 +94,12 @@ object LineDedup {
   def query(spark: SparkSession, dir: String): DataFrame =
     dedupLines(lineTable(Tables.load(spark, dir, "documents")))
 
-  val sql: String = {
+  /** The derived-lines CTE chain (ends in `l(doc_id, text, line_idx,
+    * line)`), shared by the batch and streaming oracles.
+    */
+  private val linesCtes: String = {
     val w = LineWords
-    val shift = 1L << IdxBits
-    s"""WITH wds AS (
+    s"""wds AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
        |cx AS (
        |  SELECT doc_id, text, words,
@@ -106,7 +108,12 @@ object LineDedup {
        |l AS (
        |  SELECT doc_id, text, li::BIGINT AS line_idx,
        |         array_to_string(list_slice(words, li * $w + 1, li * $w + $w), ' ') AS line
-       |  FROM cx),
+       |  FROM cx)""".stripMargin
+  }
+
+  val sql: String = {
+    val shift = 1L << IdxBits
+    s"""WITH $linesCtes,
        |f AS (
        |  SELECT line, min(doc_id * $shift + line_idx) AS first_key
        |  FROM l GROUP BY line),
@@ -128,9 +135,45 @@ object LineDedup {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  /** STREAMING line-dedup state — the ingest-side form: documents arrive
+    * as real micro-batches, every derived line feeds a stateful
+    * `groupBy(line).agg(min(key))` whose state IS the production dedup
+    * filter (one entry per distinct line, the thing a 100 TB ingest keeps
+    * in a keyed store and consults per batch). Complete-mode emission
+    * makes the final table the full standing state, which must equal the
+    * batch entry's first-occurrence table exactly — order-insensitive by
+    * construction (min over the packed key), so late/parallel delivery
+    * inside a batch cannot change it.
+    */
+  def streamQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.PacedReplay
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val stage = graft.TempDirs.scoped("line-dedup") + "/docs"
+    val rowsPerFile = math.max(1L, docs.count() / 4L).toInt
+    PacedReplay.stage(docs, Seq("doc_id"), rowsPerFile, stage)
+    val out = lineTable(PacedReplay.stream(spark, stage, docs.schema))
+      .selectExpr("line", s"doc_id * ${1L << IdxBits} + line_idx AS k")
+      .groupBy("line")
+      .agg(org.apache.spark.sql.functions.expr("min(k) AS first_key"))
+    val qn = "graft_stream_line_dedup"
+    val q = out.writeStream
+      .outputMode("complete").format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(qn).orderBy("line")
+  }
+
+  val streamSql: String =
+    s"""WITH $linesCtes
+       |SELECT line, min(doc_id * ${1L << IdxBits} + line_idx) AS first_key
+       |FROM l GROUP BY line ORDER BY line""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_line_dedup" -> query)
+    "text_line_dedup" -> query,
+    "stream_line_dedup" -> streamQuery)
 
   val oracles: Map[String, String] = Map(
-    "text_line_dedup" -> sql)
+    "text_line_dedup" -> sql,
+    "stream_line_dedup" -> streamSql)
 }

@@ -68,6 +68,40 @@ class LineDedupSpec extends AnyFunSuite {
     assert(out.getString(6) == s"$lineA $lineB $lineC")
   }
 
+  test("streamed dedup state is stateful and equals the batch firsts") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = LineDedup.streamQuery(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the batch firsts table, derived independently
+    val lines = LineDedup.lineTable(
+      graft.Tables.load(spark, dir, "documents"))
+    val batch = lines
+      .selectExpr("line", s"doc_id * ${1L << LineDedup.IdxBits} + line_idx AS k")
+      .groupBy("line")
+      .agg(org.apache.spark.sql.functions.expr("min(k) AS first_key"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, "standing state must equal the batch firsts")
+    // the dedup filter is genuinely stateful: one state row per distinct line
+    val qn = "graft_spec_line_dedup_state"
+    import graft.streaming.PacedReplay
+    val docs = graft.Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val stage = graft.TempDirs.scoped("line-dedup-spec") + "/docs"
+    PacedReplay.stage(docs, Seq("doc_id"),
+      math.max(1L, docs.count() / 4L).toInt, stage)
+    val q = LineDedup.lineTable(PacedReplay.stream(spark, stage, docs.schema))
+      .selectExpr("line", s"doc_id * ${1L << LineDedup.IdxBits} + line_idx AS k")
+      .groupBy("line")
+      .agg(org.apache.spark.sql.functions.expr("min(k) AS first_key"))
+      .writeStream.outputMode("complete").format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val state = q.lastProgress.stateOperators
+    assert(state.nonEmpty, "line dedup must carry a state store")
+    assert(state.head.numRowsTotal == batch.size.toLong,
+      "state rows must equal the distinct-line count")
+    spark.catalog.dropTempView(qn)
+  }
+
   test("entry: both classes live on the real corpus, totals reconcile") {
     val df = LineDedup.query(spark, "/root/testdata/sf0.001").cache()
     assert(df.where("lines_dropped > 0").count() > 0, "repeats must be live")
