@@ -117,6 +117,7 @@ object SparkEntry {
       pipeline.Retrieval.all ++
       pipeline.Tokenizer.all ++
       pipeline.TextRank.all ++
+      pipeline.LinkRank.all ++
       pipeline.Multimodal.all ++
       pipeline.SubstringDedup.all ++
       pipeline.Containment.all ++ Map(
@@ -248,6 +249,7 @@ object SparkEntry {
       pipeline.Retrieval.oracles ++
       pipeline.Tokenizer.oracles ++
       pipeline.TextRank.oracles ++
+      pipeline.LinkRank.oracles ++
       pipeline.Multimodal.oracles ++
       pipeline.SubstringDedup.oracles ++
       pipeline.Containment.oracles ++

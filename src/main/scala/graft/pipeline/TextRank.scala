@@ -49,40 +49,59 @@ object TextRank {
     big.join(wout, "a").select("a", "b", "w", "wa")
   }
 
-  def textrank(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).cache()
-    val nodes = Tables.load(spark, dir, "documents")
-      .selectExpr("explode(split(text, ' ')) AS word")
-      .where("word <> ''").distinct().cache()
-    val n = nodes.count() // vocabulary size: metadata-scale driver scalar
+  /** The [[Iters]]-round integer PageRank loop over an arbitrary graph —
+    * `nodes(node)`, `e(a, b, w, wa)` — factored for reuse by
+    * [[LinkRank.domainRank]] (same arithmetic, same truncation, so both
+    * oracles replay identically). Caches the node/edge tables (each is
+    * read every round) and returns `(node, r)`.
+    */
+  private[pipeline] def rankLoop(nodes0: DataFrame, e0: DataFrame): DataFrame = {
+    val e = e0.cache()
+    val nodes = nodes0.cache()
+    val n = nodes.count() // node count: metadata-scale driver scalar
     val base = Qp / n
     val base15 = (15L * base) / 100L
     var r = nodes.withColumn("r", lit(base))
     for (_ <- 1 to Iters) {
-      val s = e.join(r.withColumnRenamed("word", "a"), "a")
+      val s = e.join(r.withColumnRenamed("node", "a"), "a")
         .selectExpr("b", "(r * w) div wa AS c")
         .groupBy("b").agg(sum("c").as("s"))
-      r = nodes.join(s.withColumnRenamed("b", "word"), Seq("word"), "left")
-        .selectExpr("word",
+      r = nodes.join(s.withColumnRenamed("b", "node"), Seq("node"), "left")
+        .selectExpr("node",
           s"CAST($base15 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100" +
             " AS BIGINT) AS r")
     }
-    r.selectExpr("word", "r",
-      s"CAST(r AS DOUBLE) / $Qp.0 AS score")
+    r
+  }
+
+  def textrank(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.load(spark, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS node")
+      .where("node <> ''").distinct()
+    rankLoop(nodes, edges(spark, dir))
+      .selectExpr("node AS word", "r",
+        s"CAST(r AS DOUBLE) / $Qp.0 AS score")
       .orderBy(desc("r"), asc("word"))
   }
 
-  val textrankSql: String = {
-    val stages = (1 to Iters).map { i =>
+  /** The unrolled r1..r[[Iters]] CTE stages over CTEs named `nodes`
+    * (column `col`), `e(a, b, w, wa)` and `meta(b15, base)` — shared by
+    * the TextRank and [[LinkRank]] oracles.
+    */
+  private[pipeline] def rankStagesSql(col: String): String =
+    (1 to Iters).map { i =>
       s"""r$i AS (
-         |  SELECT n.word,
+         |  SELECT n.$col,
          |         (SELECT b15 FROM meta)
          |           + (85 * coalesce(s.s, 0)) // 100 AS r
          |  FROM nodes n LEFT JOIN (
-         |    SELECT e.b AS word, sum((r.r * e.w) // e.wa)::BIGINT AS s
-         |    FROM e JOIN r${i - 1} r ON e.a = r.word
-         |    GROUP BY 1) s USING (word))""".stripMargin
+         |    SELECT e.b AS $col, sum((r.r * e.w) // e.wa)::BIGINT AS s
+         |    FROM e JOIN r${i - 1} r ON e.a = r.$col
+         |    GROUP BY 1) s USING ($col))""".stripMargin
     }.mkString(",\n")
+
+  val textrankSql: String = {
+    val stages = rankStagesSql("word")
     s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
        |pairs AS (
        |  SELECT p.a AS a, p.b AS b

@@ -264,6 +264,10 @@ object PlanAuditBudgets {
     // cached subtrees; each iteration's in-edge agg reuses the edge
     // partitioning, leaving the iteration aggs + presentation sort
     "text_textrank" -> 9,
+    // the same 8-iteration rank loop over the CACHED domain edge list;
+    // derivation (page distinct, link equi join, edge/out-weight aggs)
+    // lands in the cached subtrees, leaving the iteration aggs + sort
+    "pipeline_domain_rank" -> 11,
     // deletion-neighborhood blocking: vocab agg (shared by both variant
     // sides and the count join), variant equi join, candidate distinct,
     // verdict join, presentation sort — all vocab-scale after the one
