@@ -50,16 +50,23 @@ object SnapshotMv {
     * (temp file + rename — the protocol's only commit primitive).
     */
   private def commitManifest(fs: FileSystem, work: String, ver: Long,
+      entries: Seq[(String, String)]): Unit =
+    commitManifestNamed(fs, work, s"v$ver", entries)
+
+  /** Named-manifest form — version refs (`v<N>`) and branch refs
+    * (`<branch>-v<N>`) share the one commit primitive.
+    */
+  private def commitManifestNamed(fs: FileSystem, work: String, name: String,
       entries: Seq[(String, String)]): Unit = {
     fs.mkdirs(new Path(work, VersionsDir))
-    val tmp = new Path(s"$work/$VersionsDir/.tmp-v$ver")
+    val tmp = new Path(s"$work/$VersionsDir/.tmp-$name")
     val out = fs.create(tmp, true)
     try out.write(entries.sorted.map { case (s, f) => s"$s,$f" }
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fin = new Path(s"$work/$VersionsDir/v$ver")
+    val fin = new Path(s"$work/$VersionsDir/$name")
     if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"manifest commit failed for v$ver")
+      throw new java.io.IOException(s"manifest commit failed for $name")
   }
 
   /** The (partition, file) pairs of snapshot `ver`. FAILS LOUD when the
@@ -67,12 +74,17 @@ object SnapshotMv {
     * never silently fall back to a directory listing.
     */
   def readSnapshotManifest(spark: SparkSession, work: String,
-      ver: Long): Seq[(String, String)] = {
+      ver: Long): Seq[(String, String)] =
+    readManifestNamed(spark, work, s"v$ver")
+
+  /** Named-ref read — fails loud like the versioned form. */
+  def readManifestNamed(spark: SparkSession, work: String,
+      name: String): Seq[(String, String)] = {
     val (fs, _) = fsOf(spark, work)
-    val mf = new Path(s"$work/$VersionsDir/v$ver")
+    val mf = new Path(s"$work/$VersionsDir/$name")
     if (!fs.exists(mf))
       throw new IllegalStateException(
-        s"snapshot v$ver has no manifest at $work — vacuumed or never committed")
+        s"snapshot $name has no manifest at $work — vacuumed or never committed")
     val in = fs.open(mf)
     val text = try {
       val bs = new java.io.ByteArrayOutputStream()
@@ -90,8 +102,13 @@ object SnapshotMv {
     * touched-partition-only IO contract of the merge path).
     */
   def readSnapshot(spark: SparkSession, work: String, ver: Long,
+      sources: Option[Set[String]] = None): DataFrame =
+    readSnapshotNamed(spark, work, s"v$ver", sources)
+
+  /** Named-ref snapshot read (same manifest-level pruning contract). */
+  def readSnapshotNamed(spark: SparkSession, work: String, name: String,
       sources: Option[Set[String]] = None): DataFrame = {
-    val entries = readSnapshotManifest(spark, work, ver)
+    val entries = readManifestNamed(spark, work, name)
     val picked = sources match {
       case Some(keep) => entries.filter { case (s, _) => keep(s) }
       case None => entries
@@ -99,7 +116,7 @@ object SnapshotMv {
     val paths = picked.map { case (s, f) => s"$work/source=$s/$f" }
     if (paths.isEmpty)
       throw new IllegalArgumentException(
-        s"no partition of snapshot v$ver matches ${sources.getOrElse(Set())} " +
+        s"no partition of snapshot $name matches ${sources.getOrElse(Set())} " +
           "— callers must intersect with the manifest's partitions first")
     spark.read.option("basePath", work).parquet(paths: _*)
   }
@@ -110,8 +127,15 @@ object SnapshotMv {
     * so no committed file is ever overwritten.
     */
   private def writePartitionFiles(spark: SparkSession, work: String,
-      ver: Long, rows: DataFrame): Seq[(String, String)] = {
-    val staging = graft.TempDirs.scoped(s"snap-v$ver")
+      ver: Long, rows: DataFrame): Seq[(String, String)] =
+    writePartitionFilesTagged(spark, work, s"v$ver", rows)
+
+  /** Tagged form: `tag` prefixes the placed file names, so version and
+    * branch commits can never collide on a name.
+    */
+  private def writePartitionFilesTagged(spark: SparkSession, work: String,
+      tag: String, rows: DataFrame): Seq[(String, String)] = {
+    val staging = graft.TempDirs.scoped(s"snap-$tag")
     rows.repartition(col("source"))
       .write.mode("overwrite").partitionBy("source").parquet(staging)
     val (fs, _) = fsOf(spark, work)
@@ -124,7 +148,7 @@ object SnapshotMv {
         fs.listStatus(d.getPath)
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map { f =>
-            val name = s"v$ver-${f.getPath.getName}"
+            val name = s"$tag-${f.getPath.getName}"
             if (!fs.rename(f.getPath, new Path(tgtDir, name)))
               throw new java.io.IOException(s"failed to place $name")
             (src, name)
@@ -617,8 +641,150 @@ object SnapshotMv {
        |GROUP BY 1, 2, 3
        |ORDER BY snapshot, source, lang""".stripMargin
 
+  // ---------------------------------------------------------- branching
+
+  /** Create branch `branch` at version `fromVer` — METADATA ONLY: the
+    * branch's base manifest lists the very same immutable files (the
+    * Nessie/Iceberg zero-copy branch property; the spec asserts no data
+    * file is written). Branch refs live beside version refs in
+    * `_versions/` as `<branch>-v<N>`.
+    */
+  def commitBranch(spark: SparkSession, work: String, fromVer: Long,
+      branch: String): Unit = {
+    val (fs, _) = fsOf(spark, work)
+    commitManifestNamed(fs, work, s"$branch-v1",
+      readSnapshotManifest(spark, work, fromVer))
+  }
+
+  /** Commit a delta of raw document rows onto branch head `ver - 1` —
+    * [[commitDelta]]'s logic against branch refs, file names prefixed
+    * with the branch tag so main and branch commits can never collide.
+    */
+  def commitBranchDelta(spark: SparkSession, work: String, branch: String,
+      ver: Long, docs: DataFrame): Unit = {
+    val (fs, _) = fsOf(spark, work)
+    val delta = rollup(docs)
+    val touched = delta.select("source").distinct()
+      .collect().map(_.getString(0)).toSet // metadata-scale: partition keys
+    val prev = readManifestNamed(spark, work, s"$branch-v${ver - 1}")
+    val overlap = touched.intersect(prev.map(_._1).toSet)
+    val base =
+      if (overlap.isEmpty) delta
+      else readSnapshotNamed(spark, work, s"$branch-v${ver - 1}", Some(overlap))
+        .select("source", "lang", "n_docs", "sum_chars")
+        .unionByName(delta)
+    val merged = base.groupBy("source", "lang")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"))
+    val newFiles = writePartitionFilesTagged(spark, work, s"$branch-v$ver", merged)
+    val carried = prev.filter { case (s, _) => !touched(s) }
+    commitManifestNamed(fs, work, s"$branch-v$ver", carried ++ newFiles)
+  }
+
+  /** Merge a branch back into main as version `newVer`: the branch's net
+    * change is derived FROM ITS SNAPSHOTS (per-key counter delta between
+    * branch head and branch base over only the partitions whose file
+    * sets differ — the [[cdfBetween]] manifest-diff trick), then applied
+    * additively onto main's head. This is the mergeable-table merge:
+    * because the MV is a sum rollup, a branch delta commutes with main
+    * commits that landed meanwhile, so concurrent divergence resolves
+    * without rebase. IO is commit-sized on both sides (changed branch
+    * partitions + touched main partitions); untouched main partitions
+    * carry forward verbatim.
+    */
+  def mergeBranch(spark: SparkSession, work: String, mainHeadVer: Long,
+      branch: String, branchBase: Long, branchHead: Long,
+      newVer: Long): Unit = {
+    val (fs, _) = fsOf(spark, work)
+    val mBase = readManifestNamed(spark, work, s"$branch-v$branchBase").toSet
+    val mHead = readManifestNamed(spark, work, s"$branch-v$branchHead").toSet
+    val changed = ((mBase diff mHead) ++ (mHead diff mBase)).map(_._1)
+    val mainPrev = readSnapshotManifest(spark, work, mainHeadVer)
+    if (changed.isEmpty) { // nothing to merge: fast-forward main verbatim
+      commitManifestNamed(fs, work, s"v$newVer", mainPrev)
+      return
+    }
+    def side(name: String, keep: Set[String], n: String, c: String): DataFrame =
+      readSnapshotNamed(spark, work, name,
+          Some(keep.intersect(
+            readManifestNamed(spark, work, name).map(_._1).toSet)))
+        .selectExpr("source", "lang", s"n_docs AS $n", s"sum_chars AS $c")
+    val pre = side(s"$branch-v$branchBase", changed, "n0", "c0")
+    val post = side(s"$branch-v$branchHead", changed, "n1", "c1")
+    val delta = post.join(pre, Seq("source", "lang"), "full_outer")
+      .selectExpr("source", "lang",
+        "coalesce(n1, CAST(0 AS BIGINT)) - coalesce(n0, CAST(0 AS BIGINT)) AS n_docs",
+        "coalesce(c1, CAST(0 AS BIGINT)) - coalesce(c0, CAST(0 AS BIGINT)) AS sum_chars")
+      .where("n_docs <> 0 OR sum_chars <> 0")
+    val touched = delta.select("source").distinct()
+      .collect().map(_.getString(0)).toSet // commit-sized partition keys
+    val overlap = touched.intersect(mainPrev.map(_._1).toSet)
+    val base =
+      if (overlap.isEmpty) delta
+      else readSnapshot(spark, work, mainHeadVer, Some(overlap))
+        .select("source", "lang", "n_docs", "sum_chars")
+        .unionByName(delta)
+    val merged = base.groupBy("source", "lang")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"))
+    val newFiles = writePartitionFiles(spark, work, newVer, merged)
+    val carried = mainPrev.filter { case (s, _) => !touched(s) }
+    commitManifest(fs, work, newVer, carried ++ newFiles)
+  }
+
+  /** Q — branch/merge end-to-end under concurrent divergence: main
+    * commits wave A (hot partitions) while branch `bdev`, forked at v1,
+    * commits wave B (cold partitions); the merge lands both. The four
+    * read points under one hash prove isolation in BOTH directions
+    * (main v2 has A but not B; the branch head has B but not A) and
+    * merge completeness (v3 equals the full-corpus rollup).
+    */
+  def mvBranch(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.TempDirs.scoped("snap-branch") + "/t"
+    val d = waved(Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars"))
+      .withColumn("in_bwave", expr(s"srk <= $WaveRanks AND md5(source) >= '8'"))
+    commitInitial(spark, work, d.where("NOT in_wave AND NOT in_bwave")) // v1
+    commitBranch(spark, work, 1L, "bdev") // zero-copy fork at v1
+    commitDelta(spark, work, d.where("in_wave"), 2L) // main diverges
+    commitBranchDelta(spark, work, "bdev", 2L, d.where("in_bwave"))
+    mergeBranch(spark, work, 2L, "bdev", 1L, 2L, 3L)
+    def readV(name: String, tag: String): DataFrame =
+      readSnapshotNamed(spark, work, name)
+        .selectExpr(s"'$tag' AS read_point", "source", "lang",
+          "n_docs", "sum_chars")
+    readV("v1", "1_main_v1")
+      .unionByName(readV("v2", "2_main_v2"))
+      .unionByName(readV("bdev-v2", "3_branch_head"))
+      .unionByName(readV("v3", "4_merged"))
+      .orderBy("read_point", "source", "lang")
+  }
+
+  val mvBranchSql: String =
+    s"""WITH r AS (
+       |  SELECT source, lang, n_chars,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS srk,
+       |         md5(source) < '8' AS hot
+       |  FROM documents),
+       |t AS (SELECT source, lang, n_chars,
+       |             srk <= $WaveRanks AND hot AS a,
+       |             srk <= $WaveRanks AND NOT hot AS b
+       |      FROM r)
+       |SELECT '1_main_v1' AS read_point, source, lang,
+       |       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+       |FROM t WHERE NOT a AND NOT b GROUP BY 2, 3
+       |UNION ALL
+       |SELECT '2_main_v2', source, lang, count(*)::BIGINT, sum(n_chars)::BIGINT
+       |FROM t WHERE NOT b GROUP BY 2, 3
+       |UNION ALL
+       |SELECT '3_branch_head', source, lang, count(*)::BIGINT, sum(n_chars)::BIGINT
+       |FROM t WHERE NOT a GROUP BY 2, 3
+       |UNION ALL
+       |SELECT '4_merged', source, lang, count(*)::BIGINT, sum(n_chars)::BIGINT
+       |FROM t GROUP BY 2, 3
+       |ORDER BY read_point, source, lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_mv_snapshot" -> mvSnapshot,
+    "pipeline_mv_branch" -> mvBranch,
     "pipeline_mv_forget" -> mvForget,
     "pipeline_mv_cdf" -> mvCdf,
     "pipeline_mv_optimize" -> mvOptimize,
@@ -626,6 +792,7 @@ object SnapshotMv {
 
   val oracles: Map[String, String] = Map(
     "pipeline_mv_snapshot" -> mvSnapshotSql,
+    "pipeline_mv_branch" -> mvBranchSql,
     "pipeline_mv_forget" -> mvForgetSql,
     "pipeline_mv_cdf" -> mvCdfSql,
     "pipeline_mv_optimize" -> mvOptimizeSql,

@@ -283,4 +283,61 @@ class SnapshotMvSpec extends AnyFunSuite {
       assert(feed.nonEmpty, s"diff v$vo->v$vn must not be empty")
     }
   }
+
+  test("branch: zero-copy fork, two-way isolation, additive merge == full rollup") {
+    val work = graft.TempDirs.scoped("snap-branch-spec") + "/t"
+    val d = SnapshotMv.waved(graft.Tables.load(spark, dir, "documents")
+        .select("doc_id", "source", "lang", "n_chars"))
+      .withColumn("in_bwave", org.apache.spark.sql.functions.expr(
+        s"srk <= ${SnapshotMv.WaveRanks} AND md5(source) >= '8'"))
+    SnapshotMv.commitInitial(spark, work, d.where("NOT in_wave AND NOT in_bwave"))
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(work), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.endsWith(".parquet") && f.contains("source=")) b += f
+      }
+      b.result()
+    }
+    val beforeBranch = dataFiles()
+    SnapshotMv.commitBranch(spark, work, 1L, "bdev")
+    // zero-copy: branching wrote NO data file
+    assert(dataFiles() == beforeBranch, "branch creation must be metadata-only")
+    // branch base manifest lists exactly v1's files
+    assert(SnapshotMv.readManifestNamed(spark, work, "bdev-v1").toSet ==
+      SnapshotMv.readSnapshotManifest(spark, work, 1L).toSet)
+
+    SnapshotMv.commitDelta(spark, work, d.where("in_wave"), 2L)
+    val mainV2 = SnapshotMv.readSnapshot(spark, work, 2L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    SnapshotMv.commitBranchDelta(spark, work, "bdev", 2L, d.where("in_bwave"))
+    // isolation: the branch commit left main v2 byte-identical
+    assert(SnapshotMv.readSnapshot(spark, work, 2L)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == mainV2.toSeq)
+
+    SnapshotMv.mergeBranch(spark, work, 2L, "bdev", 1L, 2L, 3L)
+    // merge completeness: v3 == the full-corpus rollup
+    val got = SnapshotMv.readSnapshot(spark, work, 3L)
+      .selectExpr("source", "lang", "n_docs", "sum_chars")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val want = graft.Tables.load(spark, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum("n_chars").as("sum_chars"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq == want.toSeq, "merged snapshot must equal the full rollup")
+    // untouched-by-merge partitions carry v2's files verbatim into v3
+    val v2m = SnapshotMv.readSnapshotManifest(spark, work, 2L).toMap
+    val v3m = SnapshotMv.readSnapshotManifest(spark, work, 3L).toMap
+    val coldTouched = SnapshotMv.readManifestNamed(spark, work, "bdev-v2")
+      .toSet.diff(SnapshotMv.readManifestNamed(spark, work, "bdev-v1").toSet)
+      .map(_._1)
+    v2m.keys.filterNot(coldTouched).foreach { s =>
+      assert(v3m(s) == v2m(s), s"partition $s must carry forward verbatim")
+    }
+  }
 }
