@@ -141,6 +141,10 @@ object SparkEntry {
         streaming.Windows.sessionCountsQuery(s, dir)),
       "stream_dedup_first" -> ((s: SparkSession, dir: String) =>
         streaming.StreamingDedup.firstPerKeyQuery(s, dir)),
+      // stateful per-domain crawl admission (canonical dedup + quota) via
+      // transformWithState; oracle = the batch UrlDedup admitted rows
+      "stream_domain_quota" -> ((s: SparkSession, dir: String) =>
+        streaming.DomainQuota.quotaQuery(s, dir)),
       // watermark late-data DROP semantics end-to-end: out-of-order chunk
       // replay through a real watermarked append-mode aggregation, the
       // watermark machine replicated row-exactly by the DuckDB oracle
@@ -259,6 +263,7 @@ object SparkEntry {
         "stream_sliding_counts" -> streaming.Windows.slidingCountsSql,
         "stream_session_counts" -> streaming.Windows.sessionCountsSql,
         "stream_dedup_first" -> streaming.StreamingDedup.firstPerKeySql,
+        "stream_domain_quota" -> streaming.DomainQuota.quotaSql,
         "stream_late_data" -> streaming.LateData.lateDataSql,
         "stream_interval_join" -> streaming.StreamJoin.intervalJoinSql,
         "stream_outer_join" -> streaming.StreamJoin.outerJoinSql,

@@ -102,8 +102,11 @@ object UrlDedup {
     * canonical KEEPER (min doc_id of its canonical group), and whether
     * it survives the per-domain cap.
     */
-  def canonicalize(urls: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
+  /** The ROW-LOCAL half of the canonicalizer — parse + normalize to
+    * (doc_id, url, domain, canon), no window, no shuffle — so it runs
+    * unchanged over a streaming frame ([[graft.streaming.DomainQuota]]).
+    */
+  def canonCols(urls: DataFrame): DataFrame = {
     val parts = urls.selectExpr("doc_id", "url",
       s"lower(regexp_extract(url, '$SchemeRe', 1)) AS scheme",
       s"lower(regexp_extract(url, '$HostRe', 1)) AS host",
@@ -111,7 +114,7 @@ object UrlDedup {
       s"regexp_replace(regexp_extract(url, '$PathRe', 1), '/+$$', '') AS path",
       "CASE WHEN position('?' IN url) > 0" +
         " THEN substring(url, position('?' IN url) + 1) ELSE '' END AS q")
-    val canon = parts.selectExpr("doc_id", "url", "host AS domain",
+    parts.selectExpr("doc_id", "url", "host AS domain",
       s"""concat(scheme, '://', host,
          |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
          |            OR (scheme = 'https' AND port = '443')
@@ -120,6 +123,18 @@ object UrlDedup {
          |  CASE WHEN q = '' THEN ''
          |       ELSE concat('?', array_join(array_sort(split(q, '&')), '&'))
          |  END) AS canon""".stripMargin)
+  }
+
+  /** The derived crawl surface (doc_id, url) for `dir` — shared by the
+    * batch entry and the streaming quota twin.
+    */
+  def derivedUrls(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", s"$urlExprSpark AS url")
+
+  def canonicalize(urls: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val canon = canonCols(urls)
     val keepers = canon
       .withColumn("krk", expr(
         "row_number() OVER (PARTITION BY canon ORDER BY doc_id)"))
@@ -146,8 +161,7 @@ object UrlDedup {
     * normalization rule, the keeper policy, and the cap.
     */
   def query(spark: SparkSession, dir: String): DataFrame =
-    canonicalize(Tables.load(spark, dir, "documents")
-      .selectExpr("doc_id", s"$urlExprSpark AS url"))
+    canonicalize(derivedUrls(spark, dir))
 
   val sql: String =
     s"""WITH u AS (SELECT doc_id, $urlExprSql AS url FROM documents),

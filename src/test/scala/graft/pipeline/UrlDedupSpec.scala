@@ -91,4 +91,24 @@ class UrlDedupSpec extends AnyFunSuite {
     assert(cappedMax < uncappedMin, "cap must keep the first-by-doc_id rows")
     df.unpersist()
   }
+
+  test("streaming quota: admitted set equals the batch dedup+cap, online") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.DomainQuota.quotaQuery(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val batch = UrlDedup.query(spark, dir)
+      .where("is_keeper AND kept_cap")
+      .selectExpr("doc_id", "domain", "canon")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(streamed.sorted.toSeq == batch.sorted.toSeq,
+      "online admission must equal the batch dedup + cap")
+    // per-domain budget holds in the streamed output
+    streamed.groupBy(_._2).foreach { case (d, rows) =>
+      assert(rows.length <= UrlDedup.DomainCap, s"domain $d over budget")
+      // admitted canons are unique (the dedup half of the controller)
+      assert(rows.map(_._3).distinct.length == rows.length)
+    }
+    // the head domain exhausts its budget exactly
+    assert(streamed.count(_._2 == "big.example.com") == UrlDedup.DomainCap)
+  }
 }
