@@ -162,12 +162,43 @@ object HtmlExtract {
     spark.table(qn).orderBy("doc_id", "block_idx")
   }
 
+  /** Outlink (href) extraction — the OTHER half of what a crawl does
+    * with a fetched page: main text feeds the corpus, outlinks feed the
+    * frontier (and the [[LinkRank]] domain graph). One
+    * `regexp_extract_all` over the raw page per doc, exploded to
+    * (doc_id, link_idx, href) with an internal/external verdict — all
+    * row-local, no shuffle before the presentation sort. The template
+    * plants both classes on every page: 4 site-relative hrefs (nav ×3 +
+    * footer) and 1 absolute ad link.
+    */
+  private val HrefRegex = "href=\"([^\"]*)\""
+
+  def linksQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", s"$pageExpr AS page")
+      .selectExpr("doc_id",
+        s"posexplode(regexp_extract_all(page, '$HrefRegex', 1)) AS (link_idx, href)")
+      .selectExpr("doc_id", "CAST(link_idx AS BIGINT) AS link_idx", "href",
+        "href RLIKE '^[A-Za-z]+://' AS is_external")
+      .orderBy("doc_id", "link_idx")
+
+  val linksSql: String =
+    s"""WITH pages AS (SELECT doc_id, $pageSql AS page FROM documents),
+       |hx AS (SELECT doc_id, regexp_extract_all(page, 'href="([^"]*)"', 1) AS hs
+       |       FROM pages),
+       |l AS (SELECT doc_id, unnest(range(1, len(hs) + 1)) AS i, hs FROM hx)
+       |SELECT doc_id, (i - 1)::BIGINT AS link_idx, hs[i] AS href,
+       |       regexp_matches(hs[i], '^[A-Za-z]+://') AS is_external
+       |FROM l ORDER BY doc_id, link_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_html_extract" -> query,
+    "text_html_links" -> linksQuery,
     "stream_html_extract" -> streamQuery)
 
   val oracles: Map[String, String] = Map(
     "text_html_extract" -> sql,
+    "text_html_links" -> linksSql,
     // streamed == batch: the extraction is row-local, so the replayed
     // stream must reproduce the batch table bit-for-bit
     "stream_html_extract" -> sql)

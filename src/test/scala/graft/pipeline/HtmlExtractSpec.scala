@@ -111,6 +111,26 @@ class HtmlExtractSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("outlink extraction: both classes live, 5 hrefs per page, order kept") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = HtmlExtract.linksQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    val nDocs = graft.Tables.load(spark, dir, "documents").count()
+    // the template plants exactly 5 hrefs per page
+    assert(rows.length == 5L * nDocs)
+    rows.groupBy(_._1).foreach { case (d, ls) =>
+      val byIdx = ls.sortBy(_._2)
+      assert(byIdx.map(_._2).toSeq == (0L until 5L), s"doc $d link indices")
+      // template order: Home, About, /d<id>, ad (external), /tos
+      assert(byIdx(0)._3 == "/" && !byIdx(0)._4)
+      assert(byIdx(1)._3 == "/about")
+      assert(byIdx(2)._3 == s"/d$d")
+      assert(byIdx(3)._3 == s"https://ads.example/$d" && byIdx(3)._4,
+        "the ad link is the one external href")
+      assert(byIdx(4)._3 == "/tos" && !byIdx(4)._4)
+    }
+  }
+
   test("streamed extraction is stateless and equals the batch entry") {
     val dir = "/root/testdata/sf0.001"
     // drive the committed streaming entry itself; its memory query is
