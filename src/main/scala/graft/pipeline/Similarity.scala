@@ -2668,6 +2668,188 @@ object Similarity {
     out
   }
 
+  // --------- residual-coded persisted IVFPQ (the FAISS default form)
+
+  /** Path of the RESIDUAL-coded PQ index. The tag names the LAYOUT
+    * GENERATION (seed offset included): a layout change must never
+    * silently reuse an index built under the old rules.
+    */
+  def ivfPqResIndexPath(spark: SparkSession, dir: String): String =
+    ivfIndexPath(spark, dir) + "_pqr2"
+
+  /** Residual sub-codebook: [[PqK]] seed vectors' RESIDUALS against
+    * their own nearest coarse centroid, sliced into [[PqM]] subspaces —
+    * codes then quantize what the coarse assignment CANNOT explain,
+    * which is why FAISS's IndexIVFPQ encodes residuals by default: the
+    * residual cloud is centered and small, so 4-bit codes spend their
+    * 16 cells on the informative part. The seeds are ids
+    * [`nc`, `nc`+[[PqK]]): the first `nc` vectors ARE the coarse
+    * centroids (their residuals are exactly zero — a degenerate
+    * codebook that collapses ADC to coarse-only ranking; measured
+    * recall 32% at sf0.1 before this offset). Columns (m, p_id, p_sub).
+    */
+  private def pqCodebookRes(emb: DataFrame, cent: DataFrame,
+      nc: Int): DataFrame = {
+    val resSlices = (0 until PqM)
+      .map(m => s"slice(res, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+    assignOne(emb.where(s"vec_id >= $nc AND vec_id < ${nc + PqK}"), cent,
+        "vec_id", "c_id", "c_emb", "c_nrm", "csim", "crk")
+      .join(broadcast(cent.select("c_id", "c_emb")), "c_id")
+      .selectExpr("vec_id", "zip_with(emb, c_emb, (x, y) -> x - y) AS res")
+      .selectExpr("vec_id", s"posexplode(array($resSlices)) AS (m, sub)")
+      // re-index seed ids to codes 0..PqK-1: pcode packs 4-bit cells
+      .selectExpr("m", s"vec_id - $nc AS p_id", "sub AS p_sub")
+  }
+
+  /** Residual-encode `vecs` (vec_id, emb, nrm, c_id): nearest residual
+    * sub-code per (vector, subspace) against the vector's OWN residual
+    * (emb − its list centroid) — the [[pqEncode]] argmin over centered
+    * data; packing identical (pcode = Σ code_m·16^m).
+    */
+  private def pqEncodeRes(vecs: DataFrame, cent: DataFrame,
+      pqcr: DataFrame): DataFrame = {
+    val resSlices = (0 until PqM)
+      .map(m => s"slice(res, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+    val caseM = (0 until PqM)
+      .map(m => s"WHEN $m THEN ${1L << (4 * m)}L").mkString("CASE m ", " ", " END")
+    vecs.join(broadcast(cent.select("c_id", "c_emb")), "c_id")
+      .selectExpr("vec_id", "nrm", "c_id",
+        "zip_with(emb, c_emb, (x, y) -> x - y) AS res")
+      .selectExpr("vec_id", "nrm", "c_id",
+        s"posexplode(array($resSlices)) AS (m, sub)")
+      .join(broadcast(pqcr), "m")
+      .selectExpr("vec_id", "nrm", "c_id", "m", "p_id",
+        s"""round(graft_dot(sub, sub) - 2 * graft_dot(sub, p_sub)
+           |  + graft_dot(p_sub, p_sub), 6) AS d2""".stripMargin)
+      .withColumn("prk", expr(
+        "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, p_id ASC)"))
+      .where("prk = 1")
+      .groupBy("vec_id", "nrm", "c_id")
+      .agg(expr(s"CAST(sum(p_id * ($caseM)) AS INT)").as("pcode"))
+  }
+
+  /** Build-once residual-coded IVFPQ: same 2-byte (vec_id, nrm, pcode)
+    * list layout, coarse codebook and manifest as [[ensureIvfPqIndex]],
+    * but codes quantize residuals — so an ADC score reconstructs
+    * `q·vec ≈ q·centroid + q·residual-codes` with the EXACT stored norm
+    * in the denominator, instead of approximating both the dot and the
+    * norm from raw-vector codes. Measured on this corpus (wave-0
+    * top-5 vs exact truth): refine-for-refine the residual layout wins
+    * — 68%/64% at ×1 vs the raw layout's 60%/48% — and it reaches the
+    * family's 72% recall gate at ×[[PqResRefine]]=2, HALF the exact
+    * re-rank IO of the raw layout's ×[[PqIdxRefine]]=4. That is why
+    * FAISS makes residual encoding the default.
+    */
+  def ensureIvfPqResIndex(spark: SparkSession, dir: String): String = {
+    val path = ivfPqResIndexPath(spark, dir)
+    val (fs, root) = hadoopFs(spark, path)
+    def committed(r: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(r, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$r/$CodebookDir/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$r/$PqCodebookDir/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(r, ListsManifestFile))
+    IndexCommit.ensure(fs, root)(committed) { tmp =>
+      val emb = embDouble(spark, dir)
+      val nc = nCentroids(spark, dir)
+      val cent = coarseCent(emb, nc)
+      val pqcr = pqCodebookRes(emb, cent, nc)
+      pqEncodeRes(
+        nearestLists(emb.where(s"vec_id % $IvfSplitMod <> 0"), cent,
+            "vec_id", 1)
+          .select("vec_id", "emb", "nrm", "c_id"), cent, pqcr)
+        .repartition(col("c_id"))
+        .sortWithinPartitions("c_id", "vec_id")
+        .write.mode("overwrite").partitionBy("c_id").parquet(tmp.toString)
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$CodebookDir")
+      pqcr.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$PqCodebookDir")
+      val lists = fs.listStatus(tmp).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
+        .map(_.getPath.getName.stripPrefix("c_id=").toLong).toSet
+      listsManifestWrite(spark, tmp.toString, lists)
+    }
+    path
+  }
+
+  /** Residual-ADC probe: the LUT holds `q_m · p_sub_m` partial dots of
+    * the RAW query against the residual codebook, each probed (q, list)
+    * pair carries one quantized `q · centroid` coarse term, and the ADC
+    * score divides by the STORED exact vector norm —
+    * `(qc + Σ LUT) / (‖q‖·‖v‖)` — so the only inexactness left is the
+    * residual quantization itself. Same manifest-pruned 2-byte list IO
+    * and exact re-rank as the raw-code probe.
+    */
+  def incrementalIvfPqResProbe(spark: SparkSession, queries: DataFrame,
+      cent: DataFrame, pqcr: DataFrame, indexPath: String, floats: DataFrame,
+      rerank: Long, k: Int = TopK): DataFrame = {
+    val probes = nearestLists(queries, cent, "q_id", NProbe)
+      .selectExpr("q_id", "emb AS q_emb", "nrm AS q_nrm", "c_id")
+    val manifest = listsManifestRead(spark, indexPath) // fails loud if absent
+    val touchedDirs = probes.select("c_id").distinct()
+      .collect() // ≤ Q × NProbe list ids: metadata-scale
+      .map(_.getLong(0))
+      .filter(manifest.contains)
+      .sorted.map(c => s"$indexPath/c_id=$c")
+    val idx =
+      if (touchedDirs.isEmpty) spark.read.parquet(indexPath).limit(0)
+      else spark.read.option("basePath", indexPath)
+        .parquet(touchedDirs.toIndexedSeq: _*)
+    val subSlices = (0 until PqM)
+      .map(m => s"slice(emb, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+    val lut = queries
+      .selectExpr("vec_id AS q_id", "nrm AS q_nrm",
+        s"posexplode(array($subSlices)) AS (m, sub)")
+      .join(broadcast(pqcr), "m")
+      .selectExpr("q_id", "q_nrm", "m", "p_id AS code",
+        s"CAST(floor(graft_dot(sub, p_sub) * $QScale.0 + 0.5) AS BIGINT) AS pq")
+    // one quantized coarse term per probed (query, list) pair
+    val qc = probes.join(broadcast(cent.select("c_id", "c_emb")), "c_id")
+      .selectExpr("q_id", "c_id",
+        s"CAST(floor(graft_dot(q_emb, c_emb) * $QScale.0 + 0.5) AS BIGINT) AS qcq")
+    val unpack = (0 until PqM)
+      .map(m => s"CAST((pcode DIV ${1L << (4 * m)}) % $PqK AS BIGINT)")
+      .mkString(", ")
+    val adc = idx.join(broadcast(qc), "c_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id", "nrm", "qcq",
+        s"posexplode(array($unpack)) AS (m, code)")
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(max("q_nrm").as("q_nrm"), max("nrm").as("nrm"),
+        max("qcq").as("qcq"), sum("pq").as("adcq"))
+      .selectExpr("q_id", "vec_id",
+        s"""round((CAST(qcq + adcq AS DOUBLE) / $QScale.0)
+           |  / (q_nrm * nrm), 6) AS adc_sim""".stripMargin)
+      .withColumn("ark", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id ASC)"))
+      .where(s"ark <= $rerank")
+    val qv = queries.selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm")
+    adc.select("q_id", "vec_id")
+      .join(floats.select("vec_id", "emb", "nrm"), "vec_id")
+      .join(broadcast(qv), "q_id")
+      .selectExpr("q_id", "vec_id",
+        s"round(${cosineExpr("q_emb", "emb", "q_nrm", "nrm")}, 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= $k")
+      .selectExpr("q_id", "vec_id", "sim", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("q_id", "rk")
+  }
+
+  /** Refine multiplier of the residual probe: ×2 reaches the family's
+    * 72% recall gate (measured 72%/72% at sf0.01/sf0.1) — half the
+    * raw-code layout's ×[[PqIdxRefine]]; the spec gates this.
+    */
+  final val PqResRefine = 2
+
+  /** Incremental ANN over the residual-coded index, probe leg. */
+  def incrementalIvfPqRes(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfPqResIndex(spark, dir)
+    val emb = embDouble(spark, dir)
+    incrementalIvfPqResProbe(spark, waveQueries(emb, 0),
+      indexCodebook(spark, path), indexPqCodebook(spark, path), path, emb,
+      PqResRefine * rerankK(corpusStats(spark, dir)._1))
+  }
+
   /** Stream-static PQ probe — the code-layout twin of
     * [[streamProbeIvfSq8]]: incoming vectors pick their [[NProbe]] probe
     * lists via the broadcast codebook array, then ONE stream-static equi
@@ -2902,6 +3084,135 @@ object Similarity {
     s"""WITH ${ivfPqIncrCtes(histPred, rem)}
        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
        |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+
+  /** From-scratch replay of the RESIDUAL-coded probe: coarse assignment,
+    * residual codebook/encode (centered slices), raw-query LUT, the
+    * per-(query, list) coarse term, stored-norm ADC, refine-×[[PqResRefine]]
+    * cut, exact re-rank.
+    */
+  private def ivfPqResIncrSql(histPred: String, rem: Int): String = {
+    val w = 2 * IvfSplitMod
+    def dotSub(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i]))"
+    def normSq(a: String): String =
+      s"list_sum(list_transform($a, v -> v * v))"
+    def dotFull(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
+    // residual slice m of vector e against its centroid g, per m
+    def resSubs(assignName: String, outName: String): String = (0 until PqM)
+      .map { m =>
+        val off = m * PqSubDim
+        s"""SELECT a.vec_id, e.nrm, $m AS m,
+           |       list_transform(range(1, ${PqSubDim + 1}),
+           |         i -> e.emb[$off + i] - g.g_emb[$off + i]) AS sub
+           |FROM $assignName a
+           |JOIN emb e ON e.vec_id = a.vec_id
+           |JOIN gcent g ON g.g_id = a.g_id""".stripMargin
+      }.mkString(s"$outName AS (\n", "\n  UNION ALL ", ")")
+    val qSubSelects = (0 until PqM)
+      .map(m => s"SELECT vec_id, nrm, $m AS m, emb[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS sub FROM emb")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $embCte,
+       |gcent AS (SELECT vec_id AS g_id, emb AS g_emb, nrm AS g_nrm FROM emb
+       |          WHERE vec_id < $nCentroidsSqlExpr),
+       |hist AS (SELECT vec_id, emb, nrm FROM emb WHERE $histPred),
+       |lists AS (
+       |  SELECT vec_id, g_id FROM (
+       |    SELECT h.vec_id, g.g_id,
+       |           row_number() OVER (PARTITION BY h.vec_id ORDER BY
+       |             round(${cosineSql("h.emb", "g.g_emb", "h.nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM hist h, gcent g)
+       |  WHERE grk = 1),
+       |nc AS (SELECT count(*)::BIGINT AS n FROM gcent),
+       |cbassign AS (
+       |  SELECT vec_id, g_id FROM (
+       |    SELECT e.vec_id, g.g_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(${cosineSql("e.emb", "g.g_emb", "e.nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM emb e, gcent g
+       |    WHERE e.vec_id >= (SELECT n FROM nc)
+       |      AND e.vec_id < (SELECT n FROM nc) + $PqK)
+       |  WHERE grk = 1),
+       |${resSubs("cbassign", "rsubs_cb")},
+       |pcentr AS (SELECT m, vec_id - (SELECT n FROM nc) AS c_id, sub AS c_sub
+       |           FROM rsubs_cb),
+       |${resSubs("lists", "rsubs_h")},
+       |codes AS (
+       |  SELECT vec_id, m, c_id FROM (
+       |    SELECT s.vec_id, s.m, c.c_id,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |             round(${normSq("s.sub")} - 2 * ${dotSub("s.sub", "c.c_sub")}
+       |               + ${normSq("c.c_sub")}, 6) ASC, c.c_id ASC) AS crk
+       |    FROM rsubs_h s
+       |    JOIN pcentr c USING (m))
+       |  WHERE crk = 1),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
+       |      WHERE vec_id % $w = $rem
+       |        AND vec_id < ${w.toLong * QuerySetSize + rem}),
+       |qsubs AS (
+       |  $qSubSelects),
+       |probes AS (
+       |  SELECT q_id, g_id FROM (
+       |    SELECT q.q_id, g.g_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             round(${cosineSql("q.q_emb", "g.g_emb", "q.q_nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM q, gcent g)
+       |  WHERE grk <= $NProbe),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.nrm AS q_nrm, s.m, c.c_id,
+       |         floor(${dotSub("s.sub", "c.c_sub")} * $QScale.0 + 0.5)::BIGINT AS pq
+       |  FROM qsubs s
+       |  JOIN q ON q.q_id = s.vec_id
+       |  JOIN pcentr c USING (m)),
+       |qc AS (
+       |  SELECT p.q_id, p.g_id,
+       |         floor(${dotFull("q.q_emb", "g.g_emb")} * $QScale.0 + 0.5)::BIGINT AS qcq
+       |  FROM probes p
+       |  JOIN q ON q.q_id = p.q_id
+       |  JOIN gcent g ON g.g_id = p.g_id),
+       |cand AS (
+       |  SELECT p.q_id, p.g_id, l.vec_id, h.nrm
+       |  FROM probes p
+       |  JOIN lists l USING (g_id)
+       |  JOIN hist h ON h.vec_id = l.vec_id
+       |  WHERE l.vec_id <> p.q_id),
+       |adcs AS (
+       |  SELECT n.q_id, n.vec_id, max(l.q_nrm) AS q_nrm, max(n.nrm) AS nrm,
+       |         max(qc.qcq) AS qcq, sum(l.pq)::BIGINT AS adcq
+       |  FROM cand n
+       |  JOIN codes c ON c.vec_id = n.vec_id
+       |  JOIN lut l ON l.q_id = n.q_id AND l.m = c.m AND l.c_id = c.c_id
+       |  JOIN qc ON qc.q_id = n.q_id AND qc.g_id = n.g_id
+       |  GROUP BY n.q_id, n.vec_id),
+       |cut AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY
+       |             round(((qcq + adcq)::DOUBLE / $QScale.0)
+       |               / (q_nrm * nrm), 6) DESC,
+       |             vec_id ASC) AS ark
+       |    FROM adcs)
+       |  WHERE ark <= $PqResRefine
+       |    * greatest($RerankKMin, (SELECT count(*) // 1000 FROM emb))),
+       |reranked AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         round(${cosineSql("q.q_emb", "e.emb", "q.q_nrm", "e.nrm")}, 6) AS sim
+       |  FROM cut c
+       |  JOIN emb e ON e.vec_id = c.vec_id
+       |  JOIN q ON q.q_id = c.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM reranked)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+  }
+
+  val incrementalIvfPqResSql: String =
+    ivfPqResIncrSql(s"vec_id % $IvfSplitMod <> 0", 0)
 
   val incrementalIvfPqSql: String =
     ivfPqIncrSql(s"vec_id % $IvfSplitMod <> 0", 0)
@@ -3425,6 +3736,7 @@ object Similarity {
     "sim_incremental_ivf_sq8_append" -> incrementalIvfSq8Append,
     "stream_incremental_ivf_sq8" -> streamIncrementalIvfSq8,
     "sim_incremental_ivf_pq" -> incrementalIvfPq,
+    "sim_incremental_ivf_pq_res" -> incrementalIvfPqRes,
     "sim_incremental_ivf_pq_append" -> incrementalIvfPqAppend,
     "stream_incremental_ivf_pq" -> streamIncrementalIvfPq,
     "sim_ivfpq_idx_recall_gate" -> ivfPqIdxRecallGate,
@@ -3457,6 +3769,7 @@ object Similarity {
     "sim_incremental_ivf_sq8_append" -> incrementalIvfSq8AppendSql,
     "stream_incremental_ivf_sq8" -> streamIncrementalIvfSq8Sql,
     "sim_incremental_ivf_pq" -> incrementalIvfPqSql,
+    "sim_incremental_ivf_pq_res" -> incrementalIvfPqResSql,
     "sim_incremental_ivf_pq_append" -> incrementalIvfPqAppendSql,
     "stream_incremental_ivf_pq" -> streamIncrementalIvfPqSql,
     "sim_ivfpq_idx_recall_gate" -> ivfPqIdxRecallGateSql,

@@ -169,6 +169,10 @@ object PlanAuditBudgets {
     // probe doesn't pay), plus the ark window, exact re-rank join, and
     // presentation sort — all query-batch-sized after the list scan
     "sim_incremental_ivf_pq" -> 4,
+    // residual layout: same probe shape (assignment agg/join, ADC agg,
+    // re-rank window, presentation sort); the coarse-term join is a
+    // broadcast against the bounded codebook — no extra exchange
+    "sim_incremental_ivf_pq_res" -> 4,
     "sim_incremental_ivf_pq_append" -> 4,
     // the probe's 4 plus the hist brute-force truth (its top-k window +
     // hit join + two scalar aggregates) — a declared verification surface

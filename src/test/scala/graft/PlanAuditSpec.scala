@@ -79,6 +79,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // QuerySetSize rows) brute-force truth broadcast; ADC itself is an
     // equi join on (q_id, m, code) against a broadcast Q×M×K LUT
     "sim_incremental_ivf_pq", "sim_incremental_ivf_pq_append",
+    // the residual-coded layout probe: same bounded persisted-codebook
+    // crossJoin for assignment/probe-set and a bounded codebook join for
+    // the per-(query, list) coarse term
+    "sim_incremental_ivf_pq_res",
     "sim_ivfpq_idx_recall_gate",
     // vector leg = the incremental-IVF probe's bounded codebook broadcast
     "text_hybrid_rrf_indexed",

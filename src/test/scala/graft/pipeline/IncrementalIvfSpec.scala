@@ -393,4 +393,55 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(r.getBoolean(4) == (hits * 100 >= r.getLong(3) * truth),
       "ok must be the thresholded hits/truth comparison")
   }
+
+  test("residual-PQ index: same 2-byte layout, live codebook, recall floor") {
+    val path = Similarity.ensureIvfPqResIndex(spark, dir)
+    // lists carry only (vec_id, nrm, pcode) — 2-byte codes, no vectors
+    val lists = spark.read.parquet(path)
+    assert(lists.columns.toSet == Set("vec_id", "nrm", "pcode", "c_id"))
+    assert(lists.where("pcode < 0 OR pcode >= 65536").count() == 0,
+      "pcode must pack 4 four-bit cells")
+    // the residual codebook must NOT be degenerate: the first-nc vectors
+    // ARE the centroids (zero residuals), so seeds are offset — every
+    // subspace has PqK codes and a nonzero spread (the r14 bug class)
+    val pqc = Similarity.indexPqCodebook(spark, path)
+    assert(pqc.groupBy("m").count().collect()
+      .forall(_.getLong(1) == Similarity.PqK.toLong))
+    val liveCodes = pqc.selectExpr("m", "p_id",
+        "array_max(transform(p_sub, x -> abs(x))) AS mx")
+      .where("mx > 1e-12").count()
+    assert(liveCodes >= (Similarity.PqM * Similarity.PqK) / 2,
+      s"residual codebook degenerate: only $liveCodes live codes")
+    // probe output: exact-cosine sims, hist-split members, recall floor
+    val out = Similarity.incrementalIvfPqRes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.length ==
+      Similarity.QuerySetSize * Similarity.TopK)
+    assert(out.forall(_._2 % Similarity.IvfSplitMod != 0),
+      "only indexed-split vectors can be returned")
+    // recall vs exact truth over the hist split (floor 50% at this tiny
+    // SF; measured 72%/72% at sf0.01/sf0.1 with refine x2 — half the raw
+    // layout's x4)
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      .selectExpr("vec_id", "emb", "sqrt(graft_dot(emb, emb)) AS nrm")
+    val w = 2 * Similarity.IvfSplitMod
+    val q = emb.where(
+        s"vec_id % $w = 0 AND vec_id < ${w.toLong * Similarity.QuerySetSize}")
+      .selectExpr("vec_id AS q_id", "emb AS q_emb", "nrm AS q_nrm")
+    val truth = emb.where(s"vec_id % ${Similarity.IvfSplitMod} <> 0")
+      .join(broadcast(q), expr("vec_id <> q_id"))
+      .selectExpr("q_id", "vec_id",
+        "round(graft_dot(q_emb, emb) / (q_nrm * nrm), 6) AS sim")
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)"))
+      .where(s"rk <= ${Similarity.TopK}")
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = out.map(o => (o._1, o._2)).count(truth.contains)
+    assert(hits * 2 >= truth.size,
+      s"residual-PQ recall floor: $hits/${truth.size}")
+  }
 }
