@@ -2850,6 +2850,38 @@ object Similarity {
       PqResRefine * rerankK(corpusStats(spark, dir)._1))
   }
 
+  /** In-place append to the residual-coded index — family parity with
+    * [[incrementalIvfPqAppend]]: wave vectors are assigned by the
+    * index's persisted coarse codebook and residual-encoded with its
+    * persisted (FROZEN) residual sub-codebook, then upserted into only
+    * the touched `c_id=` dirs; wave-2 queries probe the augmented code
+    * lists. O(batch + touched lists), independent of index size.
+    */
+  def incrementalIvfPqResAppend(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfPqResIndex(spark, dir)
+    val aug = graft.TempDirs.scoped("ivfpqres-incr") + "/index"
+    graft.TempDirs.copyTree(spark, path, aug) // hermeticity tax only
+    val cent = indexCodebook(spark, aug)
+    val pqcr = indexPqCodebook(spark, aug)
+    val emb = embDouble(spark, dir)
+    val w = 2 * IvfSplitMod
+    val wave1 = pqEncodeRes(
+      nearestLists(emb.where(s"vec_id % $w = 0"), cent, "vec_id", 1)
+        .select("vec_id", "emb", "nrm", "c_id"), cent, pqcr)
+      .persist() // read twice (touched set, merge+write) — one compute
+    val touched = wave1.select("c_id").distinct()
+      .collect().map(_.getLong(0)).toSet // ≤ |wave| list ids
+    graft.streaming.Sinks.partitionedUpsertBatch(wave1.toDF(), aug,
+      partitionCols = Seq("c_id"), keyCols = Seq("vec_id"),
+      versionCols = Seq("vec_id"), sortCols = Seq("vec_id"))
+    listsManifestWrite(spark, aug, listsManifestRead(spark, aug) ++ touched)
+    val out = incrementalIvfPqResProbe(spark, waveQueries(emb, IvfSplitMod),
+      indexCodebook(spark, aug), pqcr, aug, emb,
+      PqResRefine * rerankK(corpusStats(spark, dir)._1))
+    wave1.unpersist() // probe reads the written files, not the plan
+    out
+  }
+
   /** Stream-static PQ probe — the code-layout twin of
     * [[streamProbeIvfSq8]]: incoming vectors pick their [[NProbe]] probe
     * lists via the broadcast codebook array, then ONE stream-static equi
@@ -3213,6 +3245,10 @@ object Similarity {
 
   val incrementalIvfPqResSql: String =
     ivfPqResIncrSql(s"vec_id % $IvfSplitMod <> 0", 0)
+
+  val incrementalIvfPqResAppendSql: String = ivfPqResIncrSql(
+    s"vec_id % $IvfSplitMod <> 0 OR vec_id % ${2 * IvfSplitMod} = 0",
+    IvfSplitMod)
 
   val incrementalIvfPqSql: String =
     ivfPqIncrSql(s"vec_id % $IvfSplitMod <> 0", 0)
@@ -3737,6 +3773,7 @@ object Similarity {
     "stream_incremental_ivf_sq8" -> streamIncrementalIvfSq8,
     "sim_incremental_ivf_pq" -> incrementalIvfPq,
     "sim_incremental_ivf_pq_res" -> incrementalIvfPqRes,
+    "sim_incremental_ivf_pq_res_append" -> incrementalIvfPqResAppend,
     "sim_incremental_ivf_pq_append" -> incrementalIvfPqAppend,
     "stream_incremental_ivf_pq" -> streamIncrementalIvfPq,
     "sim_ivfpq_idx_recall_gate" -> ivfPqIdxRecallGate,
@@ -3770,6 +3807,7 @@ object Similarity {
     "stream_incremental_ivf_sq8" -> streamIncrementalIvfSq8Sql,
     "sim_incremental_ivf_pq" -> incrementalIvfPqSql,
     "sim_incremental_ivf_pq_res" -> incrementalIvfPqResSql,
+    "sim_incremental_ivf_pq_res_append" -> incrementalIvfPqResAppendSql,
     "sim_incremental_ivf_pq_append" -> incrementalIvfPqAppendSql,
     "stream_incremental_ivf_pq" -> streamIncrementalIvfPqSql,
     "sim_ivfpq_idx_recall_gate" -> ivfPqIdxRecallGateSql,

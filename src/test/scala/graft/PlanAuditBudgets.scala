@@ -173,6 +173,7 @@ object PlanAuditBudgets {
     // re-rank window, presentation sort); the coarse-term join is a
     // broadcast against the bounded codebook — no extra exchange
     "sim_incremental_ivf_pq_res" -> 4,
+    "sim_incremental_ivf_pq_res_append" -> 4,
     "sim_incremental_ivf_pq_append" -> 4,
     // the probe's 4 plus the hist brute-force truth (its top-k window +
     // hit join + two scalar aggregates) — a declared verification surface

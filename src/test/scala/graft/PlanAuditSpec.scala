@@ -82,7 +82,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the residual-coded layout probe: same bounded persisted-codebook
     // crossJoin for assignment/probe-set and a bounded codebook join for
     // the per-(query, list) coarse term
-    "sim_incremental_ivf_pq_res",
+    "sim_incremental_ivf_pq_res", "sim_incremental_ivf_pq_res_append",
     "sim_ivfpq_idx_recall_gate",
     // vector leg = the incremental-IVF probe's bounded codebook broadcast
     "text_hybrid_rrf_indexed",
