@@ -106,12 +106,16 @@ object SparkEntry {
       ops.TpchQueries.all ++
       ops.TpchQueries2.all ++
       ops.Formats.all ++
+      ops.BucketedJoin.all ++
       pipeline.CorpusOps.all ++
       pipeline.SnapshotMv.all ++
       pipeline.TextAnalysis.all ++
       pipeline.HtmlExtract.all ++
       pipeline.LineDedup.all ++
       pipeline.UrlDedup.all ++
+      pipeline.QualityClassifier.all ++
+      pipeline.EpochShuffle.all ++
+      pipeline.CrawlFrontier.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
       pipeline.Retrieval.all ++
@@ -242,12 +246,16 @@ object SparkEntry {
       ops.TpchQueries.oracles ++
       ops.TpchQueries2.oracles ++
       ops.Formats.oracles ++
+      ops.BucketedJoin.oracles ++
       pipeline.CorpusOps.oracles ++
       pipeline.SnapshotMv.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.HtmlExtract.oracles ++
       pipeline.LineDedup.oracles ++
       pipeline.UrlDedup.oracles ++
+      pipeline.QualityClassifier.oracles ++
+      pipeline.EpochShuffle.oracles ++
+      pipeline.CrawlFrontier.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
       pipeline.Retrieval.oracles ++

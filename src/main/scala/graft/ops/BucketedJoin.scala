@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.IndexCommit
+
+/** Bucketed co-located join — the storage-level answer to the repo's one
+  * remaining join-family shuffle: `x_join_agg`/TPC-H read UNBUCKETED
+  * parquet, so every lineitem⋈orders pays two full hash exchanges at query
+  * time. At 100 TB the production fix is to PAY THE SHUFFLE ONCE AT WRITE
+  * TIME: both tables are written `CLUSTERED BY (orderkey) INTO N BUCKETS`
+  * (Hive/Spark bucketing, the lakehouse `bucket(N, key)` transform), and
+  * every subsequent join on the key is exchange-FREE — each task merges
+  * bucket i of both sides, no network, no re-sort when each bucket is one
+  * sorted file ([[BucketedJoinSpec]] pins the SortMergeJoin subtree to
+  * ZERO ShuffleExchange nodes).
+  *
+  * Mechanics: the bucketed copies stage ONCE at a content-keyed path
+  * (orders count + key hash-sum fingerprint, the [[graft.pipeline.Retrieval]]
+  * staging convention) under [[IndexCommit]]'s atomic publication, then
+  * register per session as external bucketed catalog tables — bucket
+  * membership rides in the file names (`_0000N` suffixes), the DDL carries
+  * the bucket spec, exactly how a metastore deployment ships them.
+  *
+  * The entry's aggregate spends the shuffles the QUERY actually needs
+  * (one priority-key exchange over join output, the presentation sort) —
+  * the point is that the JOIN itself contributes zero.
+  */
+object BucketedJoin {
+
+  /** Bucket fan-out of the staged tables (matches both sides). */
+  val Buckets = 8
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private val statsCache =
+    scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+
+  /** Content fingerprint of the source `orders` (count + key hash-sum,
+    * memoized per dir) so a regenerated testdata dir re-stages instead of
+    * silently reusing stale buckets — the [[graft.pipeline.Dedup.docsStats]]
+    * pattern.
+    */
+  private def ordersStats(spark: SparkSession, dir: String): (Long, Long) =
+    statsCache.getOrElseUpdate(dir, {
+      val r = Tables.load(spark, dir, "orders")
+        .agg(count(lit(1)),
+          sum(expr("CAST(pmod(hash(o_orderkey), 1000003) AS BIGINT)")))
+        .head()
+      (r.getLong(0), math.floorMod(r.getLong(1), 1000000007L))
+    })
+
+  /** Stage bucketed copies of orders + lineitem once, atomically. The
+    * write `repartition(Buckets, key)` aligns input partitions with
+    * bucket ids (same Murmur3 hash family), so each bucket lands as ONE
+    * sorted file — the layout that lets the read side skip even the
+    * per-bucket sort.
+    */
+  private def stagedRoot(spark: SparkSession, dir: String): String = {
+    val (n, f) = ordersStats(spark, dir)
+    val root = "/tmp/graft_bucketed/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_b${Buckets}_n${n}_f$f"
+    val (fs, rootPath) = hadoopFs(spark, root)
+    IndexCommit.ensure(fs, rootPath)(r =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$r/_DONE"))) { tmp =>
+      Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey").foreach {
+        case (t, k) =>
+          // bucketBy requires a catalog write: register a throwaway
+          // external table over the temp path, then drop it (files stay)
+          val tbl = "graft_bkt_build_" +
+            java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+          Tables.load(spark, dir, t)
+            .repartition(Buckets, col(k))
+            .write.bucketBy(Buckets, k).sortBy(k)
+            .option("path", s"$tmp/$t").mode("overwrite").saveAsTable(tbl)
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      }
+      fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_DONE")).close()
+    }
+    root
+  }
+
+  // session -> staged root the catalog tables currently point at
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Register the staged buckets as external bucketed catalog tables for
+    * this session (idempotent; re-registers when the staged root moves —
+    * i.e. the source data changed).
+    */
+  private def ensureTables(spark: SparkSession, dir: String): Unit =
+    synchronized {
+      val root = stagedRoot(spark, dir)
+      if (registered.get(spark) == root &&
+        spark.catalog.tableExists("graft_bkt_orders") &&
+        spark.catalog.tableExists("graft_bkt_lineitem")) return
+      Seq(("graft_bkt_orders", "orders", "o_orderkey"),
+        ("graft_bkt_lineitem", "lineitem", "l_orderkey")).foreach {
+        case (tbl, t, k) =>
+          val ddl = spark.read.parquet(s"$root/$t").schema.toDDL
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          spark.sql(
+            s"""CREATE TABLE $tbl ($ddl) USING parquet
+               |CLUSTERED BY ($k) SORTED BY ($k) INTO $Buckets BUCKETS
+               |LOCATION '$root/$t'""".stripMargin)
+      }
+      registered.put(spark, root)
+    }
+
+  /** The exchange-free join frame (before any aggregate) — exposed so
+    * [[graft.BucketedJoinSpec]] can pin the join subtree's plan shape.
+    */
+  def joinFrame(spark: SparkSession, dir: String): DataFrame = {
+    ensureTables(spark, dir)
+    spark.table("graft_bkt_lineitem").hint("merge")
+      .join(spark.table("graft_bkt_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** Q — revenue by order priority over the bucketed join. Integer-cents
+    * partials (the TPC-H convention) keep the sum exact in any order.
+    */
+  def query(spark: SparkSession, dir: String): DataFrame =
+    joinFrame(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+          .as("revenue_c4"))
+      .orderBy("o_orderpriority")
+
+  /** The oracle is the PLAIN join — bucketing must be invisible to
+    * results, visible only in the plan.
+    */
+  val sql: String =
+    """SELECT o_orderpriority,
+      |       count(*)::BIGINT AS n_lines,
+      |       sum(round(l_extendedprice * 100)::BIGINT
+      |           * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+      |         AS revenue_c4
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bucketed_join" -> query)
+
+  val oracles: Map[String, String] = Map(
+    "x_bucketed_join" -> sql)
+}

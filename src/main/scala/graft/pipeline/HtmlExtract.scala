@@ -50,7 +50,7 @@ object HtmlExtract {
     * single-line by construction); the real text splits into two
     * paragraph halves at the integer midpoint.
     */
-  private def pageExpr: String = {
+  private[pipeline] def pageExpr: String = {
     val id = "CAST(doc_id AS STRING)"
     val half = "(length(text) + 1) DIV 2"
     s"""concat(
@@ -64,7 +64,7 @@ object HtmlExtract {
   }
 
   /** The identical page in DuckDB's dialect — byte-for-byte equal. */
-  private def pageSql: String = {
+  private[pipeline] def pageSql: String = {
     val id = "doc_id::VARCHAR"
     val half = "(length(text) + 1) // 2"
     s"""concat(
@@ -171,7 +171,7 @@ object HtmlExtract {
     * plants both classes on every page: 4 site-relative hrefs (nav ×3 +
     * footer) and 1 absolute ad link.
     */
-  private val HrefRegex = "href=\"([^\"]*)\""
+  private[pipeline] val HrefRegex = "href=\"([^\"]*)\""
 
   def linksQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

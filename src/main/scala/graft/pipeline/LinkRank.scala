@@ -66,9 +66,13 @@ object LinkRank {
       .orderBy(desc("r"), asc("domain"))
   }
 
-  val domainRankSql: String = {
+  /** The full rank derivation as a composable CTE chain (final ranks in
+    * `r[[TextRank.Iters]]` as (dom, r)) — shared by [[domainRankSql]] and
+    * the [[CrawlFrontier]] whole-chain oracle.
+    */
+  private[pipeline] val domainRankCtes: String = {
     val stages = TextRank.rankStagesSql("dom")
-    s"""WITH gset AS (SELECT DISTINCT doc_id // 3 AS g FROM documents),
+    s"""gset AS (SELECT DISTINCT doc_id // 3 AS g FROM documents),
        |pages AS (SELECT g, ${domDuck("g")} AS dom FROM gset),
        |gc AS (SELECT count(*)::BIGINT AS n FROM gset),
        |links AS (
@@ -85,11 +89,14 @@ object LinkRank {
        |                ${TextRank.Qp} // count(*) AS base
        |         FROM nodes),
        |r0 AS (SELECT dom, (SELECT base FROM meta) AS r FROM nodes),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  val domainRankSql: String =
+    s"""WITH $domainRankCtes
        |SELECT dom AS domain, r::BIGINT AS r,
        |       r::DOUBLE / ${TextRank.Qp}.0 AS score
        |FROM r${TextRank.Iters} ORDER BY r DESC, domain""".stripMargin
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_domain_rank" -> domainRank)

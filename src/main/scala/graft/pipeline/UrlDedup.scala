@@ -42,7 +42,7 @@ object UrlDedup {
   val UrlSalts = 16
 
   /** The derived surface in Spark's dialect: (doc_id, url). */
-  private val urlExprSpark: String = {
+  private[pipeline] val urlExprSpark: String = {
     val g = "CAST(doc_id DIV 3 AS BIGINT)"
     s"""concat(
        |  CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'Http' END,
@@ -65,8 +65,10 @@ object UrlDedup {
        |  END)""".stripMargin
   }
 
-  /** The identical surface in DuckDB's dialect. */
-  private val urlExprSql: String = {
+  /** The identical surface in DuckDB's dialect ([[CrawlFrontier]] composes
+    * it into the whole-chain frontier oracle).
+    */
+  private[pipeline] val urlExprSql: String = {
     val g = "(doc_id // 3)"
     s"""concat(
        |  CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'Http' END,
@@ -106,15 +108,22 @@ object UrlDedup {
     * (doc_id, url, domain, canon), no window, no shuffle — so it runs
     * unchanged over a streaming frame ([[graft.streaming.DomainQuota]]).
     */
-  def canonCols(urls: DataFrame): DataFrame = {
-    val parts = urls.selectExpr("doc_id", "url",
+  def canonCols(urls: DataFrame): DataFrame = canonColsKeep(urls, Nil)
+
+  /** [[canonCols]] with extra passthrough columns appended after `canon`
+    * (the [[CrawlFrontier]] composition keeps the raw href alongside the
+    * canonical form without a join-back).
+    */
+  private[pipeline] def canonColsKeep(urls: DataFrame,
+      extra: Seq[String]): DataFrame = {
+    val parts = urls.selectExpr(Seq("doc_id", "url") ++ extra ++ Seq(
       s"lower(regexp_extract(url, '$SchemeRe', 1)) AS scheme",
       s"lower(regexp_extract(url, '$HostRe', 1)) AS host",
       s"regexp_extract(url, '$PortRe', 1) AS port",
       s"regexp_replace(regexp_extract(url, '$PathRe', 1), '/+$$', '') AS path",
       "CASE WHEN position('?' IN url) > 0" +
-        " THEN substring(url, position('?' IN url) + 1) ELSE '' END AS q")
-    parts.selectExpr("doc_id", "url", "host AS domain",
+        " THEN substring(url, position('?' IN url) + 1) ELSE '' END AS q"): _*)
+    parts.selectExpr(Seq("doc_id", "url", "host AS domain",
       s"""concat(scheme, '://', host,
          |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
          |            OR (scheme = 'https' AND port = '443')
@@ -122,7 +131,7 @@ object UrlDedup {
          |  path,
          |  CASE WHEN q = '' THEN ''
          |       ELSE concat('?', array_join(array_sort(split(q, '&')), '&'))
-         |  END) AS canon""".stripMargin)
+         |  END) AS canon""".stripMargin) ++ extra: _*)
   }
 
   /** The derived crawl surface (doc_id, url) for `dir` — shared by the
@@ -163,10 +172,26 @@ object UrlDedup {
   def query(spark: SparkSession, dir: String): DataFrame =
     canonicalize(derivedUrls(spark, dir))
 
-  val sql: String =
-    s"""WITH u AS (SELECT doc_id, $urlExprSql AS url FROM documents),
-       |parts AS (
-       |  SELECT doc_id, url,
+  /** The canonicalizer in DuckDB's dialect, as a composable SELECT over a
+    * relation `rel` carrying ($idCol, url) — produces ($idCol, url,
+    * domain, canon). The SQL twin of [[canonCols]]; [[sql]] and the
+    * [[CrawlFrontier]] oracle both build on it so the two entries can
+    * never drift.
+    */
+  private[pipeline] def canonSql(rel: String, idCol: String,
+      extra: String = ""): String =
+    s"""SELECT $idCol, url, host AS domain,
+       |       concat(scheme, '://', host,
+       |         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |                   OR (scheme = 'https' AND port = '443')
+       |              THEN '' ELSE concat(':', port) END,
+       |         path,
+       |         CASE WHEN q = '' THEN ''
+       |              ELSE concat('?', array_to_string(
+       |                     list_sort(string_split(q, '&')), '&'))
+       |         END) AS canon$extra
+       |FROM (
+       |  SELECT $idCol, url$extra,
        |         lower(regexp_extract(url, '$SchemeRe', 1)) AS scheme,
        |         lower(regexp_extract(url, '$HostRe', 1)) AS host,
        |         regexp_extract(url, '$PortRe', 1) AS port,
@@ -174,19 +199,12 @@ object UrlDedup {
        |         CASE WHEN position('?' IN url) > 0
        |              THEN substring(url, position('?' IN url) + 1)
        |              ELSE '' END AS q
-       |  FROM u),
+       |  FROM $rel)""".stripMargin
+
+  val sql: String =
+    s"""WITH u AS (SELECT doc_id, $urlExprSql AS url FROM documents),
        |c AS (
-       |  SELECT doc_id, url, host AS domain,
-       |         concat(scheme, '://', host,
-       |           CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-       |                     OR (scheme = 'https' AND port = '443')
-       |                THEN '' ELSE concat(':', port) END,
-       |           path,
-       |           CASE WHEN q = '' THEN ''
-       |                ELSE concat('?', array_to_string(
-       |                       list_sort(string_split(q, '&')), '&'))
-       |           END) AS canon
-       |  FROM parts),
+       |${canonSql("u", "doc_id")}),
        |k AS (
        |  SELECT doc_id, url, canon, domain,
        |         row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1

@@ -121,6 +121,26 @@ object PlanAuditBudgets {
     // two-phase cap deliberately SPENDS one extra exchange to keep the
     // head domain's population out of any single window partition
     "pipeline_url_dedup" -> 5,
+    // one (epoch, shard) window exchange (rank + token sum share it) +
+    // the presentation sort — the minimal shard-writer plan
+    "pipeline_epoch_shuffle" -> 2,
+    // the composed frontier: the broadcast rank leg carries the
+    // pipeline_domain_rank iteration exchanges (domain-bounded frames,
+    // pinned 11 standalone); the frontier's own legs are the host join,
+    // the canon-keyed crawled-set join + keeper window, the salted
+    // two-phase cap pair, the admitted join-back, the presentation sort —
+    // every exchanged frame is link-, canon-, or domain-sized
+    "pipeline_crawl_frontier" -> 16,
+    // THE POINT of the entry: the lineitem⋈orders join contributes ZERO
+    // exchanges (both sides bucketed on the key at write time —
+    // BucketedJoinSpec pins the join subtree); the budget is only the
+    // aggregate's priority-key exchange + the presentation sort
+    "x_bucketed_join" -> 2,
+    // the returned plan is scan-project over the cached feature frame
+    // plus the presentation sort; the 4 training epochs run EAGERLY in
+    // train() (one 33-sum agg each, weights-sized collect — the Lloyd
+    // precedent), so they never appear in the entry's plan
+    "pipeline_quality_classifier" -> 1,
     // two bucket-count aggs (raw + target), the 1024-row score build,
     // the per-doc agg, the one-row max, the presentation sort
     "pipeline_importance_sample" -> 6,
