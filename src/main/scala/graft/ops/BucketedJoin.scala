@@ -133,6 +133,54 @@ object BucketedJoin {
           .as("revenue_c4"))
       .orderBy("o_orderpriority")
 
+  /** Point-lookup key set of the bucket-pruned entry (present at every
+    * SF — orderkeys are dense from 0).
+    */
+  val LookupKeys: Seq[Long] = Seq(1L, 2L, 3L, 5L, 8L)
+
+  /** Q — bucket-PRUNED point lookup: fetch a handful of orders with
+    * their lines. The other half of what write-time bucketing buys: an
+    * equality/IN predicate on the bucket key prunes the scan to the
+    * keys' buckets (≤ |keys| of [[Buckets]] files per side — the
+    * "SelectedBucketsCount" the spec pins), and the join over the
+    * surviving buckets is still exchange-free. At 100 TB this is the
+    * difference between a full-table scan and opening a few files —
+    * zone maps can't do it on a key uncorrelated with layout, buckets
+    * can (the [[graft.ops.Formats]] bloom-skip motivation, solved at the
+    * table format level).
+    */
+  def lookupQuery(spark: SparkSession, dir: String): DataFrame =
+    lookupFrame(spark, dir)
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+          .as("revenue_c4"))
+      .orderBy("o_orderkey")
+
+  /** The pruned-scan join frame — exposed for the spec's plan pins. */
+  def lookupFrame(spark: SparkSession, dir: String): DataFrame = {
+    ensureTables(spark, dir)
+    val keys = LookupKeys.mkString(", ")
+    spark.table("graft_bkt_lineitem").where(s"l_orderkey IN ($keys)")
+      .hint("merge")
+      .join(spark.table("graft_bkt_orders").where(s"o_orderkey IN ($keys)")
+        .hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+  }
+
+  val lookupSql: String = {
+    val keys = LookupKeys.mkString(", ")
+    s"""SELECT o_orderkey, o_orderpriority,
+       |       count(*)::BIGINT AS n_lines,
+       |       sum(round(l_extendedprice * 100)::BIGINT
+       |           * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+       |         AS revenue_c4
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderkey IN ($keys)
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
   /** The oracle is the PLAIN join — bucketing must be invisible to
     * results, visible only in the plan.
     */
@@ -146,8 +194,10 @@ object BucketedJoin {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_bucketed_join" -> query)
+    "x_bucketed_join" -> query,
+    "x_bucket_pruned_scan" -> lookupQuery)
 
   val oracles: Map[String, String] = Map(
-    "x_bucketed_join" -> sql)
+    "x_bucketed_join" -> sql,
+    "x_bucket_pruned_scan" -> lookupSql)
 }

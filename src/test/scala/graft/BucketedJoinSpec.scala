@@ -54,6 +54,30 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("the point lookup prunes to the keys' buckets and stays " +
+    "exchange-free") {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = ops.BucketedJoin.lookupFrame(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case e: ShuffleExchangeExec => e
+      }.isEmpty, s"pruned lookup must carry zero exchanges:\n$plan")
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size == 2)
+      scans.foreach { s =>
+        val picked = s.optionalBucketSet
+        assert(picked.isDefined, s"scan not bucket-pruned:\n$s")
+        assert(picked.get.cardinality() <= ops.BucketedJoin.LookupKeys.size,
+          s"expected <= ${ops.BucketedJoin.LookupKeys.size} buckets, " +
+            s"got ${picked.get.cardinality()}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   test("bucketing is invisible to results (parity with the plain join)") {
     val bucketed = ops.BucketedJoin.query(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

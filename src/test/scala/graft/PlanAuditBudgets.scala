@@ -136,6 +136,10 @@ object PlanAuditBudgets {
     // BucketedJoinSpec pins the join subtree); the budget is only the
     // aggregate's priority-key exchange + the presentation sort
     "x_bucketed_join" -> 2,
+    // pruned lookup: the join is exchange-free AND the agg reuses the
+    // bucket partitioning (o_orderkey ⊂ group keys) — only the
+    // presentation sort exchanges
+    "x_bucket_pruned_scan" -> 1,
     // the returned plan is scan-project over the cached feature frame
     // plus the presentation sort; the 4 training epochs run EAGERLY in
     // train() (one 33-sum agg each, weights-sized collect — the Lloyd
