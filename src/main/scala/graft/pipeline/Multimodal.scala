@@ -1101,6 +1101,112 @@ object Multimodal {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  case class WavResample(
+      doc_id: Long, n_in: Long, n_out: Long, rate_in: Long, rate_out: Long,
+      peak_out: Long, sumsq_out: Long, zero_cross_out: Long, seq_fp: Long)
+
+  /** 2:1 audio downsampling over the REAL decode path — the sample-rate
+    * normalization every speech-training pipeline runs before anything
+    * touches the waveform (16 kHz corpora from mixed-rate crawls): each
+    * output sample is the TRUNCATING integer mean of an input pair (the
+    * simplest anti-aliasing decimator — a 2-tap boxcar; truncation
+    * toward zero matches DuckDB's `//` exactly, which floors NOWHERE —
+    * measured, not assumed), an odd tail passes through, and the result
+    * re-encodes + re-decodes through [[WavCodec]] at half rate so the
+    * header arithmetic of the REAL container is exercised at the new
+    * rate. The emitted `seq_fp` is a polyhash fold over the resampled
+    * samples (offset to nonnegative before each mod), so the hash gates
+    * the ENTIRE output waveform without binary-string gymnastics the
+    * SQL twin couldn't replay byte-faithfully.
+    */
+  def wavResample(spark: SparkSession, dir: String): DataFrame =
+    wavResampleCore(Tables.load(spark, dir, "documents")
+      .where("n_chars > 0").select("doc_id", "text"))
+
+  /** The resampler over (doc_id, text) rows — exposed for the spec's
+    * hand-built waveforms (negative odd pair sums, odd tails).
+    */
+  private[pipeline] def wavResampleCore(docs: DataFrame): DataFrame = {
+    val out = docs
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val text = r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val padded =
+            if (text.length % 2 == 0) text
+            else {
+              val p = java.util.Arrays.copyOf(text, text.length + 1)
+              p(text.length) = 'x'.toByte; p
+            }
+          val in = Array.tabulate(padded.length / 2)(i =>
+            ((((padded(2 * i + 1) & 0xff) << 8) | (padded(2 * i) & 0xff))
+              - WavOffset).toShort)
+          val n = in.length
+          val nOut = (n + 1) / 2
+          val res = Array.tabulate(nOut)(j =>
+            if (2 * j + 1 < n) ((in(2 * j) + in(2 * j + 1)) / 2).toShort
+            else in(2 * j))
+          // the real container round-trip at the HALVED rate
+          val au = WavCodec.decode(
+            WavCodec.encode(WavCodec.Audio(WavSampleRate / 2, res)))
+          require(au.sampleRate == WavSampleRate / 2 &&
+            au.samples.length == nOut, "resampled WAV round-trip drifted")
+          var peak = 0L; var sumSq = 0L; var zc = 0L; var fp = 0L
+          var i = 0
+          while (i < nOut) {
+            val v = au.samples(i).toLong
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sumSq += v * v
+            if (i > 0 && au.samples(i - 1).toLong * v < 0) zc += 1
+            fp = (fp * 31 + v + 32768L) % TextAnalysis.FpMod
+            i += 1
+          }
+          WavResample(docId, n.toLong, nOut.toLong, WavSampleRate.toLong,
+            (WavSampleRate / 2).toLong, peak, sumSq, zc, fp)
+        }
+      }(Encoders.product[WavResample])
+    out.toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB twin: decoded samples from `text` (the [[wavFeaturesSql]]
+    * reconstruction), pair-mean with `//`'s toward-zero truncation, odd
+    * tail passthrough, and the same polyhash fold over the output.
+    */
+  val wavResampleSql: String = {
+    val sr = WavSampleRate
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         rpad(text, (length(text) + length(text) % 2)::INT, 'x') AS px,
+       |         (length(text) + 1) // 2 AS n
+       |  FROM documents WHERE length(text) > 0),
+       |s AS (
+       |  SELECT doc_id, n,
+       |         list_transform(range(0, n), i ->
+       |           ord(substring(px, (2 * i + 2)::INT, 1)) * 256
+       |             + ord(substring(px, (2 * i + 1)::INT, 1)) - $WavOffset) AS sm
+       |  FROM w),
+       |r AS (
+       |  SELECT doc_id, n, (n + 1) // 2 AS n_out,
+       |         list_transform(range(0, (n + 1) // 2), j ->
+       |           CASE WHEN 2 * j + 1 < n
+       |                THEN (sm[(2 * j + 1)::INT] + sm[(2 * j + 2)::INT]) // 2
+       |                ELSE sm[(2 * j + 1)::INT] END) AS rs
+       |  FROM s)
+       |SELECT doc_id, n::BIGINT AS n_in, n_out::BIGINT AS n_out,
+       |       $sr::BIGINT AS rate_in, ${sr / 2}::BIGINT AS rate_out,
+       |       list_max(list_transform(rs, v -> abs(v)))::BIGINT AS peak_out,
+       |       list_sum(list_transform(rs, v -> v * v))::BIGINT AS sumsq_out,
+       |       len(list_filter(range(2, (n_out + 1)::INT),
+       |         i -> rs[(i - 1)::INT] * rs[i::INT] < 0))::BIGINT
+       |         AS zero_cross_out,
+       |       list_reduce(list_prepend(0::BIGINT,
+       |         list_transform(rs, v -> v::BIGINT)),
+       |         (a, b) -> (a * 31 + b + 32768) % ${TextAnalysis.FpMod})::BIGINT
+       |         AS seq_fp
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   case class WavAutocorr(
       doc_id: Long, n_samples: Long, r1: Long, r2: Long, r4: Long, r8: Long,
       best_lag: Long)
@@ -1316,6 +1422,7 @@ object Multimodal {
     "mm_resize" -> resizeQuery,
     "mm_ppm_pixels" -> ppmPixels,
     "mm_wav_features" -> wavFeatures,
+    "mm_wav_resample" -> wavResample,
     "mm_wav_autocorr" -> wavAutocorr)
 
   val oracles: Map[String, String] = Map(
@@ -1329,5 +1436,6 @@ object Multimodal {
     "mm_resize" -> resizeSql,
     "mm_ppm_pixels" -> ppmPixelsSql,
     "mm_wav_features" -> wavFeaturesSql,
+    "mm_wav_resample" -> wavResampleSql,
     "mm_wav_autocorr" -> wavAutocorrSql)
 }
