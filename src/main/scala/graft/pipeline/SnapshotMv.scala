@@ -782,8 +782,166 @@ object SnapshotMv {
        |FROM t GROUP BY 2, 3
        |ORDER BY read_point, source, lang""".stripMargin
 
+  // ------------------------------------ partition-spec evolution (Iceberg)
+
+  /** Place rollup rows under the EVOLVED (source, lang) layout and return
+    * manifest entries whose partition field is the NESTED relative dir
+    * suffix (`<src>/lang=<l>`) — the existing path builder
+    * (`$work/source=$s/$f`) resolves it unchanged, so old readers of old
+    * snapshots never see a format change.
+    */
+  private def writeEvolvedFiles(spark: SparkSession, work: String,
+      tag: String, rows: DataFrame): Seq[(String, String)] = {
+    val staging = graft.TempDirs.scoped(s"snap-$tag-ev")
+    rows.repartition(col("source"), col("lang"))
+      .write.mode("overwrite").partitionBy("source", "lang").parquet(staging)
+    val (fs, _) = fsOf(spark, work)
+    fs.listStatus(new Path(staging))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
+      .flatMap { d =>
+        val src = d.getPath.getName.stripPrefix("source=")
+        fs.listStatus(d.getPath)
+          .filter(l => l.isDirectory && l.getPath.getName.startsWith("lang="))
+          .flatMap { ld =>
+            val part = s"$src/${ld.getPath.getName}"
+            val tgtDir = new Path(s"$work/source=$part")
+            fs.mkdirs(tgtDir)
+            fs.listStatus(ld.getPath)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .map { f =>
+                val name = s"$tag-${f.getPath.getName}"
+                if (!fs.rename(f.getPath, new Path(tgtDir, name)))
+                  throw new java.io.IOException(s"failed to place $name")
+                (part, name)
+              }
+          }
+      }.toSeq
+  }
+
+  /** Commit snapshot `ver` by APPENDING `docs`' rollup under the evolved
+    * (source, lang) spec — the Iceberg partition-evolution contract: the
+    * spec change is METADATA-ONLY (no committed file is rewritten or
+    * moved; every previous entry carries forward verbatim), old data
+    * stays under the old layout, and only data arriving AFTER the
+    * evolution lands in the new one.
+    */
+  def commitEvolved(spark: SparkSession, work: String, docs: DataFrame,
+      ver: Long): Unit = {
+    val (fs, _) = fsOf(spark, work)
+    val prev = readSnapshotManifest(spark, work, ver - 1)
+    val newFiles = writeEvolvedFiles(spark, work, s"v$ver", rollup(docs))
+    commitManifest(fs, work, ver, prev ++ newFiles)
+  }
+
+  /** Spec-aware snapshot read across BOTH layouts: spec-1 entries (bare
+    * source) and spec-2 entries (nested `src/lang=l`) are read as two
+    * groups (mixed partition depths cannot share one Spark inference
+    * pass) and unioned with a `spec` tag. `langFilter` shows what
+    * evolution buys and costs: spec-2 files PRUNE at the manifest (only
+    * matching `lang=` dirs open), spec-1 files cannot (lang is not in
+    * their layout — all open, the filter applies to rows). Returns the
+    * frame plus (files_opened, files_total) accounting.
+    */
+  def readSnapshotEvolved(spark: SparkSession, work: String, ver: Long,
+      langFilter: Option[String]): (DataFrame, Long, Long) = {
+    val entries = readSnapshotManifest(spark, work, ver)
+    val (spec2, spec1) = entries.partition(_._1.contains("/lang="))
+    val keep2 = langFilter match {
+      case Some(l) => spec2.filter(_._1.endsWith(s"/lang=$l"))
+      case None => spec2
+    }
+    val cols = Seq("source", "lang", "n_docs", "sum_chars")
+    def readGroup(es: Seq[(String, String)], spec: Int): DataFrame = {
+      val empty = spark.range(0).selectExpr("CAST(1 AS BIGINT) AS spec",
+        "'' AS source", "'' AS lang", "CAST(0 AS BIGINT) AS n_docs",
+        "CAST(0 AS BIGINT) AS sum_chars")
+      if (es.isEmpty) empty
+      else spark.read.option("basePath", work)
+        .parquet(es.map { case (s, f) => s"$work/source=$s/$f" }: _*)
+        .selectExpr(Seq(s"CAST($spec AS BIGINT) AS spec") ++ cols: _*)
+    }
+    val df = readGroup(spec1, 1).unionByName(readGroup(keep2, 2))
+    val filtered = langFilter match {
+      case Some(l) => df.where(s"lang = '$l'")
+      case None => df
+    }
+    (filtered, (spec1.size + keep2.size).toLong, entries.size.toLong)
+  }
+
+  /** Partition-spec evolution, end-to-end under one hash: v1 commits the
+    * pre-wave rollup under the ORIGINAL by-source spec, v2 appends the
+    * wave delta under the EVOLVED (source, lang) spec without touching a
+    * committed file, and the entry emits (a) the whole spec-aware v2 read
+    * tagged by spec, (b) a lang-restricted read exercising the mixed
+    * pruning path, and (c) the zonemap-style files_opened/files_total
+    * accounting of that restricted read, all replayed exactly by the
+    * oracle (file counts are derivable: one file per v1 source, one per
+    * wave (source, lang)). [[SnapshotMvSpec]] additionally pins the
+    * metadata-only contract (v1 bytes untouched, old snapshot readable
+    * through the OLD reader after evolution).
+    */
+  def mvEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.TempDirs.scoped("snap-evolve") + "/t"
+    val docs = waved(Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars"))
+    commitInitial(spark, work, docs.where("NOT in_wave"))
+    commitEvolved(spark, work, docs.where("in_wave"), 2L)
+    val (full, _, _) = readSnapshotEvolved(spark, work, 2L, None)
+    val (en, opened, total) = readSnapshotEvolved(spark, work, 2L, Some("en"))
+    def tag(df: DataFrame, section: String): DataFrame =
+      df.groupBy("spec", "source", "lang")
+        .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"))
+        .selectExpr(s"'$section' AS section", "spec", "source", "lang",
+          "n_docs", "sum_chars")
+    val prune = spark.range(1).selectExpr("'prune' AS section",
+      "CAST(2 AS BIGINT) AS spec", "'*' AS source", "'en' AS lang",
+      s"CAST($opened AS BIGINT) AS n_docs",
+      s"CAST($total AS BIGINT) AS sum_chars")
+    tag(full, "all").unionByName(tag(en, "en")).unionByName(prune)
+      .orderBy("section", "spec", "source", "lang")
+  }
+
+  /** Oracle: both sections from the raw table, file counts from the same
+    * construction (one file per v1 source, one per wave (source, lang)).
+    */
+  val mvEvolveSql: String =
+    s"""WITH r AS (
+       |  SELECT source, lang, n_chars,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS srk,
+       |         md5(source) < '8' AS hot
+       |  FROM documents),
+       |t AS (SELECT source, lang, n_chars,
+       |             srk <= $WaveRanks AND hot AS in_wave FROM r),
+       |f1 AS (SELECT count(DISTINCT source)::BIGINT AS n FROM t WHERE NOT in_wave),
+       |f2 AS (SELECT count(*)::BIGINT AS n FROM
+       |         (SELECT DISTINCT source, lang FROM t WHERE in_wave)),
+       |f2en AS (SELECT count(*)::BIGINT AS n FROM
+       |         (SELECT DISTINCT source, lang FROM t WHERE in_wave
+       |          AND lang = 'en'))
+       |SELECT 'all' AS section, 1::BIGINT AS spec, source, lang,
+       |       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+       |FROM t WHERE NOT in_wave GROUP BY 3, 4
+       |UNION ALL
+       |SELECT 'all', 2::BIGINT, source, lang,
+       |       count(*)::BIGINT, sum(n_chars)::BIGINT
+       |FROM t WHERE in_wave GROUP BY 3, 4
+       |UNION ALL
+       |SELECT 'en', 1::BIGINT, source, lang,
+       |       count(*)::BIGINT, sum(n_chars)::BIGINT
+       |FROM t WHERE NOT in_wave AND lang = 'en' GROUP BY 3, 4
+       |UNION ALL
+       |SELECT 'en', 2::BIGINT, source, lang,
+       |       count(*)::BIGINT, sum(n_chars)::BIGINT
+       |FROM t WHERE in_wave AND lang = 'en' GROUP BY 3, 4
+       |UNION ALL
+       |SELECT 'prune', 2::BIGINT, '*', 'en',
+       |       (SELECT n FROM f1) + (SELECT n FROM f2en),
+       |       (SELECT n FROM f1) + (SELECT n FROM f2)
+       |ORDER BY section, spec, source, lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_mv_snapshot" -> mvSnapshot,
+    "pipeline_mv_evolve" -> mvEvolve,
     "pipeline_mv_branch" -> mvBranch,
     "pipeline_mv_forget" -> mvForget,
     "pipeline_mv_cdf" -> mvCdf,
@@ -792,6 +950,7 @@ object SnapshotMv {
 
   val oracles: Map[String, String] = Map(
     "pipeline_mv_snapshot" -> mvSnapshotSql,
+    "pipeline_mv_evolve" -> mvEvolveSql,
     "pipeline_mv_branch" -> mvBranchSql,
     "pipeline_mv_forget" -> mvForgetSql,
     "pipeline_mv_cdf" -> mvCdfSql,

@@ -51,6 +51,43 @@ class SnapshotMvSpec extends AnyFunSuite {
       s"snapshot 2 rollup ($v2) must cover the whole corpus")
   }
 
+  test("partition-spec evolution is metadata-only and keeps old readers " +
+    "working") {
+    val work = graft.TempDirs.scoped("snap-ev-spec") + "/t"
+    val docs = SnapshotMv.waved(graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars"))
+    SnapshotMv.commitInitial(spark, work, docs.where("NOT in_wave"))
+    val v1Entries = SnapshotMv.readSnapshotManifest(spark, work, 1L)
+    val v1Before = SnapshotMv.readSnapshot(spark, work, 1L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val v1Files = fileStates(work, v1Entries)
+    SnapshotMv.commitEvolved(spark, work, docs.where("in_wave"), 2L)
+    // metadata-only: every v1 file untouched, carried forward VERBATIM
+    assert(fileStates(work, v1Entries) == v1Files,
+      "evolution must not rewrite or move a committed file")
+    val v2Entries = SnapshotMv.readSnapshotManifest(spark, work, 2L)
+    assert(v2Entries.toSet.intersect(v1Entries.toSet) == v1Entries.toSet,
+      "every old-spec entry carries forward verbatim")
+    // new-spec entries live under nested lang dirs with the v2 tag
+    val evolved = v2Entries.filterNot(v1Entries.toSet)
+    assert(evolved.nonEmpty &&
+      evolved.forall { case (p, f) => p.contains("/lang=") && f.startsWith("v2-") })
+    // the OLD reader still reads the OLD snapshot identically
+    val v1After = SnapshotMv.readSnapshot(spark, work, 1L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(v1After.toSeq == v1Before.toSeq)
+    // the lang-restricted spec-aware read opens: ALL old-spec files (lang
+    // is not in their layout) + exactly the matching new-spec dirs
+    val (en, opened, total) =
+      SnapshotMv.readSnapshotEvolved(spark, work, 2L, Some("en"))
+    val enEvolved = evolved.count(_._1.endsWith("/lang=en"))
+    assert(total == v2Entries.size.toLong)
+    assert(opened == (v1Entries.size + enEvolved).toLong,
+      s"opened $opened vs old ${v1Entries.size} + en $enEvolved")
+    assert(opened < total, "pruning must actually skip new-spec files")
+    assert(en.collect().forall(_.getString(2) == "en"))
+  }
+
   test("untouched partitions are carried forward, not rewritten") {
     val work = graft.TempDirs.scoped("snap-spec2") + "/t"
     val docs = SnapshotMv.waved(graft.Tables.load(spark, dir, "documents")
