@@ -116,6 +116,7 @@ object SparkEntry {
       pipeline.QualityClassifier.all ++
       pipeline.EpochShuffle.all ++
       pipeline.CrawlFrontier.all ++
+      pipeline.RobotsFilter.all ++
       pipeline.Dedup.all ++
       pipeline.Similarity.all ++
       pipeline.Retrieval.all ++
@@ -256,6 +257,7 @@ object SparkEntry {
       pipeline.QualityClassifier.oracles ++
       pipeline.EpochShuffle.oracles ++
       pipeline.CrawlFrontier.oracles ++
+      pipeline.RobotsFilter.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
       pipeline.Retrieval.oracles ++

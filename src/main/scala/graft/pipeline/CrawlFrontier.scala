@@ -47,10 +47,13 @@ object CrawlFrontier {
   /** link_idx of the synthesized rel=canonical self link. */
   val SelfLinkIdx = 5L
 
-  def query(spark: SparkSession, dir: String): DataFrame = {
-    // the crawled surface: every fetched page's canonical URL + host
+  /** The canonical candidate outlinks (lid, href, domain, canon) — the
+    * frontier's stage-1 output, shared with [[RobotsFilter]] (which
+    * gates the same candidates on politeness rules).
+    */
+  private[pipeline] def candidates(spark: SparkSession,
+      dir: String): DataFrame = {
     val crawled = UrlDedup.canonCols(UrlDedup.derivedUrls(spark, dir))
-    // outlinks, resolved against the fetching page's canonical host
     val docs = Tables.load(spark, dir, "documents")
     val pageLinks = docs
       .selectExpr("doc_id", s"${HtmlExtract.pageExpr} AS page")
@@ -74,8 +77,14 @@ object CrawlFrontier {
         "CASE WHEN href RLIKE '^[A-Za-z]+://' THEN href" +
           " ELSE concat('http://', page_domain, href) END AS url")
     // canonical candidates (href rides through)
-    val cand = UrlDedup.canonColsKeep(resolved, Seq("href"))
+    UrlDedup.canonColsKeep(resolved, Seq("href"))
       .selectExpr("doc_id AS lid", "href", "domain", "canon")
+  }
+
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    // the crawled surface: every fetched page's canonical URL + host
+    val crawled = UrlDedup.canonCols(UrlDedup.derivedUrls(spark, dir))
+    val cand = candidates(spark, dir)
     // already crawled? (corpus-sized set — an equi join, NOT a broadcast)
     val flagged = cand
       .join(crawled.select("canon").distinct()

@@ -131,6 +131,11 @@ object PlanAuditBudgets {
     // two-phase cap pair, the admitted join-back, the presentation sort —
     // every exchanged frame is link-, canon-, or domain-sized
     "pipeline_crawl_frontier" -> 16,
+    // candidate derivation (host join) + the DOMAIN-bounded rule
+    // pipeline (distinct domains, line window, ua join, has-bot agg,
+    // picked join — every frame ≤ |domains|·|lines|), the per-candidate
+    // argmax agg + join-back, the presentation sort
+    "pipeline_robots_filter" -> 11,
     // THE POINT of the entry: the lineitem⋈orders join contributes ZERO
     // exchanges (both sides bucketed on the key at write time —
     // BucketedJoinSpec pins the join subtree); the budget is only the
