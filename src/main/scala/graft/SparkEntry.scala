@@ -107,6 +107,7 @@ object SparkEntry {
       ops.TpchQueries2.all ++
       ops.Formats.all ++
       ops.BucketedJoin.all ++
+      ops.AggPushdown.all ++
       pipeline.CorpusOps.all ++
       pipeline.SnapshotMv.all ++
       pipeline.TextAnalysis.all ++
@@ -248,6 +249,7 @@ object SparkEntry {
       ops.TpchQueries2.oracles ++
       ops.Formats.oracles ++
       ops.BucketedJoin.oracles ++
+      ops.AggPushdown.oracles ++
       pipeline.CorpusOps.oracles ++
       pipeline.SnapshotMv.oracles ++
       pipeline.TextAnalysis.oracles ++
