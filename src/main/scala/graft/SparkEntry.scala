@@ -116,6 +116,7 @@ object SparkEntry {
       pipeline.UrlDedup.all ++
       pipeline.QualityClassifier.all ++
       pipeline.EpochShuffle.all ++
+      pipeline.LengthBuckets.all ++
       pipeline.CrawlFrontier.all ++
       pipeline.RobotsFilter.all ++
       pipeline.Dedup.all ++
@@ -258,6 +259,7 @@ object SparkEntry {
       pipeline.UrlDedup.oracles ++
       pipeline.QualityClassifier.oracles ++
       pipeline.EpochShuffle.oracles ++
+      pipeline.LengthBuckets.oracles ++
       pipeline.CrawlFrontier.oracles ++
       pipeline.RobotsFilter.oracles ++
       pipeline.Dedup.oracles ++

@@ -136,6 +136,10 @@ object PlanAuditBudgets {
     // picked join — every frame ≤ |domains|·|lines|), the per-candidate
     // argmax agg + join-back, the presentation sort
     "pipeline_robots_filter" -> 11,
+    // the bucket rank window, the two batch-max aggs (bucket-keyed +
+    // naive-keyed; both combinable groupBys, never a fat window), the
+    // presentation sort
+    "pipeline_length_buckets" -> 4,
     // THE POINT of the entry: the lineitem⋈orders join contributes ZERO
     // exchanges (both sides bucketed on the key at write time —
     // BucketedJoinSpec pins the join subtree); the budget is only the
