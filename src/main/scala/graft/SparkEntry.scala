@@ -117,6 +117,7 @@ object SparkEntry {
       pipeline.QualityClassifier.all ++
       pipeline.EpochShuffle.all ++
       pipeline.LengthBuckets.all ++
+      pipeline.ChatTemplate.all ++
       pipeline.CrawlFrontier.all ++
       pipeline.RobotsFilter.all ++
       pipeline.Dedup.all ++
@@ -260,6 +261,7 @@ object SparkEntry {
       pipeline.QualityClassifier.oracles ++
       pipeline.EpochShuffle.oracles ++
       pipeline.LengthBuckets.oracles ++
+      pipeline.ChatTemplate.oracles ++
       pipeline.CrawlFrontier.oracles ++
       pipeline.RobotsFilter.oracles ++
       pipeline.Dedup.oracles ++
