@@ -160,6 +160,17 @@ object Tokenizer {
     */
   def bpeTrainBig(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    trainBigCore(spark, dir)._1
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** The driver-side [[MergesBig]] trainer core: returns the merge table
+    * rows AND the final per-word segmentation (word → symbol count) —
+    * the trained artifact [[bpeEncodeBig]]'s dictionary join ships.
+    */
+  private def trainBigCore(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)], Array[(String, Long)]) = {
     val vocab: Array[(String, Long)] = wordCountsBig(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var syms: Array[Vector[String]] =
@@ -193,8 +204,31 @@ object Tokenizer {
         out.result()
       }
     }
-    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
-      .orderBy("rank")
+    (merges.result(), vocab.map(_._1).zip(syms.map(_.length.toLong)))
+  }
+
+  /** Entry: corpus encoding under the [[MergesBig]]-merge model — the
+    * [[bpeEncode]] dictionary-join shape at realistic vocabulary scale:
+    * the trained per-word segmentation (vocabulary-bounded: 403 rows
+    * here, megabytes at web scale) broadcasts onto the derived
+    * vocab-rich corpus words, summed per document. One corpus scan for
+    * counting (inside the trainer) + one for encoding.
+    */
+  def bpeEncodeBig(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val seg = trainBigCore(spark, dir)._2.toSeq.toDF("word", "w_tokens")
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS w0")
+      .where("w0 <> ''")
+      .selectExpr("doc_id",
+        s"concat(w0, '~', CAST(doc_id % $VocabMult AS STRING)) AS word")
+      .join(broadcast(seg), "word") // vocabulary is corpus-complete
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("w_tokens").as("n_bpe_tokens"))
+      .selectExpr("doc_id", "n_words", "n_bpe_tokens",
+        "CAST(n_bpe_tokens AS DOUBLE) / n_words AS tokens_per_word")
+      .orderBy("doc_id")
   }
 
   // ------------------------------------------------------------- oracle
@@ -293,15 +327,39 @@ object Tokenizer {
        |       n_bpe_tokens::DOUBLE / n_words AS tokens_per_word
        |FROM enc ORDER BY doc_id""".stripMargin
 
+  /** Encode replay at vocab scale: the 256 unrolled training stages, the
+    * final w256 segmentation, the SAME derived corpus-word expression as
+    * [[wordCountsBig]], dictionary join + per-doc sums.
+    */
+  val bpeEncodeBigSql: String =
+    s"""WITH ${baseSqlFor(bigCountsBody, MergesBig)},
+       |seg AS (SELECT word,
+       |               len(string_split(substring(syms, 2, length(syms) - 2),
+       |                                '><'))::BIGINT AS w_tokens
+       |        FROM w$MergesBig),
+       |toks AS (SELECT doc_id,
+       |                w0 || '~' || (doc_id % $VocabMult)::VARCHAR AS word
+       |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w0
+       |               FROM documents)
+       |         WHERE w0 <> ''),
+       |enc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+       |               sum(w_tokens)::BIGINT AS n_bpe_tokens
+       |        FROM toks JOIN seg USING (word) GROUP BY 1)
+       |SELECT doc_id, n_words, n_bpe_tokens,
+       |       n_bpe_tokens::DOUBLE / n_words AS tokens_per_word
+       |FROM enc ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> bpeTrain,
     "text_bpe_train_256" -> bpeTrainBig,
     "text_bpe_segment" -> bpeSegment,
-    "text_bpe_encode" -> bpeEncode)
+    "text_bpe_encode" -> bpeEncode,
+    "text_bpe_encode_256" -> bpeEncodeBig)
 
   val oracles: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_train_256" -> bpeTrainBigSql,
     "text_bpe_segment" -> bpeSegmentSql,
-    "text_bpe_encode" -> bpeEncodeSql)
+    "text_bpe_encode" -> bpeEncodeSql,
+    "text_bpe_encode_256" -> bpeEncodeBigSql)
 }

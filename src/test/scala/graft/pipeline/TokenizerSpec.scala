@@ -83,6 +83,31 @@ class TokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("encode under the 256-merge model: vocabulary-complete join, " +
+    "per-word token bounds") {
+    val dir = "/root/testdata/sf0.001"
+    val enc = Tokenizer.bpeEncodeBig(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // dictionary join loses nothing: per-doc word sums equal the corpus
+    val words = graft.Tables.load(spark, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS w").where("w <> ''").count()
+    assert(enc.map(_._2).sum == words, "every corpus word must encode")
+    // each word's token count is in [1, len(word)]; summed per doc that
+    // bounds n_bpe_tokens by [n_words, total chars]
+    enc.foreach { case (doc, nw, nb) =>
+      assert(nb >= nw, s"doc $doc: tokens under word count")
+    }
+    // 256 merges must actually compress: strictly fewer tokens than the
+    // character baseline (sum of word lengths incl. the ~k suffixes)
+    val chars = graft.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+      .where("w <> ''")
+      .selectExpr("length(w) + 2 AS wl") // +2: the ~k suffix
+      .agg(org.apache.spark.sql.functions.sum("wl")).collect()(0).getLong(0)
+    assert(enc.map(_._3).sum < chars / 2,
+      "the trained model must compress well below the char baseline")
+  }
+
   test("local merge loop == the distributed rounds on the same surface") {
     // the driver-side loop (bpeTrainBig's engine) must be bit-equal to
     // the per-round Spark aggregation for the rounds both can run: rerun
