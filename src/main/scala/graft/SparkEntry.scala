@@ -115,6 +115,7 @@ object SparkEntry {
       pipeline.LineDedup.all ++
       pipeline.UrlDedup.all ++
       pipeline.QualityClassifier.all ++
+      pipeline.LearnedMix.all ++
       pipeline.EpochShuffle.all ++
       pipeline.LengthBuckets.all ++
       pipeline.ChatTemplate.all ++
@@ -124,6 +125,7 @@ object SparkEntry {
       pipeline.Similarity.all ++
       pipeline.Retrieval.all ++
       pipeline.Tokenizer.all ++
+      pipeline.TokenPack.all ++
       pipeline.TextRank.all ++
       pipeline.LinkRank.all ++
       pipeline.Multimodal.all ++
@@ -153,6 +155,10 @@ object SparkEntry {
       // transformWithState; oracle = the batch UrlDedup admitted rows
       "stream_domain_quota" -> ((s: SparkSession, dir: String) =>
         streaming.DomainQuota.quotaQuery(s, dir)),
+      // the ONLINE crawl loop: extract → canonicalize → robots → quota,
+      // all inside one streaming query (r14 verdict item 5)
+      "stream_crawl_admit" -> ((s: SparkSession, dir: String) =>
+        streaming.CrawlAdmit.admitQuery(s, dir)),
       // watermark late-data DROP semantics end-to-end: out-of-order chunk
       // replay through a real watermarked append-mode aggregation, the
       // watermark machine replicated row-exactly by the DuckDB oracle
@@ -259,6 +265,7 @@ object SparkEntry {
       pipeline.LineDedup.oracles ++
       pipeline.UrlDedup.oracles ++
       pipeline.QualityClassifier.oracles ++
+      pipeline.LearnedMix.oracles ++
       pipeline.EpochShuffle.oracles ++
       pipeline.LengthBuckets.oracles ++
       pipeline.ChatTemplate.oracles ++
@@ -268,6 +275,7 @@ object SparkEntry {
       pipeline.Similarity.oracles ++
       pipeline.Retrieval.oracles ++
       pipeline.Tokenizer.oracles ++
+      pipeline.TokenPack.oracles ++
       pipeline.TextRank.oracles ++
       pipeline.LinkRank.oracles ++
       pipeline.Multimodal.oracles ++
@@ -280,6 +288,7 @@ object SparkEntry {
         "stream_session_counts" -> streaming.Windows.sessionCountsSql,
         "stream_dedup_first" -> streaming.StreamingDedup.firstPerKeySql,
         "stream_domain_quota" -> streaming.DomainQuota.quotaSql,
+        "stream_crawl_admit" -> streaming.CrawlAdmit.admitSql,
         "stream_late_data" -> streaming.LateData.lateDataSql,
         "stream_interval_join" -> streaming.StreamJoin.intervalJoinSql,
         "stream_outer_join" -> streaming.StreamJoin.outerJoinSql,

@@ -40,18 +40,25 @@ object BucketedJoin {
   private val statsCache =
     scala.collection.concurrent.TrieMap[String, (Long, Long)]()
 
-  /** Content fingerprint of the source `orders` (count + key hash-sum,
-    * memoized per dir) so a regenerated testdata dir re-stages instead of
-    * silently reusing stale buckets — the [[graft.pipeline.Dedup.docsStats]]
-    * pattern.
+  /** Content fingerprint of BOTH staged sources, covering the key AND the
+    * value columns the entries emit (memoized per dir) so a regenerated
+    * testdata dir re-stages instead of silently reusing stale buckets —
+    * the [[graft.pipeline.Dedup.docsStats]] pattern. Orders alone was not
+    * enough (r14 advice): an in-place lineitem change, or an orders value
+    * change preserving the key set, must also move the staged root.
     */
-  private def ordersStats(spark: SparkSession, dir: String): (Long, Long) =
+  private def sourceStats(spark: SparkSession, dir: String): (Long, Long) =
     statsCache.getOrElseUpdate(dir, {
-      val r = Tables.load(spark, dir, "orders")
-        .agg(count(lit(1)),
-          sum(expr("CAST(pmod(hash(o_orderkey), 1000003) AS BIGINT)")))
-        .head()
-      (r.getLong(0), math.floorMod(r.getLong(1), 1000000007L))
+      def fp(t: String, cols: String): (Long, Long) = {
+        val r = Tables.load(spark, dir, t)
+          .agg(count(lit(1)),
+            sum(expr(s"CAST(pmod(hash($cols), 1000003) AS BIGINT)")))
+          .head()
+        (r.getLong(0), math.floorMod(r.getLong(1), 1000000007L))
+      }
+      val (no, fo) = fp("orders", "o_orderkey, o_orderpriority, o_totalprice")
+      val (nl, fl) = fp("lineitem", "l_orderkey, l_extendedprice, l_discount")
+      (no, math.floorMod(fo * 31L + nl * 17L + fl, 1000000007L))
     })
 
   /** Stage bucketed copies of orders + lineitem once, atomically. The
@@ -61,7 +68,7 @@ object BucketedJoin {
     * per-bucket sort.
     */
   private def stagedRoot(spark: SparkSession, dir: String): String = {
-    val (n, f) = ordersStats(spark, dir)
+    val (n, f) = sourceStats(spark, dir)
     val root = "/tmp/graft_bucketed/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_b${Buckets}_n${n}_f$f"
     val (fs, rootPath) = hadoopFs(spark, root)
@@ -84,20 +91,28 @@ object BucketedJoin {
     root
   }
 
-  // session -> staged root the catalog tables currently point at
-  private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, String]())
-
   /** Register the staged buckets as external bucketed catalog tables for
     * this session (idempotent; re-registers when the staged root moves —
-    * i.e. the source data changed).
+    * i.e. the source data changed). Currency is checked against the
+    * CATALOG's own table LOCATION, not a per-session map: the catalog is
+    * shared across sibling sessions (`newSession()`), so a map entry can
+    * claim currency after another session repointed the tables (r14
+    * advice).
     */
   private def ensureTables(spark: SparkSession, dir: String): Unit =
     synchronized {
       val root = stagedRoot(spark, dir)
-      if (registered.get(spark) == root &&
-        spark.catalog.tableExists("graft_bkt_orders") &&
-        spark.catalog.tableExists("graft_bkt_lineitem")) return
+      def locCurrent(tbl: String, t: String): Boolean =
+        spark.catalog.tableExists(tbl) && {
+          val loc = spark.sessionState.catalog
+            .getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+            .location
+          val (fs, expect) = hadoopFs(spark, s"$root/$t")
+          fs.makeQualified(expect).toUri == loc
+        }
+      if (locCurrent("graft_bkt_orders", "orders") &&
+        locCurrent("graft_bkt_lineitem", "lineitem")) return
       Seq(("graft_bkt_orders", "orders", "o_orderkey"),
         ("graft_bkt_lineitem", "lineitem", "l_orderkey")).foreach {
         case (tbl, t, k) =>
@@ -108,7 +123,6 @@ object BucketedJoin {
                |CLUSTERED BY ($k) SORTED BY ($k) INTO $Buckets BUCKETS
                |LOCATION '$root/$t'""".stripMargin)
       }
-      registered.put(spark, root)
     }
 
   /** The exchange-free join frame (before any aggregate) — exposed so

@@ -52,32 +52,48 @@ object CrawlFrontier {
     * gates the same candidates on politeness rules).
     */
   private[pipeline] def candidates(spark: SparkSession,
-      dir: String): DataFrame = {
-    val crawled = UrlDedup.canonCols(UrlDedup.derivedUrls(spark, dir))
-    val docs = Tables.load(spark, dir, "documents")
-    val pageLinks = docs
-      .selectExpr("doc_id", s"${HtmlExtract.pageExpr} AS page")
-      .selectExpr("doc_id",
-        s"posexplode(regexp_extract_all(page, '${HtmlExtract.HrefRegex}', 1))" +
-          " AS (link_idx, href)")
-      .selectExpr("doc_id", "CAST(link_idx AS BIGINT) AS link_idx", "href")
-    // + every page's rel=canonical SELF link: the variant-0 SURFACE url of
-    // its own logical page (doc_id := g·3 re-derives the [[UrlDedup]]
-    // surface at its canonical variant) — these candidates ARE already
-    // crawled, so the frontier's crawled-set anti-check is load-bearing
-    val selfLinks = docs
-      .selectExpr("doc_id AS real_id", "(doc_id DIV 3) * 3 AS doc_id")
-      .selectExpr("real_id", s"${UrlDedup.urlExprSpark} AS href")
-      .selectExpr("real_id AS doc_id",
-        s"CAST($SelfLinkIdx AS BIGINT) AS link_idx", "href")
-    val links = pageLinks.unionAll(selfLinks)
-    val resolved = links
-      .join(crawled.selectExpr("doc_id", "domain AS page_domain"), "doc_id")
+      dir: String): DataFrame =
+    candidatesRowLocal(Tables.load(spark, dir, "documents"))
+
+  /** The candidate chain as a PURE ROW-LOCAL frame over (doc_id, text)
+    * rows — page render, href extraction, the rel=canonical self link
+    * (the variant-0 surface url of the page's own logical group),
+    * host-relative resolution against the page's OWN domain (derived
+    * row-locally from its surface url — r15: this replaced a
+    * corpus-sized join in the batch chain), and canonicalization.
+    * Because every step is an expression, the SAME definition runs over
+    * a streaming frame unchanged ([[graft.streaming.CrawlAdmit]]).
+    */
+  private[graft] def candidatesRowLocal(docs: DataFrame): DataFrame = {
+    val withLinks = UrlDedup.canonColsKeep(
+        docs.selectExpr("doc_id", s"${UrlDedup.urlExprSpark} AS url", "text"),
+        Seq("text"))
+      .selectExpr("doc_id", "domain AS page_domain",
+        s"${HtmlExtract.pageExpr} AS page")
+      .selectExpr("doc_id", "page_domain",
+        s"regexp_extract_all(page, '${HtmlExtract.HrefRegex}', 1) AS hs")
+      // lid = doc_id·LidBase + link_idx aliases ACROSS documents if the
+      // page template ever emits ≥ LidBase hrefs (and WITHIN a document
+      // at idx [[SelfLinkIdx]], where the synthesized self link sits) —
+      // and the DuckDB oracle would alias identically, so the gate would
+      // stay green while dedup and attribution silently corrupt (r14
+      // advice). Fail loud instead.
+      .selectExpr("doc_id", "page_domain",
+        s"CASE WHEN size(hs) = $SelfLinkIdx THEN hs " +
+          s"ELSE array(raise_error(concat('CrawlFrontier: template emits ', " +
+          s"CAST(size(hs) AS STRING), ' hrefs, SelfLinkIdx=$SelfLinkIdx — " +
+          s"raise LidBase/SelfLinkIdx to match the page template'))) " +
+          "END AS hs")
+      .selectExpr("doc_id", "page_domain",
+        s"concat(hs, array(${UrlDedup.urlExprSparkFor("(doc_id DIV 3) * 3")}))" +
+          " AS hs")
+      .selectExpr("doc_id", "page_domain",
+        "posexplode(hs) AS (link_idx, href)")
       .selectExpr(s"doc_id * $LidBase + link_idx AS doc_id", "href",
         "CASE WHEN href RLIKE '^[A-Za-z]+://' THEN href" +
           " ELSE concat('http://', page_domain, href) END AS url")
     // canonical candidates (href rides through)
-    UrlDedup.canonColsKeep(resolved, Seq("href"))
+    UrlDedup.canonColsKeep(withLinks, Seq("href"))
       .selectExpr("doc_id AS lid", "href", "domain", "canon")
   }
 

@@ -118,9 +118,13 @@ object QualityClassifier {
     * corpora.
     */
   private[pipeline] def classify(labeled: DataFrame): DataFrame = {
+    // the cache exists for the epoch loop only; release it as soon as
+    // training ends (r14 advice: classify leaked the cached partitions for
+    // the lifetime of a Verify run) — scoring re-featurizes in ONE
+    // scan-project pass, cheaper than pinning the feature frame forever
     val feats = featurize(labeled).cache()
-    val w = train(feats)
-    feats
+    val w = try train(feats) finally feats.unpersist(false)
+    featurize(labeled)
       .selectExpr("doc_id", "y", "is_train", s"${marginExpr(w)} AS margin")
       .selectExpr("doc_id", "y", "is_train", "margin",
         "CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred")
@@ -141,8 +145,11 @@ object QualityClassifier {
     * epoch CTEs (MATERIALIZED — w(t−1) feeds the margin frame AND 33
     * scalar-subquery update terms; without materialization the chain
     * re-evaluates exponentially, the Tokenizer-oracle lesson).
+    * [[marginCtes]] is the whole chain up to the final per-doc margins
+    * (`qc(doc_id, y, is_train, margin)`), exposed so [[LearnedMix]]'s
+    * composed oracle replays the SAME trained margins the entry hashes.
     */
-  val sql: String = {
+  private[pipeline] val marginCtes: String = {
     val polyT = "list_reduce(list_prepend(0::BIGINT, " +
       "list_transform(string_split(t, ''), c -> ord(c)::BIGINT)), " +
       s"(a, b) -> (a * 31 + b) % ${TextAnalysis.FpMod})"
@@ -176,15 +183,26 @@ object QualityClassifier {
         s"""w$t AS MATERIALIZED (SELECT
            |  [${terms.mkString(",\n   ")}]::BIGINT[] AS w FROM m$t)""".stripMargin)
     }
-    s"""WITH ${(head ++ epochs).mkString(",\n")},
-       |fin AS (SELECT f.doc_id, f.y, f.is_train,
-       |               ${margin(s"w$QcEpochs")} AS margin
-       |        FROM feats f, w$QcEpochs p)
+    s"""${(head ++ epochs).mkString(",\n")},
+       |qc AS (SELECT f.doc_id, f.y, f.is_train,
+       |              ${margin(s"w$QcEpochs")} AS margin
+       |       FROM feats f, w$QcEpochs p)""".stripMargin
+  }
+
+  val sql: String =
+    s"""WITH $marginCtes
        |SELECT doc_id, y, is_train, margin,
        |       (CASE WHEN margin > 0 THEN 1 ELSE -1 END)::BIGINT AS pred,
        |       ((CASE WHEN margin > 0 THEN 1 ELSE -1 END)::BIGINT = y) AS correct
-       |FROM fin ORDER BY doc_id""".stripMargin
-  }
+       |FROM qc ORDER BY doc_id""".stripMargin
+
+  /** The trained per-doc margin frame (doc_id, y, margin) for `dir` —
+    * the Spark twin of [[marginCtes]]'s `qc`, exposed for [[LearnedMix]].
+    */
+  private[pipeline] def marginFrame(spark: SparkSession,
+      dir: String): DataFrame =
+    classify(Tables.load(spark, dir, "documents").selectExpr(labelExprs: _*))
+      .select("doc_id", "y", "margin")
 
   /** The labeled derived surface over a (doc_id, text) frame — shared by
     * the batch entry and the streaming twin (same expressions, so the
@@ -206,10 +224,11 @@ object QualityClassifier {
     */
   def streamQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.PacedReplay
-    // offline training on the static corpus
+    // offline training on the static corpus (cache scoped to the epoch
+    // loop, released before the stream starts — r14 advice)
     val feats = featurize(Tables.load(spark, dir, "documents")
       .selectExpr(labelExprs: _*)).cache()
-    val w = train(feats)
+    val w = try train(feats) finally feats.unpersist(false)
     // online scoring of the replayed stream with the frozen weights
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
     val stage = graft.TempDirs.scoped("qc-stream") + "/docs"

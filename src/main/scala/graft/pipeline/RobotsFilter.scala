@@ -132,6 +132,37 @@ object RobotsFilter {
         "coalesce(rule_allow, true) AS allowed")
   }
 
+  /** The per-domain SELECTED rule group folded to ONE broadcastable
+    * array row (domain, rules: array<struct<plen, is_allow, prefix>>) —
+    * the robots artifact a crawler ships to its fetch hot path: after a
+    * broadcast join on domain the verdict is the ROW-LOCAL array argmax
+    * [[allowedExpr]] (no groupBy — evaluable inside a streaming
+    * micro-batch, [[graft.streaming.CrawlAdmit]]). Domains publishing no
+    * rules are absent (no robots = allow all, the left-join null case).
+    */
+  private[graft] def ruleTable(spark: SparkSession,
+      domains: DataFrame): DataFrame = {
+    val rules = parseRules(
+      domains.selectExpr("domain", s"$robotsTextSpark AS txt"))
+    val hasBot = rules.groupBy("domain")
+      .agg(max(expr(s"agent = '$BotAgent'")).as("has_bot"))
+    rules.join(hasBot, "domain")
+      .where(s"agent = CASE WHEN has_bot THEN '$BotAgent' ELSE '*' END")
+      .groupBy("domain")
+      .agg(sort_array(collect_list(
+        struct(col("plen"), col("is_allow"), col("prefix")))).as("rules"))
+  }
+
+  /** Row-local longest-match-wins verdict over a `rules` array + `path`
+    * column — the same (plen, is_allow, prefix) struct-max tie-break as
+    * [[evaluate]]'s aggregate form (agent is constant within a selected
+    * group, so dropping it from the struct changes nothing).
+    */
+  private[graft] val allowedExpr: String =
+    "CASE WHEN rules IS NULL THEN true ELSE coalesce(" +
+      "array_max(filter(rules, r -> startswith(path, r.prefix))).is_allow," +
+      " true) END"
+
   /** Q — the committed entry: the frontier's candidate outlinks gated by
     * every domain's robots rules. Emits per candidate the path, the
     * governing group, the winning rule, and the verdict — a drifted
@@ -154,9 +185,12 @@ object RobotsFilter {
     * stage-1 CTEs), robots generation, template-blind parse (same
     * running-max group binding), group selection, and the
     * longest-match/allow-ties argmax via one row_number.
+    * [[verdictCtes]] is the chain up to `cand(lid, domain, canon, path)`
+    * + `w1(lid, agent, prefix, is_allow)` — shared with
+    * [[graft.streaming.CrawlAdmit]]'s composed oracle.
     */
-  val sql: String =
-    s"""WITH u AS (SELECT doc_id, ${UrlDedup.urlExprSql} AS url FROM documents),
+  private[graft] val verdictCtes: String =
+    s"""u AS (SELECT doc_id, ${UrlDedup.urlExprSql} AS url FROM documents),
        |cu AS (
        |${UrlDedup.canonSql("u", "doc_id")}),
        |pgs AS (SELECT doc_id, ${HtmlExtract.pageSql} AS page FROM documents),
@@ -215,7 +249,10 @@ object RobotsFilter {
        |               p.agent DESC) AS rk
        |      FROM cand c JOIN picked p ON c.domain = p.domain
        |      WHERE starts_with(c.path, p.prefix)),
-       |w1 AS (SELECT lid, agent, prefix, is_allow FROM m WHERE rk = 1)
+       |w1 AS (SELECT lid, agent, prefix, is_allow FROM m WHERE rk = 1)""".stripMargin
+
+  val sql: String =
+    s"""WITH $verdictCtes
        |SELECT (c.lid // 8)::BIGINT AS doc_id, (c.lid % 8)::BIGINT AS link_idx,
        |       c.canon, c.domain, c.path,
        |       coalesce(w1.agent, '') AS agent_used,

@@ -75,8 +75,10 @@ object Similarity {
       .selectExpr("vec_id", "label", "emb", "sqrt(graft_dot(emb, emb)) AS nrm")
   }
 
-  /** DuckDB emb CTE matching [[embDouble]]. */
-  private val embCte: String =
+  /** DuckDB emb CTE matching [[embDouble]] (shared with [[LearnedMix]]'s
+    * composed oracle).
+    */
+  private[pipeline] val embCte: String =
     """emb AS (SELECT vec_id, label, emb,
       |        sqrt(list_sum(list_transform(emb, v -> v * v))) AS nrm
       |        FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings))""".stripMargin
@@ -673,7 +675,7 @@ object Similarity {
     * `assigned(vec_id, emb, nrm, c_id)`. Callers compose after
     * [[embCte]]. Shared by the trained-IVF and cluster-mix oracles.
     */
-  private val trainedAssignCtes: String = {
+  private[pipeline] val trainedAssignCtes: String = {
     def assignCte(centName: String, outName: String): String =
       s"""$outName AS (
          |  SELECT vec_id, emb, nrm, c_id FROM (
@@ -745,11 +747,20 @@ object Similarity {
     * combinable agg broadcast back, the accept is per-row. No
     * data-sized shuffle anywhere but the presentation sort.
     */
-  def clusterMix(spark: SparkSession, dir: String): DataFrame = {
+  /** The learned k-means cluster assignment (vec_id, c_id) — the
+    * [[trainedCentroids]] Lloyd loop + rank-1 assign, exposed for
+    * [[LearnedMix]] (which learns mixture WEIGHTS over these clusters).
+    */
+  private[pipeline] def clusterAssignments(spark: SparkSession,
+      dir: String): DataFrame = {
     val emb = embDouble(spark, dir)
     val cent = trainedCentroids(spark, dir, emb)
-    val assigned = assignOne(emb, cent, "vec_id", "c_id", "c_emb", "c_nrm",
+    assignOne(emb, cent, "vec_id", "c_id", "c_emb", "c_nrm",
       "csim", "crk").select("vec_id", "c_id")
+  }
+
+  def clusterMix(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = clusterAssignments(spark, dir)
     val counts = assigned.groupBy("c_id").agg(count(lit(1)).as("n_cluster"))
     val minc = counts.agg(min("n_cluster").as("c_min"))
     assigned.join(broadcast(counts), "c_id")
@@ -1864,6 +1875,122 @@ object Similarity {
         indexCodebook(spark, aug), aug)
     wave1.unpersist() // probe reads the written files, not the plan
     out
+  }
+
+  // ---------------------------------------------- index compaction
+
+  /** LSM-style fast-path ingest into a float-IVF index: the batch lands
+    * as NEW part files inside its touched `c_id=` dirs — O(batch) write
+    * cost with NO rewrite of existing list bytes. This is the cheap dual
+    * of [[incrementalIvfAppend]]'s merge-upsert (which REWRITES every
+    * touched list each wave — write amplification a high-rate ingest
+    * can't pay at 100 TB). The price is FRAGMENTATION: every wave adds a
+    * file per touched list and probes pay per-file open/footer overhead,
+    * which [[compactIvfIndex]] — the OPTIMIZE of the index family (r14
+    * verdict item 4) — pays back. Caller commits the manifest after.
+    */
+  private def ivfAppendFiles(spark: SparkSession, indexPath: String,
+      batch: DataFrame): Unit =
+    batch.select("vec_id", "emb", "nrm", "c_id")
+      .repartition(col("c_id"))
+      .sortWithinPartitions("c_id", "vec_id")
+      .write.mode("append").partitionBy("c_id").parquet(indexPath)
+
+  /** Per-list data-file counts of a committed index — the fragmentation
+    * accounting ([[graft.pipeline.IvfCompactSpec]] pins N→1).
+    */
+  def listFileCounts(spark: SparkSession, indexPath: String)
+      : Map[Long, Int] = {
+    val (fs, _) = hadoopFs(spark, indexPath)
+    listsManifestRead(spark, indexPath).toSeq.sorted.map { c =>
+      val d = new org.apache.hadoop.fs.Path(s"$indexPath/c_id=$c")
+      c -> fs.listStatus(d).count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }.toMap
+  }
+
+  /** OPTIMIZE for the persisted float-IVF index: rewrite every
+    * FRAGMENTED inverted list (>1 data file) to ONE sorted file, copy
+    * single-file lists and the codebook VERBATIM (no decode), and
+    * publish the compacted index at `dst` via [[IndexCommit]] — the
+    * source index stays fully readable until the single atomic rename,
+    * exactly the [[SnapshotMv]] OPTIMIZE contract at index granularity.
+    * Probe results are bit-identical pre/post (same rows, re-sorted):
+    * the spec asserts it and the committed entry's oracle replays the
+    * probe from scratch, so the hash gates it too. At 100 TB compaction
+    * IO is proportional to the FRAGMENTED lists only — freshly-compacted
+    * lists cost a directory listing, nothing more.
+    */
+  def compactIvfIndex(spark: SparkSession, src: String, dst: String): Unit = {
+    val (fs, dstRoot) = hadoopFs(spark, dst)
+    def committed(r: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(r, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$r/$CodebookDir/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(r, ListsManifestFile))
+    val counts = listFileCounts(spark, src)
+    val fragmented = counts.collect { case (c, n) if n > 1 => c }.toSeq.sorted
+    IndexCommit.ensure(fs, dstRoot)(committed) { tmp =>
+      counts.keysIterator.filter(c => counts(c) <= 1).toSeq.sorted.foreach {
+        c => graft.TempDirs.copyTree(spark, s"$src/c_id=$c", s"$tmp/c_id=$c")
+      }
+      graft.TempDirs.copyTree(spark, s"$src/$CodebookDir",
+        s"$tmp/$CodebookDir")
+      if (fragmented.nonEmpty) {
+        val dirs = fragmented.map(c => s"$src/c_id=$c")
+        spark.read.option("basePath", src).parquet(dirs: _*)
+          .select("vec_id", "emb", "nrm", "c_id")
+          .repartition(col("c_id"))
+          .sortWithinPartitions("c_id", "vec_id")
+          .write.mode("append").partitionBy("c_id").parquet(tmp.toString)
+      }
+      val succ = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      if (!fs.exists(succ)) fs.create(succ).close()
+      listsManifestWrite(spark, tmp.toString, counts.keySet)
+    }
+  }
+
+  /** Q — the committed compaction entry: file-append wave 1 into a
+    * working copy (fragmenting its touched lists), OPTIMIZE into a fresh
+    * root, probe wave-2 queries against the COMPACTED index. Identical
+    * append semantics to [[incrementalIvfAppend]], so the
+    * recompute-from-scratch oracle is shared verbatim — a compaction
+    * that dropped, duplicated, or re-listed any vector breaks the hash.
+    * [[graft.pipeline.IvfCompactSpec]] additionally pins probe equality
+    * pre/post-compaction and the N→1 files-per-list collapse.
+    */
+  def incrementalIvfCompact(spark: SparkSession, dir: String): DataFrame = {
+    val (frag, opt) = compactedWorkingIndex(spark, dir)
+    val _ = frag
+    incrementalIvfProbe(spark, waveQueries(embDouble(spark, dir), IvfSplitMod),
+      indexCodebook(spark, opt), opt)
+  }
+
+  /** The entry's index pair: (fragmented working copy after a file-append
+    * wave, its compacted OPTIMIZE output) — exposed so the spec can
+    * probe/count both sides of the same artifacts the entry ships.
+    */
+  def compactedWorkingIndex(spark: SparkSession, dir: String)
+      : (String, String) = {
+    val path = ensureIvfIndex(spark, dir)
+    val aug = graft.TempDirs.scoped("ivf-compact") + "/frag"
+    graft.TempDirs.copyTree(spark, path, aug)
+    val cent = indexCodebook(spark, aug)
+    val emb = embDouble(spark, dir)
+    val w = 2 * IvfSplitMod
+    val wave1 = nearestLists(emb.where(s"vec_id % $w = 0"), cent,
+        "vec_id", 1)
+      .select("vec_id", "emb", "nrm", "c_id")
+      .persist() // read twice (touched set, file append) — one compute
+    val touched = wave1.select("c_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    ivfAppendFiles(spark, aug, wave1.toDF())
+    listsManifestWrite(spark, aug, listsManifestRead(spark, aug) ++ touched)
+    wave1.unpersist()
+    val opt = graft.TempDirs.scoped("ivf-compact") + "/opt"
+    compactIvfIndex(spark, aug, opt)
+    (aug, opt)
   }
 
   /** Stream-static incremental ANN probe core — the streaming twin of
@@ -3778,6 +3905,7 @@ object Similarity {
     "stream_incremental_ivf_pq" -> streamIncrementalIvfPq,
     "sim_ivfpq_idx_recall_gate" -> ivfPqIdxRecallGate,
     "sim_incremental_ivf_append" -> incrementalIvfAppend,
+    "sim_incremental_ivf_compact" -> incrementalIvfCompact,
     "stream_incremental_ivf" -> streamIncrementalIvf,
     "sim_semdedup" -> semDedup,
     "dedup_embedding_cosine" -> embeddingNearDup)
@@ -3812,6 +3940,9 @@ object Similarity {
     "stream_incremental_ivf_pq" -> streamIncrementalIvfPqSql,
     "sim_ivfpq_idx_recall_gate" -> ivfPqIdxRecallGateSql,
     "sim_incremental_ivf_append" -> incrementalIvfSqlAppend,
+    // identical append semantics (file-append + OPTIMIZE instead of
+    // merge-upsert), so the recompute-from-scratch oracle is shared
+    "sim_incremental_ivf_compact" -> incrementalIvfSqlAppend,
     "stream_incremental_ivf" -> streamIncrementalIvfSql,
     "sim_semdedup" -> semDedupSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql)

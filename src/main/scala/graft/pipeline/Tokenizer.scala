@@ -166,11 +166,13 @@ object Tokenizer {
   }
 
   /** The driver-side [[MergesBig]] trainer core: returns the merge table
-    * rows AND the final per-word segmentation (word → symbol count) —
-    * the trained artifact [[bpeEncodeBig]]'s dictionary join ships.
+    * rows AND the final per-word segmentation (word → symbol SEQUENCE) —
+    * the trained artifact [[bpeEncodeBig]]'s dictionary join ships the
+    * counts; [[TokenPack]] ships the id-mapped sequences.
     */
-  private def trainBigCore(spark: SparkSession, dir: String)
-      : (Seq[(Long, String, String, String, Long)], Array[(String, Long)]) = {
+  private[pipeline] def trainBigCore(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)],
+        Array[(String, Vector[String])]) = {
     val vocab: Array[(String, Long)] = wordCountsBig(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var syms: Array[Vector[String]] =
@@ -204,7 +206,7 @@ object Tokenizer {
         out.result()
       }
     }
-    (merges.result(), vocab.map(_._1).zip(syms.map(_.length.toLong)))
+    (merges.result(), vocab.map(_._1).zip(syms))
   }
 
   /** Entry: corpus encoding under the [[MergesBig]]-merge model — the
@@ -217,7 +219,8 @@ object Tokenizer {
   def bpeEncodeBig(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.broadcast
-    val seg = trainBigCore(spark, dir)._2.toSeq.toDF("word", "w_tokens")
+    val seg = trainBigCore(spark, dir)._2.toSeq
+      .map { case (w, s) => (w, s.length.toLong) }.toDF("word", "w_tokens")
     Tables.load(spark, dir, "documents")
       .selectExpr("doc_id", "explode(split(text, ' ')) AS w0")
       .where("w0 <> ''")
@@ -283,6 +286,14 @@ object Tokenizer {
        |            FROM documents)
        |      WHERE w0 <> '')
        |GROUP BY 1""".stripMargin
+
+  /** The full [[MergesBig]]-stage training replay (w0…w256 CTE bodies) —
+    * exposed so [[TokenPack]]'s whole-chain oracle (encode replay +
+    * packing) builds on the SAME unrolled stages and the two entries can
+    * never drift.
+    */
+  private[pipeline] def bigBaseSql: String =
+    baseSqlFor(bigCountsBody, MergesBig)
 
   private def mergeTableUnion(merges: Int): String =
     (1 to merges).map { i =>

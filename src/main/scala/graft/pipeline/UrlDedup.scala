@@ -41,29 +41,36 @@ object UrlDedup {
   /** Salt fan-out of the two-phase cap. */
   val UrlSalts = 16
 
-  /** The derived surface in Spark's dialect: (doc_id, url). */
-  private[pipeline] val urlExprSpark: String = {
-    val g = "CAST(doc_id DIV 3 AS BIGINT)"
+  /** The derived surface in Spark's dialect as a function of the id
+    * expression — [[graft.streaming.CrawlAdmit]]'s row-local self-link
+    * derivation substitutes `(doc_id DIV 3) * 3` (the canonical
+    * variant-0 id) without a projection rename.
+    */
+  private[graft] def urlExprSparkFor(id: String): String = {
+    val g = s"CAST(($id) DIV 3 AS BIGINT)"
     s"""concat(
-       |  CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'Http' END,
+       |  CASE ($id) % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'Http' END,
        |  '://',
        |  CASE WHEN $g % 5 < 3 THEN
-       |    CASE doc_id % 3 WHEN 0 THEN 'big.example.com'
+       |    CASE ($id) % 3 WHEN 0 THEN 'big.example.com'
        |                    WHEN 1 THEN 'Big.Example.Com'
        |                    ELSE 'BIG.EXAMPLE.COM' END
        |  ELSE concat(
-       |    CASE doc_id % 3 WHEN 0 THEN 'site' WHEN 1 THEN 'Site' ELSE 'SITE' END,
+       |    CASE ($id) % 3 WHEN 0 THEN 'site' WHEN 1 THEN 'Site' ELSE 'SITE' END,
        |    CAST($g % 97 AS STRING), '.example.org') END,
-       |  CASE WHEN doc_id % 3 = 1 THEN ':80' ELSE '' END,
+       |  CASE WHEN ($id) % 3 = 1 THEN ':80' ELSE '' END,
        |  '/doc/', CAST($g AS STRING),
-       |  CASE WHEN doc_id % 3 = 2 THEN '/' ELSE '' END,
+       |  CASE WHEN ($id) % 3 = 2 THEN '/' ELSE '' END,
        |  CASE WHEN $g % 11 = 0 THEN ''
-       |       WHEN doc_id % 3 = 0 THEN
+       |       WHEN ($id) % 3 = 0 THEN
        |         concat('?b=', CAST($g % 3 AS STRING), '&a=', CAST($g % 7 AS STRING))
        |       ELSE
        |         concat('?a=', CAST($g % 7 AS STRING), '&b=', CAST($g % 3 AS STRING))
        |  END)""".stripMargin
   }
+
+  /** The derived surface in Spark's dialect: (doc_id, url). */
+  private[graft] val urlExprSpark: String = urlExprSparkFor("doc_id")
 
   /** The identical surface in DuckDB's dialect ([[CrawlFrontier]] composes
     * it into the whole-chain frontier oracle).
@@ -114,7 +121,7 @@ object UrlDedup {
     * (the [[CrawlFrontier]] composition keeps the raw href alongside the
     * canonical form without a join-back).
     */
-  private[pipeline] def canonColsKeep(urls: DataFrame,
+  private[graft] def canonColsKeep(urls: DataFrame,
       extra: Seq[String]): DataFrame = {
     val parts = urls.selectExpr(Seq("doc_id", "url") ++ extra ++ Seq(
       s"lower(regexp_extract(url, '$SchemeRe', 1)) AS scheme",

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Token-ID packing contracts (r14 verdict item 3): sequence-length
+  * exactness, provenance round-trip, and a full independent driver-side
+  * replica of the train→encode→pack chain (the FADS-replica convention:
+  * the distributed entry must equal a sequential re-derivation that
+  * shares no Spark code with it).
+  */
+class TokenPackSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // (shard, seq_id, doc_id, pos_in_seq, tok_start, span_len, span_idsum,
+  //  doc_tokens)
+  private type Row8 = (Long, Long, Long, Long, Long, Long, Long, Long)
+
+  private lazy val out: Seq[Row8] =
+    TokenPack.query(spark, dir).collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+
+  test("every non-final sequence is exactly SeqLen tokens; finals never " +
+    "exceed it and positions tile the sequence gap-free") {
+    val bySeq = out.groupBy(r => (r._1, r._2))
+    val lastSeq = out.groupBy(_._1).map { case (sh, rs) =>
+      sh -> rs.map(_._2).max
+    }
+    bySeq.foreach { case ((sh, seq), rows) =>
+      val total = rows.map(_._6).sum
+      if (seq < lastSeq(sh))
+        assert(total == TokenPack.SeqLen,
+          s"shard $sh seq $seq holds $total tokens, want ${TokenPack.SeqLen}")
+      else assert(total <= TokenPack.SeqLen)
+      // spans tile [0, total): sorted by pos, each starts where the
+      // previous ended
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 + a._6 == b._4,
+          s"gap inside shard $sh seq $seq between pos ${a._4} and ${b._4}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("provenance round-trip: per document the spans reconstruct the " +
+    "full token stream contiguously") {
+    out.groupBy(_._3).foreach { case (doc, rows) =>
+      val dlen = rows.head._8
+      assert(rows.forall(_._8 == dlen))
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.head._5 == 0L, s"doc $doc first span must start at 0")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 + a._6 == b._5,
+          s"doc $doc spans not contiguous at ${a._5}+${a._6}")
+        case _ => ()
+      }
+      assert(sorted.last._5 + sorted.last._6 == dlen,
+        s"doc $doc spans must cover the whole stream incl EOS")
+    }
+  }
+
+  test("the distributed pack equals an independent driver-side replica " +
+    "of train → id-assign → encode → pack") {
+    val seg: Map[String, Vector[String]] =
+      Tokenizer.trainBigCore(spark, dir)._2.toMap
+    val symId: Map[String, Long] = seg.valuesIterator.flatten.toSeq
+      .distinct.sorted.zipWithIndex.map { case (s, i) => (s, i.toLong) }.toMap
+    val eos = symId.size.toLong
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val streams: Seq[(Long, Vector[Long])] = docs.toSeq.flatMap {
+      case (id, text) =>
+        val words = text.split(" ").filter(_.nonEmpty)
+        if (words.isEmpty) None
+        else Some((id, words.toVector.flatMap(w =>
+          seg(w + "~" + (id % Tokenizer.VocabMult)).map(symId)) :+ eos))
+    }
+    val l = TokenPack.SeqLen
+    val expected = Seq.newBuilder[Row8]
+    (0L until TokenPack.Shards).foreach { shard =>
+      var goff = 0L
+      streams.filter(_._1 % TokenPack.Shards == shard).foreach {
+        case (id, ids) =>
+          val dlen = ids.length.toLong
+          (goff / l) to ((goff + dlen - 1) / l) foreach { seq =>
+            val tokStart = math.max(0L, seq * l - goff)
+            val spanEnd = math.min(dlen, (seq + 1) * l - goff)
+            expected += ((shard, seq, id,
+              math.max(goff, seq * l) - seq * l, tokStart,
+              spanEnd - tokStart,
+              ids.slice(tokStart.toInt, spanEnd.toInt).sum, dlen))
+          }
+          goff += dlen
+      }
+    }
+    val exp = expected.result()
+    assert(out.nonEmpty && exp.nonEmpty)
+    assert(out.toSet == exp.toSet,
+      "distributed packing diverged from the sequential replica")
+    assert(out.size == exp.size)
+  }
+}
