@@ -2816,17 +2816,27 @@ object Similarity {
     * recall 32% at sf0.1 before this offset). Columns (m, p_id, p_sub).
     */
   private def pqCodebookRes(emb: DataFrame, cent: DataFrame,
-      nc: Int): DataFrame = {
+      nc: Int, perm: Seq[Int] = Nil): DataFrame = {
     val resSlices = (0 until PqM)
       .map(m => s"slice(res, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
     assignOne(emb.where(s"vec_id >= $nc AND vec_id < ${nc + PqK}"), cent,
         "vec_id", "c_id", "c_emb", "c_nrm", "csim", "crk")
       .join(broadcast(cent.select("c_id", "c_emb")), "c_id")
       .selectExpr("vec_id", "zip_with(emb, c_emb, (x, y) -> x - y) AS res")
+      .selectExpr("vec_id", s"${permuteExpr(perm, "res")} AS res")
       .selectExpr("vec_id", s"posexplode(array($resSlices)) AS (m, sub)")
       // re-index seed ids to codes 0..PqK-1: pcode packs 4-bit cells
       .selectExpr("m", s"vec_id - $nc AS p_id", "sub AS p_sub")
   }
+
+  /** Reorder an array column by a 0-based source-index permutation —
+    * identity when `perm` is empty. The OPQ rotation as an expression
+    * (a permutation IS an orthogonal matrix, so norms are untouched).
+    */
+  private def permuteExpr(perm: Seq[Int], col: String): String =
+    if (perm.isEmpty) col
+    else perm.map(i => s"element_at($col, ${i + 1})")
+      .mkString("array(", ", ", ")")
 
   /** Residual-encode `vecs` (vec_id, emb, nrm, c_id): nearest residual
     * sub-code per (vector, subspace) against the vector's OWN residual
@@ -2834,7 +2844,7 @@ object Similarity {
     * data; packing identical (pcode = Σ code_m·16^m).
     */
   private def pqEncodeRes(vecs: DataFrame, cent: DataFrame,
-      pqcr: DataFrame): DataFrame = {
+      pqcr: DataFrame, perm: Seq[Int] = Nil): DataFrame = {
     val resSlices = (0 until PqM)
       .map(m => s"slice(res, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
     val caseM = (0 until PqM)
@@ -2842,6 +2852,8 @@ object Similarity {
     vecs.join(broadcast(cent.select("c_id", "c_emb")), "c_id")
       .selectExpr("vec_id", "nrm", "c_id",
         "zip_with(emb, c_emb, (x, y) -> x - y) AS res")
+      .selectExpr("vec_id", "nrm", "c_id",
+        s"${permuteExpr(perm, "res")} AS res")
       .selectExpr("vec_id", "nrm", "c_id",
         s"posexplode(array($resSlices)) AS (m, sub)")
       .join(broadcast(pqcr), "m")
@@ -2907,7 +2919,7 @@ object Similarity {
     */
   def incrementalIvfPqResProbe(spark: SparkSession, queries: DataFrame,
       cent: DataFrame, pqcr: DataFrame, indexPath: String, floats: DataFrame,
-      rerank: Long, k: Int = TopK): DataFrame = {
+      rerank: Long, k: Int = TopK, perm: Seq[Int] = Nil): DataFrame = {
     val probes = nearestLists(queries, cent, "q_id", NProbe)
       .selectExpr("q_id", "emb AS q_emb", "nrm AS q_nrm", "c_id")
     val manifest = listsManifestRead(spark, indexPath) // fails loud if absent
@@ -2920,9 +2932,13 @@ object Similarity {
       if (touchedDirs.isEmpty) spark.read.parquet(indexPath).limit(0)
       else spark.read.option("basePath", indexPath)
         .parquet(touchedDirs.toIndexedSeq: _*)
+    // q·Pᵀ(P·res-codes) = (P·q)·(P·res)-codes: the query rides through
+    // the same rotation the codes were trained under (identity when the
+    // index carries no OPQ permutation)
     val subSlices = (0 until PqM)
-      .map(m => s"slice(emb, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+      .map(m => s"slice(pemb, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
     val lut = queries
+      .selectExpr("vec_id", "nrm", s"${permuteExpr(perm, "emb")} AS pemb")
       .selectExpr("vec_id AS q_id", "nrm AS q_nrm",
         s"posexplode(array($subSlices)) AS (m, sub)")
       .join(broadcast(pqcr), "m")
@@ -3007,6 +3023,134 @@ object Similarity {
       PqResRefine * rerankK(corpusStats(spark, dir)._1))
     wave1.unpersist() // probe reads the written files, not the plan
     out
+  }
+
+  // ---------------- OPQ: learned-rotation residual-coded IVFPQ
+
+  /** Path of the OPQ index (layout-generation tag, like `_pqr2`). */
+  def ivfPqOpqIndexPath(spark: SparkSession, dir: String): String =
+    ivfIndexPath(spark, dir) + "_opq1"
+
+  /** OPQ permutation subdir inside the index (the learned rotation — a
+    * training artifact that must travel WITH the codes, like the
+    * codebooks: probing with a mismatched rotation silently returns
+    * wrong neighbors).
+    */
+  val OpqPermDir = "_opqperm"
+
+  /** The learned OPQ rotation, restricted to PERMUTATION matrices — Ge
+    * et al. 2013's parametric allocation initialization: OPQ's job is an
+    * orthogonal transform R making the PqM subspaces carry BALANCED
+    * information so each 4-bit sub-quantizer works equally hard; a
+    * dimension permutation IS orthogonal (norms untouched, exact), it is
+    * learnable corpus-driven with one combinable aggregation, and —
+    * unlike the SVD alternation of full OPQ — it is bit-replayable in
+    * the DuckDB oracle. Training statistic: per-dimension RESIDUAL
+    * energy e_i = Σ_v ⌊res_i²·2²⁰+0.5⌋ (quantized-integer sums — exact
+    * in any order; ONE 64-column row collected, parameter-server scale);
+    * dims are ranked by energy (desc, dim asc) and dealt boustrophedon
+    * across the [[PqM]] subspaces — the heaviest dims spread out, each
+    * subspace's total energy near-balanced. Returns target→source (0-
+    * based): permuted[j] = res[perm(j)].
+    */
+  private[pipeline] def opqPermutation(hist: DataFrame,
+      cent: DataFrame): Seq[Int] = {
+    val ranked = opqEnergies(hist, cent).zipWithIndex
+      .sortBy { case (e, d) => (-e, d) }
+    val assign = ranked.zipWithIndex.map { case ((_, dim), r) =>
+      val s0 = r % (2 * PqM)
+      (if (s0 < PqM) s0 else 2 * PqM - 1 - s0, r, dim)
+    }
+    assign.sortBy(t => (t._1, t._2)).map(_._3)
+  }
+
+  /** The OPQ training statistic: per-dimension quantized residual energy
+    * of `hist` against `cent` — exposed so [[graft.pipeline.OpqSpec]] can
+    * independently re-derive the allocation and measure its balance.
+    */
+  private[pipeline] def opqEnergies(hist: DataFrame,
+      cent: DataFrame): Seq[Long] = {
+    val res = assignOne(hist, cent, "vec_id", "c_id", "c_emb", "c_nrm",
+        "csim", "crk")
+      .join(broadcast(cent.select("c_id", "c_emb")), "c_id")
+      .selectExpr("zip_with(emb, c_emb, (x, y) -> x - y) AS res")
+    val sums = (0 until Dim).map(i => sum(expr(
+      s"CAST(floor(element_at(res, ${i + 1}) * element_at(res, ${i + 1})" +
+        s" * $QScale.0 + 0.5) AS BIGINT)")).as(s"e$i"))
+    val row = res.agg(sums.head, sums.tail: _*).head() // ONE 64-long row
+    (0 until Dim).map(row.getLong)
+  }
+
+  /** The persisted rotation of a built OPQ index. Fails loud when
+    * absent (the [[indexCodebook]] contract).
+    */
+  def indexOpqPerm(spark: SparkSession, indexPath: String): Seq[Int] = {
+    val (fs, _) = hadoopFs(spark, indexPath)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexPath/$OpqPermDir/_SUCCESS")))
+      throw new IllegalStateException(
+        s"no $OpqPermDir at $indexPath — index was not built by " +
+          "ensureIvfPqOpqIndex; rebuild the index")
+    spark.read.parquet(s"$indexPath/$OpqPermDir")
+      .orderBy("pos").collect().map(_.getInt(1)).toSeq
+  }
+
+  /** Build-once OPQ-rotated residual-coded IVFPQ: identical 2-byte list
+    * layout, coarse codebook and manifest as [[ensureIvfPqResIndex]],
+    * but residuals (codebook seeds AND stored vectors) pass through the
+    * learned permutation before sub-slicing — the standard recall
+    * upgrade at the SAME byte budget (FAISS `OPQMatrix` + IndexIVFPQ).
+    * The rotation persists in [[OpqPermDir]] and every probe reads it
+    * back from the index.
+    */
+  def ensureIvfPqOpqIndex(spark: SparkSession, dir: String): String = {
+    val path = ivfPqOpqIndexPath(spark, dir)
+    val (fs, root) = hadoopFs(spark, path)
+    def committed(r: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(r, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$r/$CodebookDir/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$r/$PqCodebookDir/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$r/$OpqPermDir/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(r, ListsManifestFile))
+    IndexCommit.ensure(fs, root)(committed) { tmp =>
+      import spark.implicits._
+      val emb = embDouble(spark, dir)
+      val nc = nCentroids(spark, dir)
+      val cent = coarseCent(emb, nc)
+      val hist = emb.where(s"vec_id % $IvfSplitMod <> 0")
+      val perm = opqPermutation(hist, cent)
+      val pqcr = pqCodebookRes(emb, cent, nc, perm)
+      pqEncodeRes(
+        nearestLists(hist, cent, "vec_id", 1)
+          .select("vec_id", "emb", "nrm", "c_id"), cent, pqcr, perm)
+        .repartition(col("c_id"))
+        .sortWithinPartitions("c_id", "vec_id")
+        .write.mode("overwrite").partitionBy("c_id").parquet(tmp.toString)
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$CodebookDir")
+      pqcr.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$PqCodebookDir")
+      perm.zipWithIndex.map { case (src, pos) => (pos, src) }
+        .toDF("pos", "src").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/$OpqPermDir")
+      val lists = fs.listStatus(tmp).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
+        .map(_.getPath.getName.stripPrefix("c_id=").toLong).toSet
+      listsManifestWrite(spark, tmp.toString, lists)
+    }
+    path
+  }
+
+  /** Incremental ANN over the OPQ index, probe leg — the residual probe
+    * with the index's persisted rotation applied to the query side, at
+    * the residual family's refine (×[[PqResRefine]]: equal list bytes,
+    * equal re-rank IO — the apples-to-apples OPQ comparison).
+    */
+  def incrementalIvfPqOpq(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfPqOpqIndex(spark, dir)
+    val emb = embDouble(spark, dir)
+    incrementalIvfPqResProbe(spark, waveQueries(emb, 0),
+      indexCodebook(spark, path), indexPqCodebook(spark, path), path, emb,
+      PqResRefine * rerankK(corpusStats(spark, dir)._1),
+      perm = indexOpqPerm(spark, path))
   }
 
   /** Stream-static PQ probe — the code-layout twin of
@@ -3376,6 +3520,169 @@ object Similarity {
   val incrementalIvfPqResAppendSql: String = ivfPqResIncrSql(
     s"vec_id % $IvfSplitMod <> 0 OR vec_id % ${2 * IvfSplitMod} = 0",
     IvfSplitMod)
+
+  /** DuckDB replay of [[incrementalIvfPqOpq]]: the residual chain with
+    * the OPQ permutation learned IN-QUERY — per-dim quantized residual
+    * energies, (energy DESC, dim ASC) ranking, boustrophedon deal, and
+    * the permutation applied to codebook seeds, stored vectors, and the
+    * query LUT slices alike.
+    */
+  private def ivfPqOpqIncrSql(histPred: String, rem: Int): String = {
+    val w = 2 * IvfSplitMod
+    def dotSub(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i]))"
+    def normSq(a: String): String =
+      s"list_sum(list_transform($a, v -> v * v))"
+    def dotFull(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
+    // full residual of the rows selected by assignName against their
+    // centroid — feeds BOTH the energy statistic and the permuted slices
+    def resFull(assignName: String, outName: String): String =
+      s"""$outName AS MATERIALIZED (
+         |  SELECT a.vec_id, e.nrm,
+         |         list_transform(range(1, ${Dim + 1}),
+         |           i -> e.emb[i] - g.g_emb[i]) AS res
+         |  FROM $assignName a
+         |  JOIN emb e ON e.vec_id = a.vec_id
+         |  JOIN gcent g ON g.g_id = a.g_id)""".stripMargin
+    // permuted subspace m of a full residual: res[p[m·SubDim + i]]
+    def permSubs(fullName: String, outName: String): String = (0 until PqM)
+      .map { m =>
+        val off = m * PqSubDim
+        s"""SELECT r.vec_id, r.nrm, $m AS m,
+           |       list_transform(range(1, ${PqSubDim + 1}),
+           |         i -> r.res[pt.p[$off + i]]) AS sub
+           |FROM $fullName r, permt pt""".stripMargin
+      }.mkString(s"$outName AS (\n", "\n  UNION ALL ", ")")
+    val qSubSelects = (0 until PqM)
+      .map { m =>
+        val off = m * PqSubDim
+        s"""SELECT vec_id, nrm, $m AS m,
+           |       list_transform(range(1, ${PqSubDim + 1}),
+           |         i -> e.emb[pt.p[$off + i]]) AS sub
+           |FROM emb e, permt pt""".stripMargin
+      }.mkString("\n  UNION ALL ")
+    s"""WITH $embCte,
+       |gcent AS (SELECT vec_id AS g_id, emb AS g_emb, nrm AS g_nrm FROM emb
+       |          WHERE vec_id < $nCentroidsSqlExpr),
+       |hist AS (SELECT vec_id, emb, nrm FROM emb WHERE $histPred),
+       |lists AS (
+       |  SELECT vec_id, g_id FROM (
+       |    SELECT h.vec_id, g.g_id,
+       |           row_number() OVER (PARTITION BY h.vec_id ORDER BY
+       |             round(${cosineSql("h.emb", "g.g_emb", "h.nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM hist h, gcent g)
+       |  WHERE grk = 1),
+       |permlists AS (
+       |  SELECT vec_id, g_id FROM (
+       |    SELECT e.vec_id, g.g_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(${cosineSql("e.emb", "g.g_emb", "e.nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM emb e, gcent g WHERE e.vec_id % $IvfSplitMod <> 0)
+       |  WHERE grk = 1),
+       |${resFull("permlists", "rfull_t")},
+       |ren AS (SELECT i, sum(floor(res[i] * res[i] * $QScale.0 + 0.5))::BIGINT AS en
+       |        FROM rfull_t, range(1, ${Dim + 1}) t(i) GROUP BY i),
+       |rrk AS (SELECT i, row_number() OVER (ORDER BY en DESC, i ASC) - 1 AS r
+       |        FROM ren),
+       |rasg AS (SELECT i, r,
+       |               CASE WHEN r % ${2 * PqM} < $PqM THEN r % ${2 * PqM}
+       |                    ELSE ${2 * PqM - 1} - (r % ${2 * PqM}) END AS sub
+       |        FROM rrk),
+       |permt AS MATERIALIZED (SELECT list(i ORDER BY sub, r) AS p FROM rasg),
+       |nc AS (SELECT count(*)::BIGINT AS n FROM gcent),
+       |cbassign AS (
+       |  SELECT vec_id, g_id FROM (
+       |    SELECT e.vec_id, g.g_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             round(${cosineSql("e.emb", "g.g_emb", "e.nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM emb e, gcent g
+       |    WHERE e.vec_id >= (SELECT n FROM nc)
+       |      AND e.vec_id < (SELECT n FROM nc) + $PqK)
+       |  WHERE grk = 1),
+       |${resFull("cbassign", "rfull_cb")},
+       |${permSubs("rfull_cb", "rsubs_cb")},
+       |pcentr AS (SELECT m, vec_id - (SELECT n FROM nc) AS c_id, sub AS c_sub
+       |           FROM rsubs_cb),
+       |${resFull("lists", "rfull_h")},
+       |${permSubs("rfull_h", "rsubs_h")},
+       |codes AS (
+       |  SELECT vec_id, m, c_id FROM (
+       |    SELECT s.vec_id, s.m, c.c_id,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |             round(${normSq("s.sub")} - 2 * ${dotSub("s.sub", "c.c_sub")}
+       |               + ${normSq("c.c_sub")}, 6) ASC, c.c_id ASC) AS crk
+       |    FROM rsubs_h s
+       |    JOIN pcentr c USING (m))
+       |  WHERE crk = 1),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM emb
+       |      WHERE vec_id % $w = $rem
+       |        AND vec_id < ${w.toLong * QuerySetSize + rem}),
+       |qsubs AS (
+       |  $qSubSelects),
+       |probes AS (
+       |  SELECT q_id, g_id FROM (
+       |    SELECT q.q_id, g.g_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             round(${cosineSql("q.q_emb", "g.g_emb", "q.q_nrm", "g.g_nrm")}, 6) DESC,
+       |             g.g_id) AS grk
+       |    FROM q, gcent g)
+       |  WHERE grk <= $NProbe),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.nrm AS q_nrm, s.m, c.c_id,
+       |         floor(${dotSub("s.sub", "c.c_sub")} * $QScale.0 + 0.5)::BIGINT AS pq
+       |  FROM qsubs s
+       |  JOIN q ON q.q_id = s.vec_id
+       |  JOIN pcentr c USING (m)),
+       |qc AS (
+       |  SELECT p.q_id, p.g_id,
+       |         floor(${dotFull("q.q_emb", "g.g_emb")} * $QScale.0 + 0.5)::BIGINT AS qcq
+       |  FROM probes p
+       |  JOIN q ON q.q_id = p.q_id
+       |  JOIN gcent g ON g.g_id = p.g_id),
+       |cand AS (
+       |  SELECT p.q_id, p.g_id, l.vec_id, h.nrm
+       |  FROM probes p
+       |  JOIN lists l USING (g_id)
+       |  JOIN hist h ON h.vec_id = l.vec_id
+       |  WHERE l.vec_id <> p.q_id),
+       |adcs AS (
+       |  SELECT n.q_id, n.vec_id, max(l.q_nrm) AS q_nrm, max(n.nrm) AS nrm,
+       |         max(qc.qcq) AS qcq, sum(l.pq)::BIGINT AS adcq
+       |  FROM cand n
+       |  JOIN codes c ON c.vec_id = n.vec_id
+       |  JOIN lut l ON l.q_id = n.q_id AND l.m = c.m AND l.c_id = c.c_id
+       |  JOIN qc ON qc.q_id = n.q_id AND qc.g_id = n.g_id
+       |  GROUP BY n.q_id, n.vec_id),
+       |cut AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY
+       |             round(((qcq + adcq)::DOUBLE / $QScale.0)
+       |               / (q_nrm * nrm), 6) DESC,
+       |             vec_id ASC) AS ark
+       |    FROM adcs)
+       |  WHERE ark <= $PqResRefine
+       |    * greatest($RerankKMin, (SELECT count(*) // 1000 FROM emb))),
+       |reranked AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         round(${cosineSql("q.q_emb", "e.emb", "q.q_nrm", "e.nrm")}, 6) AS sim
+       |  FROM cut c
+       |  JOIN emb e ON e.vec_id = c.vec_id
+       |  JOIN q ON q.q_id = c.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM reranked)
+       |SELECT q_id, vec_id, sim, rk::BIGINT AS rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+  }
+
+  val incrementalIvfPqOpqSql: String =
+    ivfPqOpqIncrSql(s"vec_id % $IvfSplitMod <> 0", 0)
 
   val incrementalIvfPqSql: String =
     ivfPqIncrSql(s"vec_id % $IvfSplitMod <> 0", 0)
@@ -3900,6 +4207,7 @@ object Similarity {
     "stream_incremental_ivf_sq8" -> streamIncrementalIvfSq8,
     "sim_incremental_ivf_pq" -> incrementalIvfPq,
     "sim_incremental_ivf_pq_res" -> incrementalIvfPqRes,
+    "sim_incremental_ivf_opq" -> incrementalIvfPqOpq,
     "sim_incremental_ivf_pq_res_append" -> incrementalIvfPqResAppend,
     "sim_incremental_ivf_pq_append" -> incrementalIvfPqAppend,
     "stream_incremental_ivf_pq" -> streamIncrementalIvfPq,
@@ -3935,6 +4243,7 @@ object Similarity {
     "stream_incremental_ivf_sq8" -> streamIncrementalIvfSq8Sql,
     "sim_incremental_ivf_pq" -> incrementalIvfPqSql,
     "sim_incremental_ivf_pq_res" -> incrementalIvfPqResSql,
+    "sim_incremental_ivf_opq" -> incrementalIvfPqOpqSql,
     "sim_incremental_ivf_pq_res_append" -> incrementalIvfPqResAppendSql,
     "sim_incremental_ivf_pq_append" -> incrementalIvfPqAppendSql,
     "stream_incremental_ivf_pq" -> streamIncrementalIvfPqSql,

@@ -206,6 +206,10 @@ object PlanAuditBudgets {
     // re-rank window, presentation sort); the coarse-term join is a
     // broadcast against the bounded codebook — no extra exchange
     "sim_incremental_ivf_pq_res" -> 4,
+    // OPQ probe = the residual probe shape (rotation is a projection,
+    // not an exchange): same 4 stages — probe-set rank, ADC agg, exact
+    // re-rank rank, presentation sort
+    "sim_incremental_ivf_opq" -> 4,
     "sim_incremental_ivf_pq_res_append" -> 4,
     "sim_incremental_ivf_pq_append" -> 4,
     // the probe's 4 plus the hist brute-force truth (its top-k window +

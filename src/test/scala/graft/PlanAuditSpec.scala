@@ -70,6 +70,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // incremental IVF: nearestLists crossJoins the broadcast 16-row
     // codebook (vec_id < NCentroids) for list assignment / probe set
     "sim_incremental_ivf", "sim_incremental_ivf_append",
+    // compaction entry: the post-OPTIMIZE probe — identical bounded
+    // persisted-codebook crossJoin shape as the probe/append pair
+    "sim_incremental_ivf_compact",
+    // OPQ entry: the residual probe with a rotated query side — the
+    // codebook crossJoin is the same bounded persisted frame
+    "sim_incremental_ivf_opq",
     // SQ8-stored IVF probe/append: the same bounded persisted-codebook
     // crossJoin (nearestLists) for assignment and the probe set; list
     // scoring itself is an equi join on c_id
