@@ -54,9 +54,12 @@ object LearnedMix {
   /** Fixed-point scale of the per-round ratio. */
   val Scale = 256L
 
-  /** Per-doc loss cap — bounds every BIGINT product:
-    * Scale · (L_c + n_c) · N ≤ 256 · (n·10⁶) · n stays < 2⁶³ for any
-    * corpus under ~5M docs per aggregation scope.
+  /** Per-doc loss cap. The ratio numerator Scale·(L_c + n_c)·N is up to
+    * 256·(n_c·(10⁶+1))·N ≈ 2.6e8·n_c·N — past 2⁶³ once n_c·N > ~3.6e10
+    * (a ~190k-doc cluster at equal accept counts), so the ratio is
+    * computed in WIDE integers on both engines (BigInt here, HUGEINT in
+    * the oracle — r15 ADVICE finding 1); only the clamped [128, 512]
+    * result re-enters 64-bit arithmetic.
     */
   val LossCap = 1000000L
 
@@ -98,10 +101,14 @@ object LearnedMix {
     val nacc = stats.valuesIterator.map(_._2).sum
     w.map { case (c, wv) =>
       val (lc, nc) = stats.getOrElse(c, (0L, 0L))
+      // BigInt: the un-clamped numerator exceeds 2⁶³ for clusters past
+      // ~190k docs (LossCap scaladoc) — Long would wrap silently while
+      // DuckDB's HUGEINT replay stays exact, diverging the engines
       val r =
         if (nc == 0 || ltot + nacc == 0) Scale
         else math.min(2 * Scale, math.max(Scale / 2,
-          (Scale * (lc + nc) * nacc) / (nc * (ltot + nacc))))
+          ((BigInt(Scale) * (BigInt(lc) + BigInt(nc)) * BigInt(nacc)) /
+            (BigInt(nc) * (BigInt(ltot) + BigInt(nacc)))).toLong))
       c -> math.min(WMax, math.max(WMin, (wv * r) / Scale))
     }
   }
@@ -163,8 +170,9 @@ object LearnedMix {
          |    least($WMax, greatest($WMin,
          |      (m.w * (CASE WHEN s.nc = 0 OR t.ltot + t.nacc = 0 THEN $Scale
          |              ELSE least(${2 * Scale}, greatest(${Scale / 2},
-         |                ($Scale * (s.lc + s.nc) * t.nacc)
-         |                  // (s.nc * (t.ltot + t.nacc)))) END))
+         |                (($Scale::HUGEINT * (s.lc + s.nc) * t.nacc)
+         |                  // (s.nc::HUGEINT * (t.ltot + t.nacc)))::BIGINT))
+         |              END))
          |        // $Scale))::BIGINT AS w
          |  FROM s$t s JOIN mix$p m USING (c_id) CROSS JOIN t$t t)""".stripMargin
     }.mkString(",\n")
