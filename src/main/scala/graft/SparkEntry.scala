@@ -159,6 +159,10 @@ object SparkEntry {
       // all inside one streaming query (r14 verdict item 5)
       "stream_crawl_admit" -> ((s: SparkSession, dir: String) =>
         streaming.CrawlAdmit.admitQuery(s, dir)),
+      // Crawl-delay politeness: per-domain event-time fetch spacing via
+      // transformWithState event-time timers (r15 verdict item 4)
+      "stream_crawl_politeness" -> ((s: SparkSession, dir: String) =>
+        streaming.CrawlPoliteness.politenessQuery(s, dir)),
       // watermark late-data DROP semantics end-to-end: out-of-order chunk
       // replay through a real watermarked append-mode aggregation, the
       // watermark machine replicated row-exactly by the DuckDB oracle
@@ -289,6 +293,7 @@ object SparkEntry {
         "stream_dedup_first" -> streaming.StreamingDedup.firstPerKeySql,
         "stream_domain_quota" -> streaming.DomainQuota.quotaSql,
         "stream_crawl_admit" -> streaming.CrawlAdmit.admitSql,
+        "stream_crawl_politeness" -> streaming.CrawlPoliteness.politenessSql,
         "stream_late_data" -> streaming.LateData.lateDataSql,
         "stream_interval_join" -> streaming.StreamJoin.intervalJoinSql,
         "stream_outer_join" -> streaming.StreamJoin.outerJoinSql,

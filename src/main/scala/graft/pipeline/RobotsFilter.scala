@@ -40,13 +40,22 @@ object RobotsFilter {
   private def tailK(domainCol: String): String =
     s"CAST(regexp_extract($domainCol, 'site([0-9]+)', 1) AS BIGINT)"
 
-  /** The per-domain robots.txt bytes, Spark dialect. */
+  /** The per-domain robots.txt bytes, Spark dialect. Since r16 the
+    * surface also publishes `Crawl-delay` (the de-facto RFC 9309
+    * extension real crawlers honor): every bot-specific group declares
+    * 1 s; every 2nd tail domain's `*` group declares 2 s — so the
+    * politeness classes {1 s, 2 s, none} are all live. The directive is
+    * invisible to the Allow/Disallow parse (its LIKE filters skip the
+    * line), so the rule entries' hashes are unaffected.
+    */
   private val robotsTextSpark: String = {
     val k = tailK("domain")
     s"""CASE WHEN domain = 'ads.example' THEN ''
        |ELSE concat(
        |  'User-agent: *', chr(10),
        |  'Disallow: /about', chr(10),
+       |  CASE WHEN domain <> 'big.example.com' AND $k % 2 = 0
+       |       THEN concat('Crawl-delay: 2', chr(10)) ELSE '' END,
        |  CASE WHEN domain = 'big.example.com'
        |       THEN concat('Disallow: /d', chr(10), 'Allow: /doc', chr(10))
        |       ELSE '' END,
@@ -54,7 +63,8 @@ object RobotsFilter {
        |       THEN concat('Disallow: /tos', chr(10)) ELSE '' END,
        |  CASE WHEN domain = 'big.example.com' OR $k % 4 = 0
        |       THEN concat('User-agent: $BotAgent', chr(10),
-       |                   'Disallow: /', chr(10), 'Allow: /doc', chr(10))
+       |                   'Disallow: /', chr(10), 'Allow: /doc', chr(10),
+       |                   'Crawl-delay: 1', chr(10))
        |       ELSE '' END)
        |END""".stripMargin
   }
@@ -68,6 +78,8 @@ object RobotsFilter {
        |ELSE concat(
        |  'User-agent: *', chr(10),
        |  'Disallow: /about', chr(10),
+       |  CASE WHEN domain <> 'big.example.com' AND $k % 2 = 0
+       |       THEN concat('Crawl-delay: 2', chr(10)) ELSE '' END,
        |  CASE WHEN domain = 'big.example.com'
        |       THEN concat('Disallow: /d', chr(10), 'Allow: /doc', chr(10))
        |       ELSE '' END,
@@ -75,7 +87,8 @@ object RobotsFilter {
        |       THEN concat('Disallow: /tos', chr(10)) ELSE '' END,
        |  CASE WHEN domain = 'big.example.com' OR $k % 4 = 0
        |       THEN concat('User-agent: $BotAgent', chr(10),
-       |                   'Disallow: /', chr(10), 'Allow: /doc', chr(10))
+       |                   'Disallow: /', chr(10), 'Allow: /doc', chr(10),
+       |                   'Crawl-delay: 1', chr(10))
        |       ELSE '' END)
        |END""".stripMargin
   }
@@ -132,25 +145,54 @@ object RobotsFilter {
         "coalesce(rule_allow, true) AS allowed")
   }
 
+  /** Template-blind parse of `Crawl-delay` directives into
+    * (domain, agent, delay_ms) — same line grammar and running-max group
+    * binding as [[parseRules]]; seconds scale to ms. Exposed for the spec.
+    */
+  private[graft] def parseDelays(robots: DataFrame): DataFrame = {
+    val lines = robots
+      .selectExpr("domain", "posexplode(split(txt, chr(10))) AS (li, line)")
+      .selectExpr("domain", "CAST(li AS BIGINT) AS li", "line")
+    val withUa = lines.withColumn("ua_idx", expr(
+      "max(CASE WHEN line LIKE 'User-agent: %' THEN li END)" +
+        " OVER (PARTITION BY domain ORDER BY li)"))
+    val uaNames = lines.where("line LIKE 'User-agent: %'")
+      .selectExpr("domain", "li AS ua_idx", "substring(line, 13) AS agent")
+    withUa
+      .where("line LIKE 'Crawl-delay: %'")
+      .join(uaNames, Seq("domain", "ua_idx"))
+      .selectExpr("domain", "agent",
+        "CAST(substring(line, 14) AS BIGINT) * 1000 AS delay_ms")
+  }
+
   /** The per-domain SELECTED rule group folded to ONE broadcastable
-    * array row (domain, rules: array<struct<plen, is_allow, prefix>>) —
-    * the robots artifact a crawler ships to its fetch hot path: after a
-    * broadcast join on domain the verdict is the ROW-LOCAL array argmax
-    * [[allowedExpr]] (no groupBy — evaluable inside a streaming
-    * micro-batch, [[graft.streaming.CrawlAdmit]]). Domains publishing no
-    * rules are absent (no robots = allow all, the left-join null case).
+    * array row (domain, rules: array<struct<plen, is_allow, prefix>>,
+    * delay_ms) — the robots artifact a crawler ships to its fetch hot
+    * path: after a broadcast join on domain the verdict is the ROW-LOCAL
+    * array argmax [[allowedExpr]] (no groupBy — evaluable inside a
+    * streaming micro-batch, [[graft.streaming.CrawlAdmit]]), and
+    * `delay_ms` is the selected group's Crawl-delay (0 when the group
+    * declares none), driving [[graft.streaming.CrawlPoliteness]]'s
+    * per-domain fetch spacing. Domains publishing no rules are absent
+    * (no robots = allow all, zero delay — the left-join null case).
     */
   private[graft] def ruleTable(spark: SparkSession,
       domains: DataFrame): DataFrame = {
-    val rules = parseRules(
-      domains.selectExpr("domain", s"$robotsTextSpark AS txt"))
+    val robots = domains.selectExpr("domain", s"$robotsTextSpark AS txt")
+    val rules = parseRules(robots)
     val hasBot = rules.groupBy("domain")
       .agg(max(expr(s"agent = '$BotAgent'")).as("has_bot"))
-    rules.join(hasBot, "domain")
+    val picked = rules.join(hasBot, "domain")
       .where(s"agent = CASE WHEN has_bot THEN '$BotAgent' ELSE '*' END")
       .groupBy("domain")
       .agg(sort_array(collect_list(
         struct(col("plen"), col("is_allow"), col("prefix")))).as("rules"))
+    val delays = parseDelays(robots).join(hasBot, "domain")
+      .where(s"agent = CASE WHEN has_bot THEN '$BotAgent' ELSE '*' END")
+      .groupBy("domain").agg(max("delay_ms").as("delay_ms"))
+    picked.join(delays, Seq("domain"), "left")
+      .selectExpr("domain", "rules",
+        "coalesce(delay_ms, CAST(0 AS BIGINT)) AS delay_ms")
   }
 
   /** Row-local longest-match-wins verdict over a `rules` array + `path`

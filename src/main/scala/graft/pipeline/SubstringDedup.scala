@@ -106,9 +106,108 @@ object SubstringDedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Minimum duplicated run length in TOKENS for the token-level pass.
+    * Lee et al. 2022 run ExactSubstr on BPE-token streams (50 tokens on
+    * natural text); 8 ids of this 256-merge vocabulary ≈ 3 words —
+    * measured on the sf0.01 corpus: 18 docs duplicated / 482 clean at 8
+    * vs 6/494 at 12 (the doc-group word salting keeps cross-group
+    * repeats out of id space, so token repeats are rarer than char
+    * repeats) — both verdict classes comfortably live (the CmsW lesson).
+    */
+  val TokGramLen = 8
+
+  /** Token-level ExactSubstr (r15 verdict item 5) — the PUBLISHED form of
+    * Lee et al. 2022: the dedup unit is the BPE TOKEN stream, not raw
+    * chars, so a repeated passage is found even when its surface bytes
+    * differ only in tokenization-invariant ways, and the gram key is L
+    * BIGINTs instead of L chars. This pass runs over
+    * [[TokenPack.docStreams]]' id streams (the `pipeline_pack_tokens`
+    * artifact — EOS included), so spans come out in TOKEN coordinates,
+    * directly usable to cut packed training sequences.
+    *
+    * Same scale shape as the char pass: the gram key shipped to the
+    * shuffle is the 57-bit fold of the L ids (8 bytes/gram, the
+    * [[graft.functions.GramFps]] economics — here the fold is a row-local
+    * HOF over the already-materialized id array, O(L) per position at
+    * test L), occurrence counting is the map-side-combining aggregate +
+    * SHUFFLE_HASH join back, span assembly is gaps-and-islands per doc.
+    */
+  def substringDedupTokensCore(docs: DataFrame, streams: DataFrame,
+      L: Int): DataFrame = {
+    val P = graft.functions.GramFps.P57
+    val grams = streams
+      .where(s"size(ids) >= $L")
+      .selectExpr("doc_id",
+        s"posexplode(transform(sequence(1, size(ids) - ${L - 1}), " +
+          s"p -> aggregate(slice(ids, p, $L), CAST(0 AS BIGINT), " +
+          s"(a, v) -> (a * 31 + v) % $P))) AS (p0, g)")
+      .selectExpr("doc_id", "CAST(p0 + 1 AS BIGINT) AS pos", "g")
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where("cnt >= 2").select("g")
+    val covered = grams.join(dup.hint("shuffle_hash"), "g")
+      .withColumn("isl", expr(
+        "pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)"))
+    val spans = covered.groupBy("doc_id", "isl").agg(
+      count(lit(1)).as("starts"),
+      (max("pos") - min("pos") + lit(L)).cast("long").as("toks"))
+    val perDoc = spans.groupBy("doc_id").agg(
+      sum("starts").as("c"), count(lit(1)).as("s"), sum("toks").as("d"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(c, CAST(0 AS BIGINT)) AS n_covered",
+        "coalesce(s, CAST(0 AS BIGINT)) AS n_spans",
+        "coalesce(d, CAST(0 AS BIGINT)) AS dup_tokens")
+      .orderBy("doc_id")
+  }
+
+  def substringDedupTokens(spark: SparkSession, dir: String): DataFrame =
+    substringDedupTokensCore(
+      Tables.load(spark, dir, "documents"),
+      TokenPack.docStreams(spark, dir).select("doc_id", "ids"),
+      TokGramLen)
+
+  /** Whole-chain replay: [[TokenPack.docsCtes]] (the trained tokenizer +
+    * id streams, shared verbatim with `pipeline_pack_tokens`), then the
+    * identical fold/count/island chain in token coordinates.
+    */
+  val substringDedupTokensSql: String = {
+    val L = TokGramLen
+    val P = graft.functions.GramFps.P57
+    s"""WITH ${TokenPack.docsCtes},
+       |tg0 AS (
+       |  SELECT doc_id, unnest(range(1, dlen - ${L - 2})) AS pos, ids
+       |  FROM docs2 WHERE dlen >= $L),
+       |tgr AS (SELECT doc_id, pos,
+       |        list_reduce(list_prepend(0::BIGINT,
+       |          ids[pos::INT : (pos + ${L - 1})::INT]),
+       |          (a, c) -> (a * 31 + c) % $P) AS g
+       |        FROM tg0),
+       |tc AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt
+       |       FROM tgr),
+       |tcov AS (SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |           AS isl
+       |         FROM tc WHERE cnt >= 2),
+       |tsp AS (SELECT doc_id, isl, count(*) AS starts,
+       |        max(pos) - min(pos) + $L AS toks
+       |        FROM tcov GROUP BY doc_id, isl),
+       |tpd AS (SELECT doc_id, sum(starts) AS c, count(*) AS s,
+       |               sum(toks) AS d
+       |        FROM tsp GROUP BY doc_id)
+       |SELECT d0.doc_id,
+       |       coalesce(c, 0)::BIGINT AS n_covered,
+       |       coalesce(s, 0)::BIGINT AS n_spans,
+       |       coalesce(d, 0)::BIGINT AS dup_tokens
+       |FROM documents d0 LEFT JOIN tpd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_substring_dedup" -> ((s: SparkSession, d: String) => substringDedup(s, d)))
+    "text_substring_dedup" -> ((s: SparkSession, d: String) => substringDedup(s, d)),
+    "text_substring_dedup_tokens" ->
+      ((s: SparkSession, d: String) => substringDedupTokens(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "text_substring_dedup" -> substringDedupSql)
+    "text_substring_dedup" -> substringDedupSql,
+    "text_substring_dedup_tokens" -> substringDedupTokensSql)
 }

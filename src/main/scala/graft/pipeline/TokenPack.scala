@@ -71,9 +71,11 @@ object TokenPack {
 
   /** Per-document token-id stream: (doc_id, ids, dlen) with EOS appended
     * — flatten of the word id sequences in word order. Documents with no
-    * non-empty words emit nothing (both engines agree).
+    * non-empty words emit nothing (both engines agree). Exposed inside the
+    * pipeline package: [[SubstringDedup]]'s token-level pass and the
+    * best-fit packer consume the same streams.
     */
-  private def docStreams(spark: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def docStreams(spark: SparkSession, dir: String): DataFrame = {
     val (wordIds, eosId) = wordIdTable(spark, dir)
     Tables.load(spark, dir, "documents")
       .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (wpos, w0)")
@@ -121,15 +123,18 @@ object TokenPack {
       .orderBy("shard", "seq_id", "pos_in_seq")
   }
 
-  /** Whole-chain DuckDB replay: the 256 unrolled training stages
-    * ([[Tokenizer.bigBaseSql]] — shared verbatim with the encode oracle),
-    * symbol-id assignment, per-word id lists, per-doc flatten + EOS,
-    * per-shard cumsum, span explode, and the span id-sum over a list
-    * slice.
+  /** The DuckDB CTE chain up to `docs2(doc_id, ids, dlen)` — the 256
+    * unrolled training stages ([[Tokenizer.bigBaseSql]], shared verbatim
+    * with the encode oracle), symbol-id assignment, per-word id lists,
+    * per-doc flatten + EOS.
+    * Shared verbatim by [[sql]], the token-level substring-dedup oracle
+    * ([[SubstringDedup.substringDedupTokensSql]]) and the best-fit packer
+    * oracle ([[bestFitSql]]), so the three entries can never disagree on
+    * what the id streams ARE.
     */
-  val sql: String = {
+  private[pipeline] val docsCtes: String = {
     val vm = Tokenizer.VocabMult
-    s"""WITH ${Tokenizer.bigBaseSql},
+    s"""${Tokenizer.bigBaseSql},
        |wsyms AS MATERIALIZED (
        |  SELECT word, string_split(substring(syms, 2, length(syms) - 2),
        |                            '><') AS sl
@@ -155,10 +160,17 @@ object TokenPack {
        |dstream AS MATERIALIZED (
        |  SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids0
        |  FROM toks JOIN wid USING (word) GROUP BY doc_id),
-       |docs2 AS (SELECT doc_id,
+       |docs2 AS MATERIALIZED (SELECT doc_id,
        |                 list_append(ids0, (SELECT eid FROM eos)) AS ids,
        |                 (len(ids0) + 1)::BIGINT AS dlen
-       |          FROM dstream),
+       |          FROM dstream)""".stripMargin
+  }
+
+  /** Whole-chain DuckDB replay: [[docsCtes]] + per-shard cumsum, span
+    * explode, and the span id-sum over a list slice.
+    */
+  val sql: String =
+    s"""WITH $docsCtes,
        |offs AS (SELECT doc_id, doc_id % $Shards AS shard, ids, dlen,
        |                (sum(dlen) OVER (PARTITION BY doc_id % $Shards
        |                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT
@@ -183,11 +195,167 @@ object TokenPack {
        |                0)::BIGINT AS span_idsum,
        |       dlen AS doc_tokens
        |FROM cut ORDER BY shard, seq_id, pos_in_seq""".stripMargin
+
+  // ----------------------------------------------------- best-fit packing
+
+  /** A packing item: one whole document (or one SeqLen-bounded chunk of a
+    * long document) entering the bin packer.
+    */
+  private[pipeline] case class PackItem(shard: Long, doc_id: Long,
+      tok_start: Long, ilen: Long)
+
+  /** A packed item: its bin and fill offset within the bin. */
+  private[pipeline] case class PackedItem(shard: Long, bin_id: Long,
+      pos_in_bin: Long, doc_id: Long, tok_start: Long, span_len: Long)
+
+  /** First-fit-decreasing over one shard's items — the classic
+    * truncation-free sequence packer (Krell et al. 2021's shortest-pack
+    * family; FFD is its deterministic textbook member): items sorted by
+    * (length DESC, doc_id, tok_start), each placed into the LOWEST-indexed
+    * bin with room, else a new bin; bins fill left to right so
+    * `pos_in_bin` is the running fill at placement. Deterministic given
+    * the item set — no randomness, no partition-order dependence — which
+    * is what lets DuckDB replay the exact assignment. Exposed for
+    * [[graft.TokenPackSpec]]'s waste comparison.
+    */
+  private[pipeline] def ffdPack(items: Seq[PackItem]): Seq[PackedItem] = {
+    val sorted = items.sortBy(i => (-i.ilen, i.doc_id, i.tok_start))
+    val rems = scala.collection.mutable.ArrayBuffer.empty[Long]
+    sorted.map { it =>
+      val j = rems.indexWhere(_ >= it.ilen)
+      if (j < 0) {
+        rems += SeqLen - it.ilen
+        PackedItem(it.shard, rems.size - 1L, 0L, it.doc_id, it.tok_start,
+          it.ilen)
+      } else {
+        val pos = SeqLen - rems(j)
+        rems(j) -= it.ilen
+        PackedItem(it.shard, j.toLong, pos, it.doc_id, it.tok_start, it.ilen)
+      }
+    }.toSeq
+  }
+
+  /** The packing items over a [[docStreams]] frame: docs at most
+    * [[SeqLen]] tokens enter whole; longer docs split into
+    * [[SeqLen]]-sized chunks plus a remainder (full chunks trivially fill
+    * a bin each under the same FFD, so one uniform pass handles both).
+    */
+  private def packItems(streams: DataFrame): DataFrame =
+    streams
+      .selectExpr("doc_id", s"doc_id % $Shards AS shard", "dlen")
+      .selectExpr("shard", "doc_id", "dlen",
+        s"explode(sequence(0, (dlen - 1) div $SeqLen)) AS k")
+      .selectExpr("shard", "doc_id",
+        s"k * $SeqLen AS tok_start",
+        s"least($SeqLen, dlen - k * $SeqLen) AS ilen")
+
+  /** Q — `pipeline_pack_tokens_bestfit` (r15 verdict item 6): first-fit-
+    * decreasing packing beside [[query]]'s sequential tiling. Tiling
+    * splits documents across sequence boundaries (zero padding, but every
+    * boundary is a mid-document truncation the trainer pays attention
+    * cost for); FFD keeps each document (or SeqLen-chunk) CONTIGUOUS in
+    * one sequence and pays padding instead — `bin_fill`/`bin_waste` put
+    * the padding accounting under the hash (the `pipeline_length_buckets`
+    * convention), and the spec pins waste ≤ the sequential non-splitting
+    * (next-fit) packer's.
+    *
+    * Scale shape: the packer sees (doc_id, tok_start, ilen) METADATA only
+    * — groupByKey(shard) + mapGroups holds one shard's item list (the
+    * [[CorpusOps.PackShards]] contract: thousands of shards at 100 TB, so
+    * a group is corpus/shards-sized metadata, never token data); ids
+    * rejoin afterwards for the row-local span_idsum. FFD itself is
+    * O(n·bins) per shard — the binary-search best-fit tree is the
+    * production upgrade, same semantics.
+    */
+  def bestFitQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders => E}
+    // ONE docStreams frame feeds both the packer's metadata leg and the
+    // ids rejoin — two calls would re-run the driver-side BPE trainer
+    val streams = docStreams(spark, dir)
+    val items = packItems(streams).as[PackItem](E.product[PackItem])
+    val packed = items.groupByKey(_.shard)(E.scalaLong)
+      .flatMapGroups((_: Long, it: Iterator[PackItem]) =>
+        ffdPack(it.toSeq).iterator)(E.product[PackedItem])
+      .toDF()
+    packed
+      .join(streams.select("doc_id", "ids"), "doc_id")
+      .withColumn("bin_fill", expr(
+        "sum(span_len) OVER (PARTITION BY shard, bin_id)"))
+      .selectExpr("shard", "bin_id", "pos_in_bin", "doc_id", "tok_start",
+        "span_len",
+        "aggregate(slice(ids, CAST(tok_start + 1 AS INT), " +
+          "CAST(span_len AS INT)), CAST(0 AS BIGINT), (a, v) -> a + v)" +
+          " AS span_idsum",
+        "CAST(bin_fill AS BIGINT) AS bin_fill",
+        s"CAST($SeqLen - bin_fill AS BIGINT) AS bin_waste")
+      .orderBy("shard", "bin_id", "pos_in_bin")
+  }
+
+  /** FFD replay in DuckDB: a recursive CTE advances every shard one item
+    * per step in the FFD rank order, carrying each shard's bin-remainder
+    * list as state (the [[graft.ops.FadsOracle]] sequential-replay
+    * pattern) — `list_position` over `rems ≥ ilen` IS first-fit.
+    */
+  val bestFitSql: String = {
+    // first-fit choice: 1-based index of the first bin with room; DuckDB
+    // 1.0 returns 0 (not NULL) for not-found, so the no-fit test is
+    // coalesce(j, 0) = 0 to be robust across both conventions — inlined
+    // at each of its four uses in the recursive arm
+    val j = "list_position(list_transform(f.rems, x -> x >= r.ilen), true)"
+    s"""WITH RECURSIVE $docsCtes,
+       |items AS (
+       |  SELECT doc_id % $Shards AS shard, doc_id,
+       |         (k * $SeqLen)::BIGINT AS tok_start,
+       |         least($SeqLen, dlen - k * $SeqLen)::BIGINT AS ilen
+       |  FROM (SELECT doc_id, dlen,
+       |               unnest(range(0, (dlen - 1) // $SeqLen + 1)) AS k
+       |        FROM docs2)),
+       |ranked AS MATERIALIZED (
+       |  SELECT shard, doc_id, tok_start, ilen,
+       |         row_number() OVER (PARTITION BY shard
+       |           ORDER BY ilen DESC, doc_id, tok_start) AS rn
+       |  FROM items),
+       |ffd AS (
+       |  SELECT shard, 0::BIGINT AS rn, CAST([] AS BIGINT[]) AS rems,
+       |         NULL::BIGINT AS doc_id, NULL::BIGINT AS tok_start,
+       |         NULL::BIGINT AS ilen, NULL::BIGINT AS bin_id,
+       |         NULL::BIGINT AS pos_in_bin
+       |  FROM (SELECT DISTINCT shard FROM ranked)
+       |  UNION ALL
+       |  SELECT r.shard, r.rn,
+       |         CASE WHEN coalesce($j, 0) = 0
+       |              THEN list_append(f.rems, $SeqLen - r.ilen)
+       |              ELSE list_transform(range(1, len(f.rems) + 1),
+       |                k -> CASE WHEN k = $j THEN f.rems[k::INT] - r.ilen
+       |                          ELSE f.rems[k::INT] END)
+       |         END,
+       |         r.doc_id, r.tok_start, r.ilen,
+       |         (CASE WHEN coalesce($j, 0) = 0 THEN len(f.rems)
+       |               ELSE $j - 1 END)::BIGINT,
+       |         (CASE WHEN coalesce($j, 0) = 0 THEN 0
+       |               ELSE $SeqLen - f.rems[($j)::INT] END)::BIGINT
+       |  FROM ffd f JOIN ranked r ON r.shard = f.shard AND r.rn = f.rn + 1),
+       |placed AS (SELECT shard, bin_id, pos_in_bin, doc_id, tok_start,
+       |                  ilen AS span_len
+       |           FROM ffd WHERE rn > 0),
+       |fills AS (SELECT shard, bin_id, sum(span_len)::BIGINT AS bin_fill
+       |          FROM placed GROUP BY shard, bin_id)
+       |SELECT p.shard, p.bin_id, p.pos_in_bin, p.doc_id, p.tok_start,
+       |       p.span_len,
+       |       coalesce(list_sum(d.ids[(p.tok_start + 1)::INT
+       |                               : (p.tok_start + p.span_len)::INT]),
+       |                0)::BIGINT AS span_idsum,
+       |       f.bin_fill, ($SeqLen - f.bin_fill)::BIGINT AS bin_waste
+       |FROM placed p JOIN docs2 d USING (doc_id)
+       |JOIN fills f ON f.shard = p.shard AND f.bin_id = p.bin_id
+       |ORDER BY p.shard, p.bin_id, p.pos_in_bin""".stripMargin
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_pack_tokens" -> query)
+    "pipeline_pack_tokens" -> query,
+    "pipeline_pack_tokens_bestfit" -> bestFitQuery)
 
   val oracles: Map[String, String] = Map(
-    "pipeline_pack_tokens" -> sql)
+    "pipeline_pack_tokens" -> sql,
+    "pipeline_pack_tokens_bestfit" -> bestFitSql)
 }

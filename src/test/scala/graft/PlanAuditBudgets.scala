@@ -16,6 +16,18 @@ object PlanAuditBudgets {
     // islands window, and the final sort; all frames are gram- or
     // doc-sized, nothing is resident
     "text_substring_dedup" -> 4,
+    // the char pass's 4 stages plus the id-stream derivation the token
+    // pass rides on: the per-doc flatten agg (doc_id-keyed combinable
+    // collect), the (doc_id, isl) span agg and per-doc rollup (separate
+    // keys, both combinable) — every exchanged frame is gram-, stream-,
+    // or doc-sized
+    "text_substring_dedup_tokens" -> 7,
+    // the id-stream flatten agg, the groupByKey(shard) packer exchange
+    // (metadata rows only: (doc_id, tok_start, ilen)), the doc_id rejoin
+    // of the packed items onto the streams, the (shard, bin_id) fill
+    // window, the presentation sort — items/bins are corpus-metadata
+    // scale, only the flatten agg and rejoin move the id arrays
+    "pipeline_pack_tokens_bestfit" -> 6,
     // first-occurrence agg on the line key, the shuffle join back (dup
     // lines are corpus-proportional — deliberately NOT broadcast), the
     // per-doc reassembly agg, the presentation sort; every frame is

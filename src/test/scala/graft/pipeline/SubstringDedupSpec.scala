@@ -84,6 +84,67 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("token-level pass: a planted cross-doc duplicate run maps to its " +
+    "span in TOKEN coordinates, and an independent brute force agrees") {
+    import spark.implicits._
+    val Lt = 5 // spec-local gram length exercised through the core
+    // id streams with a planted 7-id run shared by docs 0 and 1, a
+    // within-doc repeat in doc 2, a clean doc 3, and a sub-L doc 4
+    val shared = Vector(901L, 902L, 903L, 904L, 905L, 906L, 907L)
+    val streams: Seq[(Long, Seq[Long])] = Seq(
+      0L -> (Vector(1L, 2L, 3L) ++ shared ++ Vector(4L, 5L)),
+      1L -> (Vector(6L, 7L) ++ shared ++ Vector(8L)),
+      2L -> (Vector(11L, 12L, 13L, 14L, 15L, 99L,
+        11L, 12L, 13L, 14L, 15L)),
+      3L -> Vector(21L, 22L, 23L, 24L, 25L, 26L, 27L),
+      4L -> Vector(31L, 32L, 33L))
+    val docsDf = streams.map(_._1).toDF("doc_id")
+    val streamsDf = streams.toDF("doc_id", "ids")
+    val got = SubstringDedup
+      .substringDedupTokensCore(docsDf, streamsDf, Lt).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // independent brute force over the raw id sequences
+    val counts = scala.collection.mutable.Map.empty[Seq[Long], Int]
+    for ((_, ids) <- streams; i <- 0 to ids.length - Lt)
+      counts.updateWith(ids.slice(i, i + Lt))(c => Some(c.getOrElse(0) + 1))
+    val expected = streams.map { case (id, ids) =>
+      val covered = (0 to ids.length - Lt)
+        .filter(i => counts(ids.slice(i, i + Lt)) >= 2)
+      val islands = covered.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }
+      id -> ((covered.size.toLong, islands.size.toLong,
+        islands.map { case (s, e) => e - s + Lt }.sum.toLong))
+    }.toMap
+    assert(got == expected,
+      s"token operator disagrees with brute force:\n$got\nvs\n$expected")
+    // the planted duplicate is found, in token coordinates: the shared
+    // 7-id run yields 7 - Lt + 1 = 3 covered starts merging to ONE span
+    // of exactly 7 tokens in BOTH carriers
+    assert(got(0L) == ((3L, 1L, 7L)), "planted cross-doc span in doc 0")
+    assert(got(1L) == ((3L, 1L, 7L)), "planted cross-doc span in doc 1")
+    assert(got(2L)._2 == 2L, "within-doc repeat must mark both copies")
+    assert(got(3L) == ((0L, 0L, 0L)), "clean doc must be all zeros")
+    assert(got(4L) == ((0L, 0L, 0L)), "sub-L stream must be all zeros")
+  }
+
+  test("token-level pass on testdata: both verdict classes live, island " +
+    "arithmetic holds in token coordinates") {
+    val Lt = SubstringDedup.TokGramLen
+    val rows = SubstringDedup
+      .substringDedupTokens(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.count(_.getLong(2) == 0L) > 0, "some docs must be span-free")
+    assert(rows.count(_.getLong(2) > 0L) > 0, "some docs must carry spans")
+    rows.foreach { r =>
+      val (cov, spans, toks) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cov >= spans)
+      assert(spans == 0L || toks == cov + spans * (Lt - 1),
+        s"token island arithmetic broken: cov=$cov spans=$spans toks=$toks")
+    }
+  }
+
   test("testdata: both verdict classes are live and spans are sane") {
     val rows = SubstringDedup.substringDedup(spark, "/root/testdata/sf0.001").collect()
     assert(rows.count(_.getLong(2) == 0L) > 0, "some docs must be span-free")
