@@ -130,7 +130,8 @@ object SparkEntry {
       pipeline.LinkRank.all ++
       pipeline.Multimodal.all ++
       pipeline.SubstringDedup.all ++
-      pipeline.Containment.all ++ Map(
+      pipeline.Containment.all ++
+      pipeline.Refresh.all ++ Map(
       // reporting surface: flat `q_lo`/`q_hi` doubles (GenEvent shape) — the
       // struct API stays for library callers, but driver-facing output must
       // be hashable by flat-column tooling (pandas cannot hash structs).
@@ -285,6 +286,7 @@ object SparkEntry {
       pipeline.Multimodal.oracles ++
       pipeline.SubstringDedup.oracles ++
       pipeline.Containment.oracles ++
+      pipeline.Refresh.oracles ++
       ops.FadsOracle.oracles ++
       Map(
         "stream_window_counts" -> streaming.Windows.windowCountsSql,

@@ -229,7 +229,7 @@ object CorpusOps {
     * decontamination costs one scan of the corpus, which is the only
     * acceptable price at 100 TB.
     */
-  private def gramExpr(n: Int): String =
+  private[pipeline] def gramExpr(n: Int): String =
     s"array_distinct(transform(sequence(1, greatest(size(t) - ${n - 1}, 0))," +
       s" i -> array_join(slice(t, i, $n), ' ')))"
 

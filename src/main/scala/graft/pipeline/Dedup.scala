@@ -1338,37 +1338,55 @@ object Dedup {
 
     val dup1 = incrementalProbe(spark, wave1, augIndexPath, prune = prune)
       .where("is_dup = 1").select("doc_id").distinct()
-    val accepted = minhashSignatures(wave1)
-      .join(dup1, Seq("doc_id"), "left_anti")
+    appendDocsBatch(spark, augIndexPath,
+      wave1.join(dup1, Seq("doc_id"), "left_anti"), phase)
+    incrementalProbe(spark, wave2, augIndexPath, prune = prune)
+  }
+
+  /** Sign `docsToAppend` and upsert their band rows into the bucketed
+    * index at `augIndexPath`, committing the manifest — the WRITE half of
+    * the probe → accept → append cycle, shared by [[appendCore]] and the
+    * end-to-end refresh ([[Refresh]]). The deployment-shaped append: ONE
+    * batch through the partition-wise upsert merge body — no driver-side
+    * row collect, no nested streaming query (a streaming ingest composes
+    * the same body per micro-batch via
+    * [[graft.streaming.Sinks.partitionedUpsertParquet]], unit-tested in
+    * UpsertSinkSpec). Cost is O(batch + touched buckets), index-size-
+    * independent.
+    */
+  private[pipeline] def appendDocsBatch(spark: SparkSession,
+      augIndexPath: String, docsToAppend: DataFrame,
+      phase: (String, Double) => Unit = (_, _) => ()): Unit = {
+    def timed[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val a = body
+      phase(name, (System.nanoTime() - t0) / 1e9); a
+    }
+    val p = bucketsOf(augIndexPath)
+    val accepted = minhashSignatures(docsToAppend)
       .selectExpr(Seq("doc_id") ++ (0 until H).map(i => s"m$i AS i$i")
         :+ s"posexplode($bandArrayExpr) AS (band, bh)": _*)
       .withColumn("bhp", expr(s"CAST(pmod(bh, $p) AS INT)"))
       .persist() // read 3× below (touched set, merge, write) — one compute
-    val touchedBuckets = timed("probe_wave1_sign_accepted") {
-      accepted.select("band", "bhp").distinct()
-        .collect() // ≤ B × p bucket ids: metadata-scale
-        .map(r => (r.getInt(0), r.getInt(1))).toSet
-    }
-
-    // the deployment-shaped append: ONE batch through the partition-wise
-    // upsert merge body — no driver-side row collect, no nested streaming
-    // query (a streaming ingest composes the same body per micro-batch via
-    // [[graft.streaming.Sinks.partitionedUpsertParquet]], unit-tested in
-    // UpsertSinkSpec)
-    timed("bucketwise_append") {
-      graft.streaming.Sinks.partitionedUpsertBatch(
-        accepted.toDF(), augIndexPath,
-        partitionCols = Seq("band", "bhp"),
-        keyCols = Seq("doc_id", "band"), versionCols = Seq("bh"),
-        sortCols = Seq("bh"))
-    }
-    timed("manifest_commit") {
-      augmentManifest(spark, augIndexPath, touchedBuckets)
-    }
-
-    val out = incrementalProbe(spark, wave2, augIndexPath, prune = prune)
-    accepted.unpersist() // re-probe reads the written files, not the plan
-    out
+    try {
+      val touchedBuckets = timed("probe_wave1_sign_accepted") {
+        accepted.select("band", "bhp").distinct()
+          .collect() // ≤ B × p bucket ids: metadata-scale
+          .map(r => (r.getInt(0), r.getInt(1))).toSet
+      }
+      timed("bucketwise_append") {
+        graft.streaming.Sinks.partitionedUpsertBatch(
+          accepted.toDF(), augIndexPath,
+          partitionCols = Seq("band", "bhp"),
+          keyCols = Seq("doc_id", "band"), versionCols = Seq("bh"),
+          sortCols = Seq("bh"))
+      }
+      // the manifest commit is LOAD-BEARING: an appended row landing in a
+      // bucket the manifest does not name would be invisible to the
+      // pruned probe
+      timed("manifest_commit") {
+        augmentManifest(spark, augIndexPath, touchedBuckets)
+      }
+    } finally accepted.unpersist()
   }
 
   val incrementalAppendSql: String = {

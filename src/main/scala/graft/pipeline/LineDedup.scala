@@ -97,18 +97,24 @@ object LineDedup {
   /** The derived-lines CTE chain (ends in `l(doc_id, text, line_idx,
     * line)`), shared by the batch and streaming oracles.
     */
-  private val linesCtes: String = {
+  private val linesCtes: String = linesCtesFor("documents", "")
+
+  /** The same chain over an arbitrary (doc_id, text) source with a CTE
+    * name suffix, so one query can derive lines from TWO sources (the
+    * [[Refresh]] oracle: base-corpus lines and incoming-batch lines).
+    */
+  private[pipeline] def linesCtesFor(src: String, sfx: String): String = {
     val w = LineWords
-    s"""wds AS (
-       |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
-       |cx AS (
+    s"""wds$sfx AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS words FROM $src),
+       |cx$sfx AS (
        |  SELECT doc_id, text, words,
        |         unnest(range(0, (len(words) + ${w - 1}) // $w)) AS li
-       |  FROM wds),
-       |l AS (
+       |  FROM wds$sfx),
+       |l$sfx AS (
        |  SELECT doc_id, text, li::BIGINT AS line_idx,
        |         array_to_string(list_slice(words, li * $w + 1, li * $w + $w), ' ') AS line
-       |  FROM cx)""".stripMargin
+       |  FROM cx$sfx)""".stripMargin
   }
 
   val sql: String = {
@@ -168,6 +174,90 @@ object LineDedup {
     s"""WITH $linesCtes
        |SELECT line, min(doc_id * ${1L << IdxBits} + line_idx) AS first_key
        |FROM l GROUP BY line ORDER BY line""".stripMargin
+
+  // ---- persisted line index: the standing dedup state in batch form ----
+
+  /** Hash-bucket fan-out of the persisted line index (`lb=` dirs). */
+  val LineBuckets = 64
+
+  /** Content-keyed index path (the [[Dedup.indexPath]] convention: a
+    * regenerated corpus rebuilds instead of reusing a stale index).
+    */
+  def lineIndexPath(spark: SparkSession, dir: String): String = {
+    val (rows, fp) = Dedup.docsStats(spark, dir)
+    "/tmp/graft_line_index/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_b${LineBuckets}_n${rows}_f$fp"
+  }
+
+  /** Build-once: the BASE corpus's (line, first_key) table — the batch
+    * form of `stream_line_dedup`'s standing RocksDB state — partitioned
+    * into [[LineBuckets]] `lb=` hash buckets with a [[Dedup.ManifestFile]]
+    * manifest, so a refresh probe reads only its batch's touched buckets
+    * (the [[Dedup.ensureMinhashIndex]] storage contract; manifest lines
+    * reuse the (band, bhp) form with band pinned to 0).
+    */
+  def ensureLineIndex(spark: SparkSession, dir: String): String = {
+    val path = lineIndexPath(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def committed(r: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(r, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(r, Dedup.ManifestFile))
+    IndexCommit.ensure(fs, p)(committed) { tmp =>
+      val base = graft.Tables.load(spark, dir, "documents")
+        .where(s"doc_id % ${Dedup.IncrSplitMod} <> 0")
+      lineTable(base)
+        .selectExpr("line", s"doc_id * ${1L << IdxBits} + line_idx AS k")
+        .groupBy("line")
+        .agg(org.apache.spark.sql.functions.expr("min(k) AS first_key"))
+        .selectExpr("line", "first_key",
+          s"CAST(pmod(xxhash64(line), $LineBuckets) AS INT) AS lb")
+        .repartition(org.apache.spark.sql.functions.col("lb"))
+        .sortWithinPartitions("lb", "line")
+        .write.mode("overwrite").partitionBy("lb").parquet(tmp.toString)
+      val buckets = fs.listStatus(tmp).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("lb="))
+        .map(s => (0, s.getPath.getName.stripPrefix("lb=").toInt)).toSet
+      Dedup.writeManifest(spark, tmp.toString, buckets)
+    }
+    path
+  }
+
+  /** Refresh probe: per-doc line accounting for an incoming batch against
+    * the PERSISTED base line state plus within-batch first occurrences —
+    * equal to the corpus+batch recompute restricted to the batch's rows,
+    * with base-corpus IO bounded by the batch's touched `lb=` buckets
+    * (manifest-intersected point lookups; the index root is never
+    * listed). A batch line occurrence is kept iff its packed key is the
+    * minimum over {base first key if present, batch-internal minimum}.
+    */
+  def refreshLines(spark: SparkSession, dir: String,
+      incoming: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val path = ensureLineIndex(spark, dir)
+    val batchLines = lineTable(incoming)
+      .selectExpr("doc_id", "line_idx", "line",
+        s"doc_id * ${1L << IdxBits} + line_idx AS k")
+    val manifest = Dedup.readManifest(spark, path).map(_._2) // fails loud
+    val touched = batchLines
+      .selectExpr(s"CAST(pmod(xxhash64(line), $LineBuckets) AS INT) AS lb")
+      .distinct().collect().map(_.getInt(0)) // ≤ LineBuckets: metadata
+      .filter(manifest.contains).sorted.map(l => s"$path/lb=$l")
+    val idx =
+      if (touched.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.option("basePath", path).parquet(touched: _*)
+    val batchFirsts = batchLines.groupBy("line")
+      .agg(expr("min(k) AS batch_first"))
+    batchLines
+      .join(batchFirsts, "line")
+      .join(idx.selectExpr("line", "first_key AS base_first"),
+        Seq("line"), "left")
+      .selectExpr("doc_id",
+        "k = least(batch_first, coalesce(base_first, batch_first)) AS kept")
+      .groupBy("doc_id")
+      .agg(expr("count(*) AS lines_total"),
+        expr("sum(CAST(kept AS BIGINT)) AS lines_kept"))
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_line_dedup" -> query,

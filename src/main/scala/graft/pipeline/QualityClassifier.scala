@@ -82,8 +82,11 @@ object QualityClassifier {
         s"transform(sequence(0, ${QcDim - 1}), " +
           "bb -> CAST(size(filter(bks, v -> v = bb)) AS BIGINT)) AS x")
 
-  /** w₀ + ⟨w, x⟩ as a row-local expression against literal weights. */
-  private def marginExpr(w: Array[Long]): String = {
+  /** w₀ + ⟨w, x⟩ as a row-local expression against literal weights —
+    * exposed so [[Refresh]] scores an incoming batch with the frozen
+    * weights trained on the base corpus.
+    */
+  private[pipeline] def marginExpr(w: Array[Long]): String = {
     val warr = w.drop(1).map(v => s"CAST($v AS BIGINT)")
       .mkString("array(", ", ", ")")
     s"(CAST(${w(0)} AS BIGINT) + aggregate(zip_with(x, $warr, " +
@@ -159,7 +162,14 @@ object QualityClassifier {
     * (`qc(doc_id, y, is_train, margin)`), exposed so [[LearnedMix]]'s
     * composed oracle replays the SAME trained margins the entry hashes.
     */
-  private[pipeline] val marginCtes: String = {
+  private[pipeline] val marginCtes: String = marginCtesWith("doc_id % 5 <> 3")
+
+  /** [[marginCtes]] with the training-set predicate parametrized, so
+    * [[Refresh]]'s oracle can train on the BASE split only (frozen
+    * weights: `doc_id % 5 <> 3 AND doc_id % IncrSplitMod <> 0`) while
+    * still scoring every doc through the same trained chain.
+    */
+  private[pipeline] def marginCtesWith(trainCond: String): String = {
     val polyT = "list_reduce(list_prepend(0::BIGINT, " +
       "list_transform(string_split(t, ''), c -> ord(c)::BIGINT)), " +
       s"(a, b) -> (a * 31 + b) % ${TextAnalysis.FpMod})"
@@ -169,7 +179,7 @@ object QualityClassifier {
     val head = Seq(
       s"""d AS (SELECT doc_id,
          |  (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS y,
-         |  (doc_id % 5 <> 3) AS is_train,
+         |  ($trainCond) AS is_train,
          |  $dtextSql AS dtext FROM documents)""".stripMargin,
       s"""bk AS (SELECT doc_id, y, is_train,
          |  list_transform(string_split(dtext, ' '),

@@ -310,6 +310,15 @@ object PlanAuditBudgets {
     // dedupe through ReuseExchange at runtime; keepers is checkpointed so
     // the quality+dedup prefix is computed once); measured 4.1 s at sf0.1
     "pipeline_e2e_prepare" -> 22,
+    // the DEPLOYMENT twin of e2e_prepare: each stage frame is
+    // checkpoint-truncated (exact/base-probe/batch-gated/gram-decon/
+    // accept run ONCE however many accounting branches consume them), so
+    // the audited plan carries only the per-stage count aggs, the
+    // frozen-weight scoring join, the pruned band re-probe (sig agg +
+    // band join + verdict agg), the line-index probe joins, and the
+    // fingerprint agg — every exchanged frame is batch- or
+    // eval-suite-sized, never base-corpus-sized
+    "pipeline_e2e_refresh" -> 19,
     "taxi_inv_replay" -> 1,
     "taxi_parse" -> 1,
     "text_bigrams" -> 1,
