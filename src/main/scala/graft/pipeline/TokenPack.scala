@@ -58,7 +58,7 @@ object TokenPack {
     * ids are ranks of the final symbols sorted ascending; EOS = |V|.
     * Driver-side work is vocabulary-sized only.
     */
-  private def wordIdTable(spark: SparkSession, dir: String)
+  private[pipeline] def wordIdTable(spark: SparkSession, dir: String)
       : (DataFrame, Long) = {
     import spark.implicits._
     val seg = Tokenizer.trainBigCore(spark, dir)._2

@@ -319,6 +319,12 @@ object PlanAuditBudgets {
     // fingerprint agg — every exchanged frame is batch- or
     // eval-suite-sized, never base-corpus-sized
     "pipeline_e2e_refresh" -> 19,
+    // the interleave+pack composition: per-doc stream flatten agg, the
+    // sentence-argmax agg, the splice-offset agg (all doc-keyed and
+    // combinable), the per-shard pack window, the presentation sort; the
+    // vocab table and codec vector passes add none (broadcast join +
+    // partition-local mapPartitions)
+    "mm_interleaved_pack" -> 5,
     "taxi_inv_replay" -> 1,
     "taxi_parse" -> 1,
     "text_bigrams" -> 1,
