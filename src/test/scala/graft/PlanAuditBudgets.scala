@@ -325,6 +325,13 @@ object PlanAuditBudgets {
     // vocab table and codec vector passes add none (broadcast join +
     // partition-local mapPartitions)
     "mm_interleaved_pack" -> 5,
+    // the drift-refresh composition: brute-truth rank window, two probe
+    // pipelines (each: assignment agg + rank window + candidate join on
+    // c_id), the two recall-count aggs, and the presentation sort — the
+    // Lloyd re-train's KmRounds combinable scans and the re-code write
+    // run eagerly before the returned plan; every exchanged frame is
+    // query-batch- or codebook-sized except the one-time re-code
+    "sim_ivf_refresh" -> 11,
     "taxi_inv_replay" -> 1,
     "taxi_parse" -> 1,
     "text_bigrams" -> 1,

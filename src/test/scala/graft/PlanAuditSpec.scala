@@ -73,6 +73,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // compaction entry: the post-OPTIMIZE probe — identical bounded
     // persisted-codebook crossJoin shape as the probe/append pair
     "sim_incremental_ivf_compact",
+    // drift-refresh entry: four bounded crossJoins — the frozen and
+    // retrained codebooks (nearestLists assignment/probe set, ≤
+    // NCentroids rows each) and the query batch (≤ QuerySetSize rows)
+    // broadcast twice for the brute truth and the recall join's
+    // truth-count scalar
+    "sim_ivf_refresh",
     // OPQ entry: the residual probe with a rotated query side — the
     // codebook crossJoin is the same bounded persisted frame
     "sim_incremental_ivf_opq",
