@@ -41,9 +41,12 @@ object CrawlAdmit {
   def admitQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
       .select("doc_id", "text")
-    // static artifacts, derived OFFLINE (the deployment shape)
+    // static artifacts, derived OFFLINE (the deployment shape); the
+    // crawled set is materialized so the stream-static join reads rows,
+    // not a re-planned distinct per micro-batch
     val crawled = UrlDedup.canonCols(UrlDedup.derivedUrls(spark, dir))
       .select("canon").distinct().withColumn("already", lit(true))
+      .localCheckpoint()
     val rules = RobotsFilter.ruleTable(spark,
       CrawlFrontier.candidatesRowLocal(docs).select("domain").distinct())
     val stage = graft.TempDirs.scoped("crawl-admit") + "/docs"
