@@ -222,7 +222,8 @@ object Sketches {
     import graft.streaming.PacedReplay
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
     val stageDir = graft.TempDirs.scoped("cms-stage") + "/docs"
-    val rowsPerFile = math.max(1L, docs.count() / 4L).toInt
+    val nDocs = docs.count()
+    val rowsPerFile = math.max(1L, nDocs / 4L).toInt
     PacedReplay.stage(docs, Seq("doc_id"), rowsPerFile, stageDir)
     val streamAgg = PacedReplay.stream(spark, stageDir, docs.schema)
       .selectExpr("explode(split(text, ' ')) AS w")
@@ -230,11 +231,17 @@ object Sketches {
       .selectExpr(s"posexplode(array($cmsCellArrExpr)) AS (r, cell)")
       .groupBy("r", "cell").agg(count(lit(1)).as("cellsum"))
     val qn = "graft_stream_cms_sketch"
-    val q = streamAgg.writeStream
-      .outputMode("complete").format("memory").queryName(qn)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    // the sketch's whole state is ≤ d·w cells FOREVER — partitions beyond
+    // that are per-trigger commit overhead at any corpus size (StateSizing)
+    graft.streaming.StateSizing.withStatePartitions(spark,
+      graft.streaming.StateSizing.statePartitions(spark, nDocs,
+        stateRowsBound = CmsA.size.toLong * CmsW)) {
+      val q = streamAgg.writeStream
+        .outputMode("complete").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     cmsVerdict(cmsTokenCounts(docs), spark.table(qn))
   }
 
@@ -373,18 +380,24 @@ object Sketches {
     val ev = Tables.load(spark, dir, "events")
       .selectExpr("event_id", "event_type", "user_id")
     val stageDir = graft.TempDirs.scoped("kmv-stage") + "/events"
-    val rowsPerFile = math.max(1L, ev.count() / 4L).toInt
+    val nEv = ev.count()
+    val rowsPerFile = math.max(1L, nEv / 4L).toInt
     PacedReplay.stage(ev, Seq("event_id"), rowsPerFile, stageDir)
     val agg = PacedReplay.stream(spark, stageDir, ev.schema)
       .selectExpr("event_type",
         s"((user_id % $KmvP) * 2654435761) % $KmvP AS h")
       .groupBy("event_type").agg(expr("graft_kmv(h)").as("mins"))
     val qn = "graft_stream_kmv_sketch"
-    val q = agg.writeStream
-      .outputMode("complete").format("memory").queryName(qn)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    // state = one ≤k-minima sketch per scope; partitions from the input
+    // scale, not the session constant (StateSizing)
+    graft.streaming.StateSizing.withStatePartitions(spark,
+      graft.streaming.StateSizing.statePartitions(spark, nEv)) {
+      val q = agg.writeStream
+        .outputMode("complete").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     val sk = spark.table(qn)
     val perType = sk
       .selectExpr("event_type", "CAST(size(mins) AS BIGINT) AS n_kept",
@@ -536,17 +549,25 @@ object Sketches {
     import graft.streaming.PacedReplay
     val cents = qsCents(spark, dir)
     val stageDir = graft.TempDirs.scoped("qsketch-stage") + "/lineitem"
-    val rowsPerFile = math.max(1L, cents.count() / 4L).toInt
+    val nCents = cents.count()
+    val rowsPerFile = math.max(1L, nCents / 4L).toInt
     PacedReplay.stage(cents, Seq("l_orderkey", "l_linenumber"), rowsPerFile, stageDir)
     val streamHist = PacedReplay.stream(spark, stageDir, cents.schema)
       .selectExpr("rf", s"${qsBucketExpr("c")} AS b")
       .groupBy("rf", "b").agg(count(lit(1)).as("cnt"))
     val qn = "graft_stream_qsketch_hist"
-    val q = streamHist.writeStream
-      .outputMode("complete").format("memory").queryName(qn)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    // state ≤ |l_returnflag ∈ {A,N,R}| · 64·S bucket rows by construction
+    // (TPC-H domain × the 64-octave × S sub-bucket grid) — partitions
+    // beyond that are per-trigger commit overhead at any scale
+    graft.streaming.StateSizing.withStatePartitions(spark,
+      graft.streaming.StateSizing.statePartitions(spark, nCents,
+        stateRowsBound = 3L * 64L * QsS)) {
+      val q = streamHist.writeStream
+        .outputMode("complete").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     // the verdict tail uses the histogram TWICE (cum + n_buckets); a
     // memory-sink view self-join trips analyzer reference dedup, so break
     // lineage on the sketch-sized (≤ groups·64·S rows) table first

@@ -50,14 +50,20 @@ object CrawlAdmit {
     val rules = RobotsFilter.ruleTable(spark,
       CrawlFrontier.candidatesRowLocal(docs).select("domain").distinct())
     val stage = graft.TempDirs.scoped("crawl-admit") + "/docs"
-    val rowsPerFile = math.max(1L, docs.count() / 4L).toInt
+    val nDocs = docs.count()
+    val rowsPerFile = math.max(1L, nDocs / 4L).toInt
     PacedReplay.stage(docs, Seq("doc_id"), rowsPerFile, stage)
     val prevProvider =
       spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val qn = "graft_stream_crawl_admit"
-    try {
+    // state partitions sized to the candidate feed (~6 links/doc), not the
+    // session constant: every trigger commits one RocksDB store per
+    // partition, and at 32 partitions the 4-trigger replay spent its wall
+    // on empty-store commits (guide §2 / StateSizing)
+    try StateSizing.withStatePartitions(spark,
+      StateSizing.statePartitions(spark, nDocs * 6)) {
       val cand = CrawlFrontier.candidatesRowLocal(
           PacedReplay.stream(spark, stage, docs.schema))
         .selectExpr("lid", "domain", "canon",

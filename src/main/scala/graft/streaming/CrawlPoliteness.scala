@@ -68,13 +68,30 @@ class DomainPolitenessProcessor(cap: Int)
       "held", Encoders.product[FetchCand], TTLConfig.NONE)
   }
 
-  /** Admit from the held queue, strictly in order, as far as the
-    * watermark allows; park a timer at the first still-future release.
-    * `last + delay` with the "never admitted" sentinel stays far below
-    * any real ts, so the first admission is always at its own ts.
+  /** Admit from `buf` (the held queue ++ this trigger's fresh rows,
+    * lid-ordered), strictly in order, as far as the watermark allows;
+    * park a timer at the first still-future release. `last + delay` with
+    * the "never admitted" sentinel stays far below any real ts, so the
+    * first admission is always at its own ts.
+    *
+    * STATE-WRITE ECONOMY (r16 optimization, guide §1 streamdiag: the
+    * processor's allUpdatesTimeMs was ~1.5 s/trigger): fresh rows are
+    * merged IN MEMORY and only the BLOCKED TAIL is written back — the
+    * previous form appended every fresh row to the RocksDB ListState,
+    * then immediately re-read and rewrote the whole queue inside the same
+    * trigger (3 list writes + 1 read per on-time row, for rows that never
+    * needed to touch the store at all). The held state's content after
+    * each trigger is IDENTICAL (the un-admitted tail); only the
+    * write path changed. The rewrite is also skipped when the drain
+    * admitted nothing and saw no fresh rows (a still-blocked timer
+    * re-fire): the stored queue is already exactly `rest`.
     */
-  private def drain(wm: Long): Iterator[FetchAdmit] = {
-    val buf = held.get().toVector // lid-ordered by construction
+  private def drain(wm: Long, fresh: Array[FetchCand]): Iterator[FetchAdmit] = {
+    val heldBuf = held.get().toVector // lid-ordered by construction
+    // fresh lids all exceed held lids (lids are ts-monotone, chunks replay
+    // in order, and a held row is always from an earlier trigger), so
+    // concatenation preserves the lid order drain requires
+    val buf = if (fresh.isEmpty) heldBuf else heldBuf ++ fresh
     var last = if (lastAdmit.exists()) lastAdmit.get() else -(1L << 60)
     var n = if (nAdmitted.exists()) nAdmitted.get() else 0L
     val out = Vector.newBuilder[FetchAdmit]
@@ -97,29 +114,32 @@ class DomainPolitenessProcessor(cap: Int)
     }
     lastAdmit.update(last)
     nAdmitted.update(n)
-    val rest = buf.drop(i)
-    held.clear()
-    if (rest.nonEmpty) held.put(rest.toArray)
+    if (i > 0 || fresh.nonEmpty) { // else stored queue already equals rest
+      val rest = buf.drop(i)
+      held.clear()
+      if (rest.nonEmpty) held.put(rest.toArray)
+    }
     out.result().iterator
   }
 
   override def handleInputRows(key: String, rows: Iterator[FetchCand],
       timerValues: TimerValues): Iterator[FetchAdmit] = {
     // impose arrival order inside the trigger; lids are ts-monotone and
-    // the replay stages in-order chunks, so cross-trigger order holds too
-    rows.toArray.sortBy(_.lid).foreach { r =>
-      if (!seen.containsKey(r.canon)) {
-        seen.updateValue(r.canon, true) // first sighting decides, like
-        held.appendValue(r)             // the count-quota processor
-      }
+    // the replay stages in-order chunks, so cross-trigger order holds too.
+    // First-sighting dedup marks `seen` BEFORE the cap check, exactly like
+    // the count-quota processor.
+    val fresh = rows.toArray.sortBy(_.lid).filter { r =>
+      val isNew = !seen.containsKey(r.canon)
+      if (isNew) seen.updateValue(r.canon, true)
+      isNew
     }
-    drain(timerValues.getCurrentWatermarkInMs())
+    drain(timerValues.getCurrentWatermarkInMs(), fresh)
   }
 
   override def handleExpiredTimer(key: String, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[FetchAdmit] =
     drain(math.max(timerValues.getCurrentWatermarkInMs(),
-      expiredTimerInfo.getExpiryTimeInMs()))
+      expiredTimerInfo.getExpiryTimeInMs()), Array.empty)
 }
 
 /** The ONLINE politeness loop: the frontier's candidate feed replayed as
@@ -145,6 +165,13 @@ object CrawlPoliteness {
     * released in a later trigger than it arrived in. Stages the feed as
     * a side effect; the caller owns the state-store provider conf.
     */
+  /** Candidate-feed row estimate for [[StateSizing]] — set by
+    * [[admittedStream]] as a side effect of staging (the feed is the
+    * staged candidate count, already computed for chunk sizing), read by
+    * [[politenessQuery]] to size state partitions around `start()`.
+    */
+  @volatile private var lastFeedRows = 0L
+
   private[graft] def admittedStream(spark: SparkSession,
       dir: String): Dataset[FetchAdmit] = {
     val docs = graft.Tables.load(spark, dir, "documents")
@@ -183,7 +210,9 @@ object CrawlPoliteness {
     // 4 in-order chunks (the CrawlAdmit pacing): enough triggers to
     // exercise cross-trigger timer releases, half the per-trigger
     // state-commit + static-join cost of the previous 8-chunk replay
-    val rowsPerFile = math.max(1L, staged.count() / 4L).toInt
+    val nStaged = staged.count()
+    lastFeedRows = nStaged
+    val rowsPerFile = math.max(1L, nStaged / 4L).toInt
     PacedReplay.stage(staged, Seq("ts_ms"), rowsPerFile, stage)
     val cand = PacedReplay.stream(spark, stage, staged.schema)
       .selectExpr("lid", "domain", "canon", "path", "ts_ms",
@@ -214,11 +243,20 @@ object CrawlPoliteness {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val qn = "graft_stream_crawl_politeness"
     try {
-      val q = admittedStream(spark, dir).writeStream
-        .outputMode("append").format("memory").queryName(qn)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      val admitted = admittedStream(spark, dir)
+      // state partitions sized to the staged feed (lastFeedRows, set by
+      // admittedStream above), not the session constant — per-trigger
+      // RocksDB commits are per-partition, and the timer-driven extra
+      // batches of this entry pay them more often than any other stream
+      // (guide §2 / StateSizing)
+      StateSizing.withStatePartitions(spark,
+        StateSizing.statePartitions(spark, lastFeedRows)) {
+        val q = admitted.writeStream
+          .outputMode("append").format("memory").queryName(qn)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
       spark.table(qn).orderBy("doc_id", "link_idx")
     } finally prevProvider match {
       case Some(p) =>

@@ -66,14 +66,18 @@ object DomainQuota {
     import graft.pipeline.UrlDedup
     val urls = UrlDedup.derivedUrls(spark, dir)
     val stage = graft.TempDirs.scoped("domain-quota") + "/urls"
-    val rowsPerFile = math.max(1L, urls.count() / 4L).toInt
+    val nUrls = urls.count()
+    val rowsPerFile = math.max(1L, nUrls / 4L).toInt
     PacedReplay.stage(urls, Seq("doc_id"), rowsPerFile, stage)
     val prevProvider =
       spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val qn = "graft_stream_domain_quota"
-    try {
+    // state partitions from the staged URL count, not the session constant
+    // (per-trigger per-partition RocksDB commits — guide §2 / StateSizing)
+    try StateSizing.withStatePartitions(spark,
+      StateSizing.statePartitions(spark, nUrls)) {
       val rows: Dataset[UrlRow] = UrlDedup.canonCols(
           PacedReplay.stream(spark, stage, urls.schema))
         .selectExpr("doc_id", "domain", "canon")

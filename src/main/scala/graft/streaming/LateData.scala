@@ -45,7 +45,8 @@ object LateData {
       s"CAST($Chunks AS BIGINT) AS replay_ord")
     val staged = ev.unionByName(sentinel)
     val stageDir = graft.TempDirs.scoped("late-stage") + "/events"
-    val rowsPerFile = math.max(1L, ev.count() / Chunks).toInt
+    val nEv = ev.count()
+    val rowsPerFile = math.max(1L, nEv / Chunks).toInt
     PacedReplay.stage(staged, Seq("replay_ord", "event_id"), rowsPerFile,
       stageDir)
     val qn = "graft_stream_late"
@@ -58,11 +59,16 @@ object LateData {
         unix_millis(col("window.start")).as("win_start_ms"),
         unix_millis(col("window.end")).as("win_end_ms"),
         col("event_type"), col("n"))
-    val q = agg.writeStream
-      .outputMode("append").format("memory").queryName(qn)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    // state partitions from the replayed row count, not the session
+    // constant (per-trigger per-partition state commits — StateSizing)
+    StateSizing.withStatePartitions(spark,
+      StateSizing.statePartitions(spark, nEv)) {
+      val q = agg.writeStream
+        .outputMode("append").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     val out = spark.table(qn)
       .where("event_type <> 'zz_sentinel'")
       .orderBy("win_start_ms", "event_type")
