@@ -30,6 +30,15 @@ object TempDirs {
     * decode/encode, no shuffle — the r12 bench showed the rewrite seed
     * costing more than the operation under test) and strictly more
     * faithful to the on-disk artifact the probes then read.
+    *
+    * PARALLEL (r16 optimization, guide §5 — driver-side work): the
+    * bucketed indexes hold hundreds of small files (B × IndexBuckets
+    * dirs), and `FileUtil.copy`'s sequential walk made the seed a
+    * multi-second driver stall in every append-family entry (3.4 s of
+    * dedup_incremental_append's 13 s at sf0.1). Directories are created
+    * in one walk, then file bodies copy on a bounded thread pool — the
+    * per-file Hadoop `FileUtil.copy` is unchanged, so the result is
+    * byte-identical on any store.
     */
   def copyTree(spark: org.apache.spark.sql.SparkSession, src: String,
       dst: String): Unit = {
@@ -37,9 +46,32 @@ object TempDirs {
     val sp = new org.apache.hadoop.fs.Path(src)
     val dp = new org.apache.hadoop.fs.Path(dst)
     val fs = sp.getFileSystem(conf)
-    if (!org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp,
-        /* deleteSource = */ false, /* overwrite = */ true, conf))
-      throw new java.io.IOException(s"tree copy failed: $src -> $dst")
+    // one recursive walk: collect (srcFile, dstFile) pairs, mkdir dirs
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]
+    def walk(s: org.apache.hadoop.fs.Path,
+        d: org.apache.hadoop.fs.Path): Unit = {
+      val st = fs.getFileStatus(s)
+      if (st.isDirectory) {
+        fs.mkdirs(d)
+        fs.listStatus(s).foreach(c =>
+          walk(c.getPath, new org.apache.hadoop.fs.Path(d, c.getPath.getName)))
+      } else files += ((s, d))
+    }
+    walk(sp, dp)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    try {
+      val futures = files.map { case (s, d) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            if (!org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, d,
+                /* deleteSource = */ false, /* overwrite = */ true, conf))
+              throw new java.io.IOException(s"file copy failed: $s -> $d")
+        })
+      }
+      futures.foreach(_.get()) // propagate the first failure
+    } finally pool.shutdown()
   }
 
   private def deleteRecursively(p: Path): Unit = {

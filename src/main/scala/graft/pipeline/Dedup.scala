@@ -797,22 +797,45 @@ object Dedup {
       bandFold((0 until R).map(r => s"m${b * R + r}"))
     }.mkString("array(", ", ", ")")
 
-  /** Directory-bucket count for the persisted index: rows land in
-    * `bhp = pmod(bh, IndexBuckets)` under their band dir. Production sizing
-    * scales the bucket count with the corpus (buckets ∝ index rows keeps
-    * bytes-per-bucket constant, so a probe that prunes to touched buckets
-    * reads a batch-proportional, index-size-independent byte count); the
-    * env override lets the scale harness build wider indexes without a
-    * code change. The count is baked into the index path so a build and a
-    * probe can never disagree about the layout.
+  /** Band rows per directory bucket the adaptive sizing targets. */
+  val RowsPerIndexBucket = 1024L
+
+  /** Bucket-count bounds: at least [[MinIndexBuckets]] so the bucketed
+    * code paths (pruning, touched-set commit) stay exercised at any SF,
+    * at most [[MaxIndexBuckets]] so the per-band dir fan-out stays a
+    * directory listing, not a metadata stress test.
     */
-  val IndexBuckets: Int = {
+  val MinIndexBuckets = 8
+  val MaxIndexBuckets = 65536
+
+  /** Directory-bucket count for the persisted index of `dir`'s corpus:
+    * rows land in `bhp = pmod(bh, buckets)` under their band dir.
+    *
+    * SCALE-ADAPTIVE (r16 optimization): buckets ∝ index band rows
+    * (≈ [[RowsPerIndexBucket]] rows per bucket) — which this module's own
+    * contract always claimed ("buckets ∝ index rows keeps bytes-per-bucket
+    * constant, so a pruned probe reads a batch-proportional,
+    * index-size-independent byte count") but the previous constant 64
+    * did not deliver: at sf0.1 the index held ~60 rows per bucket and
+    * every append paid 256 tiny parquet files of write+commit (measured
+    * 4.5-6 s of dedup_incremental_append's 13 s), while a 100 TB corpus
+    * would have drowned 256 buckets. The env override
+    * (`SPARK_GRAFT_INDEX_BUCKETS`) still pins an exact count for the
+    * scale harness. The count is baked into the index path so a build
+    * and a probe can never disagree about the layout.
+    */
+  def indexBuckets(spark: SparkSession, dir: String): Int = {
     val n = sys.env.get("SPARK_GRAFT_INDEX_BUCKETS").map { s =>
       try s.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"SPARK_GRAFT_INDEX_BUCKETS must be a positive integer, got '$s'")
       }
-    }.getOrElse(64)
+    }.getOrElse {
+      val (rows, _) = docsStats(spark, dir)
+      val bandRows = rows * (IncrSplitMod - 1) / IncrSplitMod * B
+      math.max(MinIndexBuckets.toLong, math.min(MaxIndexBuckets.toLong,
+        (bandRows + RowsPerIndexBucket - 1) / RowsPerIndexBucket)).toInt
+    }
     require(n > 0, s"SPARK_GRAFT_INDEX_BUCKETS must be > 0, got $n " +
       "(pmod(bh, 0) is null and would route every row to the default partition)")
     n
@@ -826,7 +849,8 @@ object Dedup {
   def indexPath(spark: SparkSession, dir: String): String = {
     val (rows, fp) = docsStats(spark, dir)
     "/tmp/graft_minhash_index/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_b${IndexBuckets}_n${rows}_f$fp"
+      dir.replaceAll("[^A-Za-z0-9.]", "_") +
+      s"_b${indexBuckets(spark, dir)}_n${rows}_f$fp"
   }
 
   /** Memoized per-corpus stats from ONE aggregate pass: (row count,
@@ -851,7 +875,8 @@ object Dedup {
   /** Bucket count of an already-built index, parsed back from its path. */
   private def bucketsOf(indexPath: String): Int = {
     val m = "_b(\\d+)(?:_n\\d+_f\\d+)?$".r.findFirstMatchIn(indexPath)
-    m.map(_.group(1).toInt).getOrElse(IndexBuckets)
+    m.map(_.group(1).toInt).getOrElse(throw new IllegalArgumentException(
+      s"index path carries no _b<buckets> suffix: $indexPath"))
   }
 
   // ---- bucket manifest: the metastore stand-in for partition listing ----
@@ -965,7 +990,7 @@ object Dedup {
       sig
         .selectExpr(Seq("doc_id") ++ (0 until H).map(i => s"m$i AS i$i")
           :+ s"posexplode($bandArrayExpr) AS (band, bh)": _*)
-        .withColumn("bhp", expr(s"pmod(bh, $IndexBuckets)"))
+        .withColumn("bhp", expr(s"pmod(bh, ${indexBuckets(spark, dir)})"))
         .repartition(col("band"), col("bhp"))
         .sortWithinPartitions("band", "bhp", "bh")
         .write.mode("overwrite").partitionBy("band", "bhp")
@@ -1257,7 +1282,8 @@ object Dedup {
     }
     val path = ensureMinhashIndex(spark, dir)
     val augPath =
-      graft.TempDirs.scoped("incr-append") + s"/index_b$IndexBuckets"
+      graft.TempDirs.scoped("incr-append") +
+        s"/index_b${indexBuckets(spark, dir)}"
     timed("seed_working_copy") {
       // hermeticity tax only: file-level tree copy (layout, manifest and
       // _SUCCESS travel verbatim) so the entry never mutates the shared
@@ -1298,7 +1324,8 @@ object Dedup {
     }
     val path = ensureMinhashIndex(spark, dir)
     val augPath =
-      graft.TempDirs.scoped("incr-inplace") + s"/index_b$IndexBuckets"
+      graft.TempDirs.scoped("incr-inplace") +
+        s"/index_b${indexBuckets(spark, dir)}"
     timed("seed_layout_copy") {
       // hermeticity tax only: file-level tree copy (bucketed layout,
       // manifest and _SUCCESS travel verbatim) so the entry never mutates
@@ -1354,6 +1381,17 @@ object Dedup {
     * UpsertSinkSpec). Cost is O(batch + touched buckets), index-size-
     * independent.
     */
+  /** The index-layout band rows of `docs` — signature columns (i0..i15)
+    * plus (band, bh, bhp) — the exact frame the bucketed index stores.
+    * Factored from [[appendDocsBatch]] for the measurement harness
+    * ([[graft.tools.UpsertProbe]]).
+    */
+  private[graft] def bandRowsFor(docs: DataFrame, buckets: Int): DataFrame =
+    minhashSignatures(docs)
+      .selectExpr(Seq("doc_id") ++ (0 until H).map(i => s"m$i AS i$i")
+        :+ s"posexplode($bandArrayExpr) AS (band, bh)": _*)
+      .withColumn("bhp", expr(s"CAST(pmod(bh, $buckets) AS INT)"))
+
   private[pipeline] def appendDocsBatch(spark: SparkSession,
       augIndexPath: String, docsToAppend: DataFrame,
       phase: (String, Double) => Unit = (_, _) => ()): Unit = {
@@ -1362,10 +1400,7 @@ object Dedup {
       phase(name, (System.nanoTime() - t0) / 1e9); a
     }
     val p = bucketsOf(augIndexPath)
-    val accepted = minhashSignatures(docsToAppend)
-      .selectExpr(Seq("doc_id") ++ (0 until H).map(i => s"m$i AS i$i")
-        :+ s"posexplode($bandArrayExpr) AS (band, bh)": _*)
-      .withColumn("bhp", expr(s"CAST(pmod(bh, $p) AS INT)"))
+    val accepted = bandRowsFor(docsToAppend, p)
       .persist() // read 3× below (touched set, merge, write) — one compute
     try {
       val touchedBuckets = timed("probe_wave1_sign_accepted") {

@@ -210,7 +210,8 @@ object Refresh {
     // 10. fold the batch back into the standing state: bucket-wise
     //     append to a working copy of the band index, then verify with a
     //     pruned re-probe (every appended doc must now self-match)
-    val augPath = graft.TempDirs.scoped("e2e-refresh") + s"/index_b${Dedup.IndexBuckets}"
+    val augPath = graft.TempDirs.scoped("e2e-refresh") +
+      s"/index_b${Dedup.indexBuckets(spark, dir)}"
     graft.TempDirs.copyTree(spark, idxPath, augPath)
     Dedup.appendDocsBatch(spark, augPath, accepted)
     val reprobed = Dedup.incrementalProbe(spark, accepted, augPath, prune = true)

@@ -49,7 +49,7 @@ object Retrieval {
   val TopK = 10
   /** Term-hash bucket count of the postings/stats layout (dir count is
     * metadata-scale; at 100 TB this would grow ∝ vocabulary the same way
-    * [[Dedup.IndexBuckets]] grows ∝ corpus).
+    * [[Dedup.indexBuckets]] grows ∝ corpus).
     */
   val TermBuckets = 64
   /** Quantization scales: tf to ppm, idf to 1e-4, relative dl to ppm. */

@@ -30,7 +30,7 @@ import org.apache.spark.sql.SparkSession
   *    per-partition stores, cross-partition drains) stays exercised.
   *
   * `SPARK_GRAFT_STREAM_STATE_PARTS` overrides the derivation for scale
-  * experiments without a code change (the [[graft.pipeline.Dedup.IndexBuckets]]
+  * experiments without a code change (the [[graft.pipeline.Dedup.indexBuckets]]
   * convention).
   */
 object StateSizing {

@@ -579,7 +579,7 @@ object Scale {
     val pruned = math.min(once(prune = true), once(prune = true))
     val cand = Dedup.incrementalProbe(spark, incoming, indexPath).count()
     spark.catalog.clearCache()
-    println(s"""[scale] {"probe_batch":"$batchDir","index":"$indexDir","buckets":${Dedup.IndexBuckets},"index_rows":$indexRows,"batch_rows":$batchRows,"sec_full":${num(full)},"sec_pruned":${num(pruned)},"candidates":$cand}""")
+    println(s"""[scale] {"probe_batch":"$batchDir","index":"$indexDir","buckets":${Dedup.indexBuckets(spark, batchDir)},"index_rows":$indexRows,"batch_rows":$batchRows,"sec_full":${num(full)},"sec_pruned":${num(pruned)},"candidates":$cand}""")
     spark.stop()
   }
 }

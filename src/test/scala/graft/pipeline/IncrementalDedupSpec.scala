@@ -114,7 +114,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"probe must open ≤${4 * Dedup.B} touched buckets, opened ${roots.length}")
     val totalDirs = Files.list(Paths.get(Dedup.indexPath(spark, dir))).iterator()
       .asScala.count(p => p.getFileName.toString.startsWith("band="))  *
-      Dedup.IndexBuckets
+      Dedup.indexBuckets(spark, dir)
     assert(roots.length < totalDirs,
       s"probe must open fewer dirs than the full index (${roots.length}/$totalDirs)")
     spark.catalog.clearCache()
@@ -156,14 +156,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
   test("in-place append rewrites only touched buckets and preserves the layout") {
     import org.apache.spark.sql.functions.col
     val path = Dedup.ensureMinhashIndex(spark, dir)
-    // layout-preserving scratch copy (what incrementalAppendInplace seeds)
+    // layout-preserving scratch copy (what incrementalAppendInplace seeds),
+    // REBUCKETED to a width larger than the wave's touched set: the
+    // adaptive default sizes this tiny corpus at the bucket floor, where a
+    // wave legitimately touches every bucket — the strict-subset property
+    // under test here is about a production-proportioned index, so the
+    // spec pins one explicitly (the bucket count rides in the path, which
+    // is the layout contract appendInplaceCore reads back)
+    val specBuckets = 64
     val aug = Files.createTempDirectory("inplace-spec").toString +
-      s"/index_b${Dedup.IndexBuckets}"
+      s"/index_b$specBuckets"
     spark.read.parquet(path)
+      .withColumn("bhp", org.apache.spark.sql.functions.expr(
+        s"CAST(pmod(bh, $specBuckets) AS INT)"))
       .repartition(col("band"), col("bhp"))
       .sortWithinPartitions("band", "bhp", "bh")
       .write.mode("overwrite").partitionBy("band", "bhp").parquet(aug)
-    Dedup.writeManifest(spark, aug, Dedup.readManifest(spark, path))
+    val augBuckets = spark.read.parquet(aug)
+      .selectExpr("band", "CAST(bhp AS INT) AS bhp").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    Dedup.writeManifest(spark, aug, augBuckets)
     val rowsBefore = spark.read.parquet(aug).count()
     val before = fileState(aug)
       .filter(_._1.startsWith("band=")) // data files only, not _SUCCESS etc.
