@@ -10,17 +10,45 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** PLAN memo for [[load]]: the analyzed relation per (session, dir,
+    * table). Resolving `spark.read.parquet` re-reads the file footer for
+    * schema inference on EVERY call (~50-90 ms), and the suite calls
+    * [[load]] 2-4× per entry × 268 entries per bench pass — tens of
+    * seconds of repeated metadata reads per pass (guide §6, file
+    * listing/metadata). The cached value is a lazy, immutable LOGICAL
+    * PLAN over the read-only testdata — no rows are cached, every action
+    * on it still computes from the parquet files (the no-result-caching
+    * contract). Weak-keyed so stopped sessions don't accumulate (the
+    * [[registerAll]] convention).
+    */
+  private val loadCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // every query path goes through here: make graft's native expressions
     // (graft_dot, graft_polyhash) available to selectExpr/spark.sql
     graft.functions.VectorExpressions.register(spark)
-    if (name == "events")
-      // events.ts may be parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects unless told to surface it as a raw nanos-since-epoch LONG.
-      // Set at read time so callers need no special session config.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    val perSession = {
+      val got = loadCache.get(spark)
+      if (got != null) got
+      else {
+        val fresh =
+          scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        val raced = loadCache.putIfAbsent(spark, fresh)
+        if (raced != null) raced else fresh
+      }
+    }
+    perSession.getOrElseUpdate((sfDir, name), {
+      if (name == "events")
+        // events.ts may be parquet TIMESTAMP(NANOS), which Spark's reader
+        // rejects unless told to surface it as a raw nanos-since-epoch
+        // LONG. Set at read time so callers need no special session config.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events") normalizeEventTs(df) else df
+    })
   }
 
   /** The repo-wide contract is `events.ts: LONG` epoch-nanos, but the

@@ -15,13 +15,20 @@ object Time {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // match graft.Bench's session so timings are comparable: RocksDB
+    // state-store default + scratch (shuffle/RocksDB working dirs) on
+    // tmpfs when present
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm))
+      builder.config("spark.local.dir", java.nio.file.Files
+        .createTempDirectory(shm, "graft-time-scratch").toString)
+    val spark = graft.streaming.FadsStream.configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
